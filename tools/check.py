@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate (SURVEY.md §5).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB over
+the sf tables, loads the Spark-written parquet for the same key, sorts
+columns by name and rows by all columns, and diffs. Exit 1 on any mismatch.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        try:
+            want = canon(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        try:
+            got = canon(
+                con.execute(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+                ).df()
+            )
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            failures += 1
+            continue
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+            failures += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            failures += 1
+            continue
+        bad = 0
+        for col in want.columns:
+            wv, gv = want[col].tolist(), got[col].tolist()
+            for i, (w, g) in enumerate(zip(wv, gv)):
+                if not values_equal(w, g):
+                    if bad < 3:
+                        print(f"  {name}.{col}[{i}]: want={w!r} got={g!r}")
+                    bad += 1
+        if bad:
+            print(f"FAIL {name}: {bad} value mismatches")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(want)} rows x {len(want.columns)} cols")
+    # keys in queries but absent from oracle are rows-only: check rows>0
+    import glob
+    import os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+        status = "OK  " if n > 0 else "FAIL"
+        if n == 0:
+            failures += 1
+        print(f"{status} {name}: rows-only, {n} rows")
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} failing queries")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
