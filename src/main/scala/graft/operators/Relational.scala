@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -13,6 +14,11 @@ import graft.sources.Tables
   * aggregation (double SUM is order-dependent, decimal is not), final cast
   * back to double for engine-independent schemas, and a total ORDER BY so
   * row order is deterministic on both sides.
+  *
+  * Scale notes (SURVEY.md §6): every query starts from a pruned parquet scan
+  * (Catalyst pushes the filter + projection down); dimension joins are
+  * explicitly `broadcast()`; fact-side window functions reuse a single
+  * hash-partition-by-key exchange instead of self-joins.
   */
 object Relational {
 
@@ -38,6 +44,268 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q02 — prefix filter + narrow projection (discriminator-style filter;
+    * orca_swaps.py:240-261 filters instructions on a binary prefix then
+    * projects a narrow schema). The startsWith predicate and the 3-column
+    * projection both push into the parquet scan.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.filter(col("o_orderpriority").startsWith("1-"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q03 — fact left-join dim for timestamp enrichment
+    * (erc20_transfers.py:58-72 joins decoded logs to blocks for
+    * block timestamps). Orders is the "blocks" side here.
+    */
+  def q03LeftJoinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_orderdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q04 — small-dim join chain, explicitly broadcast
+    * (orca_metadata.py:236-238 token metadata joins). nation/region stay
+    * KB-sized at any SF → broadcast both, zero shuffle on the dim side.
+    */
+  def q04BroadcastDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q05 — multi-table join + agg (revenue per nation), the chained-join
+    * shape of orca_swaps.py:424-467. Fact-fact join shuffles on the key;
+    * dims broadcast.
+    */
+  def q05MultiJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q06 — normalize two event variants to a common schema and union
+    * (orca_swaps.py:293-345 decodes v1/v2 swap layouts then vstacks).
+    * Variant B's amount comes from a JSON payload (the decode analog).
+    */
+  def q06UnionVariants(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val v1 = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value").as("amount"),
+        lit("v1").as("variant"))
+    val v2 = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("double").as("amount"),
+        lit("v2").as("variant"))
+    v1.unionByName(v2).orderBy(col("variant"), col("event_id"))
+  }
+
+  /** q07 — global sort + limit (orca_swaps.py:230-232 sorts decoded
+    * instructions). Spark does a sampled range-partitioned sort; with LIMIT
+    * it degenerates to a TakeOrdered — no full shuffle at any scale.
+    */
+  def q07SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q08 — distinct key→value dictionary (token_decimals pipeline,
+    * orca_swaps.py:475-478: distinct mint→decimals map). Partial
+    * (map-side) distinct before the shuffle keeps it cheap at scale.
+    */
+  def q08DistinctDict(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).part
+      .select(col("p_brand"), col("p_type"))
+      .distinct()
+      .orderBy(col("p_brand"), col("p_type"))
+  }
+
+  /** q09 — per-group ordered row index (orca_swaps.py:238 with_row_index
+    * per transaction). One hash exchange on user_id + in-partition sort;
+    * the (ts, event_id) tiebreak makes it deterministic.
+    */
+  def q09RowNumber(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        row_number().over(w).as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** q10 — adjacency match at index+1 (orca_swaps.py:402-436 joins each
+    * swap instruction to the token transfer at instruction_index+1).
+    * Spark-first: a lead() window over the same partition-by-key exchange
+    * replaces the reference's self-join — one shuffle instead of two and
+    * no join at all.
+    */
+  def q10AdjacencyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_event_id").isNotNull)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q11 — trailing range-window aggregate (swap_prices.py:189-218: VWAP
+    * over a trailing 20-slot window via join_where). Spark-first: a
+    * RANGE BETWEEN window — one shuffle by key + one sort, linear scan
+    * after, vs the reference's O(n·w) range join. Decimal-cast inside the
+    * window SUM keeps it order-independent → oracle-exact.
+    */
+  def q11RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-86400L, 0L)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        sum(col("value").cast(DecimalType(38, 6))).over(w).cast("double")
+          .as("trailing_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q12 — incremental resume point: MAX(key)+1 per group
+    * (db.py:30-45 get_next_block: SELECT MAX(block)+1 per chain).
+    * Partial max before the shuffle → one tiny exchange at any scale.
+    */
+  def q12IncrementalResume(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg((max(col("event_id")) + lit(1L)).as("next_start"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q13 — direction-dependent column remap (orca_swaps.py:373-400: the
+    * a_to_b flag decides which vault is input vs output). Pure projection
+    * — stays inside whole-stage codegen, no shuffle.
+    */
+  def q13ConditionalSwap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val aToB = col("l_returnflag") === "R"
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        when(aToB, col("l_partkey")).otherwise(col("l_suppkey")).as("in_key"),
+        when(aToB, col("l_suppkey")).otherwise(col("l_partkey")).as("out_key"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q14 — Decimal(38,9) ratio/price math (swap_prices.py:203-217 price =
+    * amount_a/amount_b in Decimal). Elementwise double division is
+    * IEEE-deterministic in both engines; the final cast fixes the scale.
+    */
+  def q14DecimalRatio(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity") > lit(0.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity"))
+          .cast(DecimalType(38, 9)).as("unit_price"),
+        col("l_extendedprice").cast(DecimalType(18, 6)).as("price_dec"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q15 — EXISTS / semi-join filtering (program-id membership filters in
+    * the svm pipelines). left_semi keeps only the probe columns — no
+    * payload duplication across the shuffle.
+    */
+  def q15SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q16 — NOT EXISTS / anti-join (orca_swaps.py:234-237 drops memo-program
+    * instructions). */
+  def q16AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q17 — positional array explode (instruction_address Array(UInt32)
+    * columns in the svm pipelines). posexplode is generate-codegen'd; the
+    * vec_id filter pushes into the scan before the generate.
+    */
+  def q17ExplodePos(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).embeddings
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "val")))
+      .select(col("vec_id"), (col("idx") + 1).as("idx"), col("val"))
+      .orderBy(col("vec_id"), col("idx"))
+  }
+
+  /** q18 — post-aggregation threshold filter (swap_prices.py:202
+    * total_usd > threshold, i.e. HAVING). The filter runs post-shuffle on
+    * the aggregated rows — tiny.
+    */
+  def q18HavingThreshold(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value"), 6).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .filter(col("total_value") > lit(500.0))
+      .orderBy(col("user_id"))
+  }
+
+  /** q19 — multi-level rollup aggregate (ClickHouse MergeTree rollup
+    * patterns from init_db DDLs). COALESCE post-rollup keeps the subtotal
+    * rows engine-independently sortable (no NULL-ordering divergence).
+    */
+  def q19Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** q20 — tumbling time-bucket aggregate, the batch twin of the streaming
+    * window (swap_prices slot bucketing; streaming.EventStreams.st01 runs
+    * the same shape with a watermark).
+    */
+  def q20TimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).events
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -48,10 +316,139 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1997-09-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderpriority LIKE '1-%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q03_left_join_enrich" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_broadcast_dim_join" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q05_multi_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q06_union_variants" ->
+      """SELECT event_id, user_id, value AS amount, 'v1' AS variant
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS amount,
+        |  'v2' AS variant
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY variant, event_id""".stripMargin,
+    "q07_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q08_distinct_dict" ->
+      """SELECT DISTINCT p_brand, p_type FROM part
+        |ORDER BY p_brand, p_type""".stripMargin,
+    "q09_row_number" ->
+      """SELECT user_id, event_id, ts,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+    "q10_adjacency_join" ->
+      """SELECT * FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    LEAD(event_id) OVER w AS next_event_id,
+        |    LEAD(event_type) OVER w AS next_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |) WHERE next_event_id IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q11_range_window" ->
+      """SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q12_incremental_resume" ->
+      """SELECT event_type, MAX(event_id) + 1 AS next_start
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_conditional_swap" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'R' THEN l_partkey ELSE l_suppkey END AS in_key,
+        |  CASE WHEN l_returnflag = 'R' THEN l_suppkey ELSE l_partkey END AS out_key
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q14_decimal_ratio" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice / l_quantity AS DECIMAL(38,9)) AS unit_price,
+        |  CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec
+        |FROM lineitem WHERE l_quantity > 0.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q15_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_explode_pos" ->
+      """SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY vec_id, idx""".stripMargin,
+    "q18_having_threshold" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
+        |HAVING CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) > 500.0
+        |ORDER BY user_id""".stripMargin,
+    "q19_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q20_time_bucket" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_filter" -> (q01AggFilter _)
+    "q01_agg_filter" -> (q01AggFilter _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_left_join_enrich" -> (q03LeftJoinEnrich _),
+    "q04_broadcast_dim_join" -> (q04BroadcastDimJoin _),
+    "q05_multi_join_agg" -> (q05MultiJoinAgg _),
+    "q06_union_variants" -> (q06UnionVariants _),
+    "q07_sort_limit" -> (q07SortLimit _),
+    "q08_distinct_dict" -> (q08DistinctDict _),
+    "q09_row_number" -> (q09RowNumber _),
+    "q10_adjacency_join" -> (q10AdjacencyJoin _),
+    "q11_range_window" -> (q11RangeWindow _),
+    "q12_incremental_resume" -> (q12IncrementalResume _),
+    "q13_conditional_swap" -> (q13ConditionalSwap _),
+    "q14_decimal_ratio" -> (q14DecimalRatio _),
+    "q15_semi_join" -> (q15SemiJoin _),
+    "q16_anti_join" -> (q16AntiJoin _),
+    "q17_explode_pos" -> (q17ExplodePos _),
+    "q18_having_threshold" -> (q18HavingThreshold _),
+    "q19_rollup" -> (q19Rollup _),
+    "q20_time_bucket" -> (q20TimeBucket _)
   )
 }
