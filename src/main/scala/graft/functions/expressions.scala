@@ -1,0 +1,163 @@
+package graft.functions
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the domain functions the reference engine
+  * exposes (cherry-core: keccak topic0, anchor discriminators, base58,
+  * u256 binary codecs) plus graft's SimHash primitive. All are codegen'd
+  * (doGenCode calls straight into static JVM impls) so they stay inside
+  * whole-stage codegen — no UDF serialization on the hot path.
+  */
+object ExprImpl {
+  /** base58 decode that surfaces malformed input as null. */
+  def base58Decode(s: UTF8String): Array[Byte] = Base58.decode(s.toString)
+
+  def base58Encode(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(Base58.encode(b))
+
+  /** Long (interpreted as unsigned 64-bit) → 32-byte big-endian u256. */
+  def u256FromLong(v: Long): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 8) { out(31 - i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** 32-byte big-endian unsigned → Decimal(38,0); null when the value
+    * exceeds 38 digits (Spark's max decimal precision — full 2^256 needs 78;
+    * the overflow-to-null contract mirrors a lossy cast and is documented in
+    * SURVEY.md round-2 notes for an unscaled-aggregation upgrade).
+    */
+  def u256ToDecimal(b: Array[Byte]): Decimal = {
+    val bi = new BigInteger(1, b)
+    val d = new java.math.BigDecimal(bi)
+    if (d.precision > 38) null else Decimal(d, 38, 0)
+  }
+
+  /** SimHash over pre-hashed 64-bit token hashes: majority vote per bit. */
+  def simhash64(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** keccak256(binary) → 32-byte binary. Reference: evm_signature_to_topic0
+  * (erc20_transfers.py:94). */
+case class KeccakHash256(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "keccak256"
+  override protected def nullSafeEval(input: Any): Any =
+    Keccak.hash256(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Keccak.hash256($c)")
+  override protected def withNewChildInternal(newChild: Expression): KeccakHash256 =
+    copy(child = newChild)
+}
+
+/** base58_encode(binary) → string (Bitcoin/Solana alphabet). */
+case class Base58Encode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "base58_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.base58Encode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.base58Encode($c)")
+  override protected def withNewChildInternal(newChild: Expression): Base58Encode =
+    copy(child = newChild)
+}
+
+/** base58_decode(string) → binary; null on malformed input
+  * (base58_decode_string, orca_swaps.py:235-260). */
+case class Base58Decode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "base58_decode"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.base58Decode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ExprImpl.base58Decode($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Base58Decode =
+    copy(child = newChild)
+}
+
+/** u256_from_long(long) → 32-byte big-endian binary (unsigned widen). */
+case class U256FromLong(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "u256_from_long"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.u256FromLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.u256FromLong($c)")
+  override protected def withNewChildInternal(newChild: Expression): U256FromLong =
+    copy(child = newChild)
+}
+
+/** u256_to_decimal(32-byte BE binary) → Decimal(38,0), null on overflow.
+  * Reference: ERC-20 amounts decoded as Decimal256 (erc20 pipeline DDL). */
+case class U256ToDecimal(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
+  override def prettyName: String = "u256_to_decimal"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.u256ToDecimal(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ExprImpl.u256ToDecimal($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): U256ToDecimal =
+    copy(child = newChild)
+}
+
+/** simhash64(array<long>) → long: per-bit majority over token hashes.
+  * graft's primitive for near-dup detection at scale (SURVEY.md d03). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = true))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

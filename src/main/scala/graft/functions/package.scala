@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.Interop
+
+/** Column-level API over graft's custom Catalyst expressions — the Scala
+  * twin of cherry-core's function surface (keccak/base58/u256) plus the
+  * simhash primitive used by the dedup operators.
+  */
+package object functions {
+  private def u(c: Column)(f: org.apache.spark.sql.catalyst.expressions.Expression
+      => org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Interop.column(f(Interop.expression(c)))
+
+  def keccak256(c: Column): Column      = u(c)(KeccakHash256)
+  def base58_encode(c: Column): Column  = u(c)(Base58Encode)
+  def base58_decode(c: Column): Column  = u(c)(Base58Decode)
+  def u256_from_long(c: Column): Column = u(c)(U256FromLong)
+  def u256_to_decimal(c: Column): Column = u(c)(U256ToDecimal)
+  def simhash64(c: Column): Column      = u(c)(SimHash64)
+}

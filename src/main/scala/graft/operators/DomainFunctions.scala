@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{base58_decode, base58_encode, keccak256, u256_from_long, u256_to_decimal}
+import graft.sources.Tables
+
+/** Domain-function queries f01–f05 (SURVEY.md §2): cherry-core's byte-level
+  * helpers re-expressed as codegen'd Catalyst expressions and exercised over
+  * the documents table.
+  *
+  * Oracle strategy: where DuckDB has the same primitive (hex, sha256) the
+  * oracle recomputes it; where it doesn't (keccak, base58, u256) the query
+  * round-trips encode∘decode so the oracle is the identity projection — a
+  * wrong implementation breaks the hash compare, and known-vector unit
+  * specs (FunctionsSpec) pin the absolute outputs.
+  */
+object DomainFunctions {
+
+  /** f01 — binary↔hex (cherry HexEncode cast step). */
+  def f01HexEncode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .orderBy(col("doc_id"))
+
+  /** f02 — anchor discriminator: first 8 bytes of sha256("global:"+name)
+    * (svm_anchor_discriminator, orca_swaps.py:47,83). */
+  def f02Discriminator(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source")).distinct()
+      .select(col("source"),
+        substring(sha2(concat(lit("global:"), col("source")), 256), 1, 16)
+          .as("disc"))
+      .orderBy(col("source"))
+
+  /** f03 — keccak-256 event-signature topic0 (erc20_transfers.py:94).
+    * Rows-only: DuckDB has no keccak; FunctionsSpec pins the ERC-20
+    * Transfer topic0 vector. */
+  def f03KeccakTopic0(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("source")).distinct()
+      .select(col("source"),
+        lower(hex(keccak256(col("source").cast("binary")))).as("topic0"))
+      .orderBy(col("source"))
+
+  /** f04 — base58 encode∘decode round trip (base58_decode_string,
+    * orca_swaps.py:235-260). Oracle = identity projection of text. */
+  def f04Base58Roundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        base58_decode(base58_encode(col("text").cast("binary")))
+          .cast("string").as("text"))
+      .orderBy(col("doc_id"))
+
+  /** f05 — u256 32-byte BE binary codec round trip (erc20 amount
+    * Decimal256 decode). Oracle = direct decimal cast of the same long. */
+  def f05U256Roundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        u256_to_decimal(
+          u256_from_long(col("doc_id") * lit(1000000L) + col("n_chars")))
+          .as("amount"))
+      .orderBy(col("doc_id"))
+
+  val oracle: Map[String, String] = Map(
+    "f01_hex_encode" ->
+      """SELECT doc_id, hex(text) AS hx FROM documents ORDER BY doc_id""",
+    "f02_discriminator" ->
+      """SELECT source, substr(sha256('global:' || source), 1, 16) AS disc
+        |FROM (SELECT DISTINCT source FROM documents)
+        |ORDER BY source""".stripMargin,
+    "f04_base58" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    "f05_u256_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)) AS amount
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_hex_encode" -> (f01HexEncode _),
+    "f02_discriminator" -> (f02Discriminator _),
+    "f03_keccak_topic0" -> (f03KeccakTopic0 _),
+    "f04_base58" -> (f04Base58Roundtrip _),
+    "f05_u256_decode" -> (f05U256Roundtrip _)
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Base58, Keccak}
+
+/** Known-vector tests for the pure JVM implementations behind the custom
+  * Catalyst expressions. Vectors from the public Keccak/FIPS-202 spec, the
+  * ERC-20 standard, and the Bitcoin base58 reference vectors.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("keccak256 empty input") {
+    assert(hex(Keccak.hash256(Array.emptyByteArray)) ===
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+  }
+
+  test("keccak256 'abc'") {
+    assert(hex(Keccak.hash256("abc".getBytes("UTF-8"))) ===
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+  }
+
+  test("keccak256 ERC-20 Transfer topic0") {
+    assert(hex(Keccak.hash256(
+      "Transfer(address,address,uint256)".getBytes("UTF-8"))) ===
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+  }
+
+  test("sponge multi-block absorb vs SHA3-256 vectors (padding boundaries)") {
+    // Same sponge as keccak256, NIST padding; vectors from hashlib.sha3_256.
+    val want = Map(
+      0 -> "a7ffc6f8bf1ed76651c14756a061d662f580ff4de43b49fa82d80a4b80f8434a",
+      135 -> "8094bb53c44cfb1e67b7c30447f9a1c33696d2463ecc1d9c92538913392843c9",
+      136 -> "3fc5559f14db8e453a0a3091edbd2bc25e11528d81c66fa570a4efdcc2695ee1",
+      137 -> "f8d6846cedd2ccfadf15c5879ef95af724d799eed7391fb1c91f95344e738614",
+      272 -> "a490357b9b3fb39d0a89a117734e5b020b1f33c7bf3fa3575c396425432003d3")
+    want.foreach { case (n, h) =>
+      assert(hex(Keccak.sha3_256(Array.fill[Byte](n)('a'.toByte))) === h,
+        s"n=$n")
+    }
+  }
+
+  test("base58 bitcoin reference vectors") {
+    assert(Base58.encode("Hello World!".getBytes("UTF-8")) ===
+      "2NEpo7TZRRrLZSi2U")
+    assert(Base58.encode(
+      "The quick brown fox jumps over the lazy dog.".getBytes("UTF-8")) ===
+      "USm3fpXnKG5EUBx2ndxBDMPVciP5hGey2Jh4NDv6gmeo1LkMeiKrLJUUBk6Z")
+    // 0x287f = 10367 = 3*58^2 + 4*58 + 43 → "45k", plus two leading-zero '1's
+    assert(Base58.encode(Array[Byte](0x00, 0x00, 0x28, 0x7f.toByte)) ===
+      "1145k")
+  }
+
+  test("base58 edge cases") {
+    assert(Base58.encode(Array.emptyByteArray) === "")
+    assert(Base58.encode(Array[Byte](0)) === "1")
+    assert(Base58.decode("") sameElements Array.emptyByteArray)
+    assert(Base58.decode("1") sameElements Array[Byte](0))
+    assert(Base58.decode("0invalid") === null)  // 0 not in alphabet
+    assert(Base58.decode("I") === null)          // I not in alphabet
+  }
+
+  test("base58 roundtrip") {
+    val inputs = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0, 0, 0),
+      "graft".getBytes("UTF-8"),
+      Array.tabulate[Byte](64)(i => (i * 7 - 100).toByte))
+    inputs.foreach { in =>
+      assert(Base58.decode(Base58.encode(in)) sameElements in)
+    }
+  }
+
+  test("u256 long roundtrip") {
+    import graft.functions.ExprImpl
+    for (v <- Seq(0L, 1L, 255L, 256L, Long.MaxValue)) {
+      val bytes = ExprImpl.u256FromLong(v)
+      assert(bytes.length === 32)
+      assert(ExprImpl.u256ToDecimal(bytes).toBigDecimal === BigDecimal(v))
+    }
+    // unsigned interpretation of a negative long
+    val neg = ExprImpl.u256ToDecimal(ExprImpl.u256FromLong(-1L))
+    assert(neg.toBigDecimal === BigDecimal(2).pow(64) - 1)
+  }
+
+  test("u256 overflow to null past 38 digits") {
+    import graft.functions.ExprImpl
+    val big = Array.fill[Byte](32)(0xff.toByte) // 2^256-1: 78 digits
+    assert(ExprImpl.u256ToDecimal(big) === null)
+    val fits = new Array[Byte](32) // 10^38 - 1 fits exactly in 38 digits
+    val v = BigInt(10).pow(38) - 1
+    val vb = v.toByteArray
+    System.arraycopy(vb, 0, fits, 32 - vb.length, vb.length)
+    assert(ExprImpl.u256ToDecimal(fits).toBigDecimal === BigDecimal(v))
+  }
+
+  test("simhash64 deterministic and length-independent of order bias") {
+    import graft.functions.ExprImpl
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = ArrayData.toArrayData(Array(1L, 2L, 3L))
+    val b = ArrayData.toArrayData(Array(3L, 2L, 1L))
+    assert(ExprImpl.simhash64(a) === ExprImpl.simhash64(b)) // order-free
+    val single = ArrayData.toArrayData(Array(0x0f0f0f0fL))
+    assert(ExprImpl.simhash64(single) === 0x0f0f0f0fL) // majority of 1 = value
+  }
+}
