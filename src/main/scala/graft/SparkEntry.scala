@@ -8,10 +8,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.DomainFunctions.queries
+      operators.DomainFunctions.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-      operators.DomainFunctions.oracle
+      operators.DomainFunctions.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle ++
+      operators.Multimodal.oracle
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import java.math.BigInteger
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -38,6 +38,79 @@ object ExprImpl {
     val bi = new BigInteger(1, b)
     val d = new java.math.BigDecimal(bi)
     if (d.precision > 38) null else Decimal(d, 38, 0)
+  }
+
+  /** splitmix64 finalizer — the deterministic PRNG behind the minhash
+    * family and the LSH hyperplanes (seeded, reproducible across runs). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** k-permutation MinHash over pre-hashed shingles in ONE pass: the j-th
+    * hash family member is mix64(h ^ seed_j), so k minima cost one traversal
+    * of the shingle array instead of k (the built-in-functions formulation
+    * would rescan per seed — at 100 TB that k× matters).
+    */
+  def minhashes(hashes: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < k) {
+          val m = mix64(h ^ (j.toLong * 0xC2B2AE3D27D4EB4FL))
+          if (m < mins(j)) mins(j) = m
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** Sign-random-projection LSH: bit p of the signature is the sign of
+    * v · w_p where hyperplane w_p has deterministic ±1 weights derived from
+    * mix64(p, d). P(bit match) = 1 - angle/π → hamming distance on
+    * signatures estimates cosine similarity.
+    */
+  def lshSignBits(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((mix64(p.toLong * 1000003L + d) & 1L) == 0L) 1.0 else -1.0
+        acc += v.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (acc > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Cosine similarity over two float vectors, accumulated in double.
+    * Single fused loop (dot + both norms) — the hot inner kernel of the
+    * ANN/near-dup operators, codegen'd so it inlines into the join stage.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** SimHash over pre-hashed 64-bit token hashes: majority vote per bit. */
@@ -144,6 +217,55 @@ case class U256ToDecimal(child: Expression)
        """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): U256ToDecimal =
     copy(child = newChild)
+}
+
+/** minhashes(array<long>, k) → array<long>: k MinHash values in one pass
+  * (SURVEY.md d02/s02 — the LSH scale path for near-dup detection). */
+case class MinHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = true))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhashes"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.minhashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.minhashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
+/** lsh_sign_bits(array<float>, planes) → long signature for
+  * sign-random-projection ANN bucketing (SURVEY.md s02). */
+case class LshSignBits(child: Expression, planes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bits"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.lshSignBits(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.lshSignBits($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): LshSignBits =
+    copy(child = newChild)
+}
+
+/** cosine_similarity(array<float>, array<float>) → double; fused
+  * dot+norms loop, codegen'd (SURVEY.md s01/d05 hot kernel). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprImpl.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
 }
 
 /** simhash64(array<long>) → long: per-bit majority over token hashes.

@@ -18,4 +18,8 @@ package object functions {
   def u256_from_long(c: Column): Column = u(c)(U256FromLong)
   def u256_to_decimal(c: Column): Column = u(c)(U256ToDecimal)
   def simhash64(c: Column): Column      = u(c)(SimHash64)
+  def minhashes(c: Column, k: Int): Column = u(c)(MinHashes(_, k))
+  def lsh_sign_bits(c: Column, planes: Int): Column = u(c)(LshSignBits(_, planes))
+  def cosine_similarity(a: Column, b: Column): Column =
+    Interop.column(CosineSimilarity(Interop.expression(a), Interop.expression(b)))
 }

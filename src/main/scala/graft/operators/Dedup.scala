@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{minhashes, simhash64}
+import graft.sources.Tables
+
+/** Deduplication operators d01–d05 (SURVEY.md §2): exact + the three
+  * standard near-dup families (MinHash/LSH, SimHash, n-gram Jaccard) +
+  * embedding-cosine near-dup.
+  *
+  * Scale design (SURVEY.md §6): d01 is a single hash-shuffle groupBy with
+  * map-side partial aggregation. d02/d03 are the 100 TB paths — candidate
+  * generation via band-bucket equi-joins keeps the pair count ~linear in
+  * corpus size (no quadratic stage anywhere); the exact similarity check
+  * runs only on bucket-collision survivors. d04/d05 are the small-N exact
+  * baselines the LSH variants are validated against, bounded to a key
+  * subset so the quadratic stays a constant.
+  */
+object Dedup {
+
+  /** d01 — exact dedup: content-hash groupBy, keep lowest doc_id.
+    * One shuffle on the 128-bit hash; partial agg combines map-side. */
+  def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("h"))
+
+  /** 3-word shingle hash array for a text column (guarded for short docs). */
+  private def shingleHashes(text: Column): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => xxhash64(concat_ws(" ", slice(ws, i, lit(3))))))
+      .otherwise(array(xxhash64(text)))
+  }
+
+  /** d02 — MinHash+LSH near-dup. shingle→16 minhashes (one pass, custom
+    * codegen'd expression)→4 bands of 4→bucket equi-join→exact Jaccard on
+    * survivors. The only shuffle is the band-bucket join; candidate pairs
+    * stay ~linear because only same-bucket docs ever meet. Rows-only
+    * (DedupSpec pins recall on planted near-dups).
+    */
+  def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashes(col("sh"), 16).as("mh"))
+    val bands = docs.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
+        .as(Seq("band", "bucket")))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("a", "b")
+    pairs
+      .select(col("a"), col("b"),
+        (size(array_intersect(array_distinct(col("sha")), array_distinct(col("shb"))))
+          .cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** d03 — SimHash near-dup: 64-bit per-token-majority signature, bucketed
+    * by 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one band
+    * collides — no candidate is missed), verified with bit_count(xor) ≤ 3.
+    * Rows-only (DedupSpec pins the signature math + recall).
+    */
+  def d03DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
+          .as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 to 3).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** d04 — exact n-gram Jaccard over a bounded subset (doc_id < 200): the
+    * quadratic ground-truth baseline d02 is validated against. Jaccard is a
+    * ratio of integer set sizes → exact rationals, so the τ filter is
+    * engine-safe (DuckDB oracle mirrors the shingling with list
+    * comprehensions).
+    */
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val docs = Tables(spark, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i, lit(3))))).as("sh"))
+    docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.01)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** d05 — embedding-cosine near-dup over all pairs (exact baseline; the
+    * scale path is s02's LSH bucketing). Cosine accumulates in double via
+    * the codegen'd CosineSimilarity kernel; τ=0.35 is calibrated to the
+    * synthetic embedding distribution (max pair ≈ 0.51).
+    */
+  def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+        graft.functions.cosine_similarity(col("a.embedding"), col("b.embedding"))
+          .as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "d04_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ')
+        |      for i in range(1, len(ws)-1)]) AS s
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(string_split(text,' ')) >= 3
+        |               THEN string_split(text,' ') ELSE [text] END AS ws
+        |        FROM documents WHERE doc_id < 200))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
+        |ORDER BY a, b""".stripMargin,
+    "d05_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        |ORDER BY a, b""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> (d01DedupExact _),
+    "d02_dedup_minhash" -> (d02DedupMinhash _),
+    "d03_dedup_simhash" -> (d03DedupSimhash _),
+    "d04_ngram_jaccard" -> (d04NgramJaccard _),
+    "d05_dedup_embedding" -> (d05DedupEmbedding _)
+  )
+}

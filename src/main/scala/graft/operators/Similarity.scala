@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_similarity, lsh_sign_bits}
+import graft.sources.Tables
+
+/** Similarity-search operators s01–s02 (SURVEY.md §2): ANN over the
+  * embeddings table.
+  *
+  * s01 is the exact brute-force baseline: broadcast the (small) query set
+  * against the full corpus — O(Q·N) with Q bounded, one pass over the
+  * corpus, no shuffle of the big side. s02 is the scale path:
+  * sign-random-projection LSH buckets the corpus so each query only meets
+  * same-bucket candidates — candidate count ~N/2^bits per band instead
+  * of N. At 100 TB the corpus-side scan partitions by bucket and the
+  * band join is an equi-join AQE can plan.
+  */
+object Similarity {
+
+  /** s01 — brute-force cosine top-k (k=5) for query vectors vec_id < 10.
+    * The query side is broadcast (bounded), so the corpus scan never
+    * shuffles; ranking is a window over the per-query candidate rows with
+    * a deterministic (cos DESC, neighbor id) tiebreak.
+    */
+  def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(q)
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .select(col("qid"), col("nid"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** s02 — LSH-bucketed ANN: 16-bit sign-random-projection signature,
+    * 4 bands of 4 bits; query meets only candidates sharing a band bucket,
+    * then exact cosine re-ranks survivors. Same query/k contract as s01 so
+    * SimilaritySpec can measure recall of the approximate path against the
+    * exact one. Rows-only (hash-family op).
+    */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        lsh_sign_bits(col("embedding"), 16).as("sig"))
+    def bands(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
+        posexplode(array((0 to 3).map(b =>
+          shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*))
+          .as(Seq("band", "bucket")))
+    val q = bands(e.filter(col("vec_id") < 10), "qid", "qe")
+    val n = bands(e, "nid", "ne")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(q.as("q"))
+      .join(n.as("n"),
+        col("q.band") === col("n.band") && col("q.bucket") === col("n.bucket") &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"))
+      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("nid"),
+        cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .select(col("qid"), col("nid"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |  q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+        |  scored AS (
+        |    SELECT qid, e.vec_id AS nid,
+        |      list_cosine_similarity(qe, e.emb) AS cos
+        |    FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+        |  ranked AS (
+        |    SELECT qid, nid, cos,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |    FROM scored)
+        |SELECT qid, nid, rnk, round(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> (s01AnnBruteforce _),
+    "s02_ann_lsh" -> (s02AnnLsh _)
+  )
+}

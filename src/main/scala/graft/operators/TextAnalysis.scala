@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators t01–t04 (SURVEY.md §2): the per-document scoring
+  * passes a training-data pipeline runs before filtering/dedup. All four are
+  * pure narrow projections over the documents scan — no shuffle, fully
+  * inside whole-stage codegen, embarrassingly parallel at any scale.
+  *
+  * Oracle notes (SURVEY.md §5): t02/t03 use only integer counts and
+  * IEEE-deterministic double arithmetic mirrored verbatim in the DuckDB SQL;
+  * t01/t04 are heuristic/hash ops with no DuckDB twin → rows-only +
+  * ScalaTest specs on crafted inputs.
+  */
+object TextAnalysis {
+
+  private val doc = "documents"
+
+  /** Stopword profiles for the language-ID heuristic. Tiny on purpose:
+    * they broadcast as literals inside the codegen'd filter lambda. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "ich", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas")
+  )
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  private def stopHits(ws: Column, lang: String): Column = {
+    val set = array(stopwords(lang).map(lit): _*)
+    size(filter(ws, w => array_contains(set, w)))
+  }
+
+  /** t01 — language ID via stopword-profile argmax. array_max over
+    * (score, lang) structs picks the best-scoring language with a
+    * deterministic alphabetical tiebreak; zero hits → 'unknown'.
+    * Rows-only: the heuristic itself is pinned by TextAnalysisSpec on
+    * real en/de/es/fr sentences.
+    */
+  def t01LangId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val scored = array(stopwords.keys.toSeq.sorted.map { lang =>
+      struct(stopHits(ws, lang).as("score"), lit(lang).as("lang"))
+    }: _*)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), array_max(scored).as("best"))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("unknown"))
+          .as("lang_pred"),
+        col("best.score").as("stop_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t02 — quality score from length / word-shape / stopword-density
+    * signals (the C4/Gopher-style quality-filter shape). Formula mirrored
+    * verbatim in the DuckDB oracle; all terms are exact-rational or
+    * single-rounded doubles so both engines agree bitwise.
+    */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+        size(ws).as("n_words"), stopHits(ws, "en").as("stop_cnt"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_words"), col("stop_cnt"),
+        (col("n_chars_m").cast("double") / col("n_words")).as("avg_wlen"),
+        (lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 120.0) +
+          lit(0.3) * when(
+            (col("n_chars_m").cast("double") / col("n_words")) >= 3.0 &&
+              (col("n_chars_m").cast("double") / col("n_words")) <= 8.0,
+            1.0).otherwise(0.0) +
+          lit(0.3) * least(lit(1.0),
+            col("stop_cnt").cast("double") / col("n_words") * 5.0))
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03 — token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (runs of letters / runs of digits / single other symbols — the
+    * pre-tokenization split GPT-2-style BPE applies before merges).
+    */
+  def t03TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** t04 — document fingerprint: min/max sampling over rolling 4-word
+    * shingle hashes (the winnowing-style content fingerprint used for
+    * crawl-level dedup). xxhash64's fixed seed keeps it reproducible.
+    * Rows-only: spec pins shift-invariance (same shingles → same
+    * fingerprint) and mutation sensitivity.
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val shingleHashes = when(size(ws) >= 4,
+      transform(sequence(lit(1), size(ws) - 3),
+        i => xxhash64(concat_ws(" ", slice(ws, i, lit(4))))))
+      .otherwise(array(xxhash64(col("text"))))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), shingleHashes.as("sh"))
+      .select(col("doc_id"), array_min(col("sh")).as("fp_min"),
+        array_max(col("sh")).as("fp_max"), size(col("sh")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t02_quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        |  len(string_split(text,' ')) AS n_words,
+        |  len(list_filter(string_split(lower(text),' '),
+        |    w -> w IN ('the','a','of','and','to','is','in','it','you','that')))
+        |    AS stop_cnt,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS avg_wlen,
+        |  0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 120.0)
+        |  + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split(text,' '))
+        |      BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+        |  + 0.3 * least(1.0,
+        |      CAST(len(list_filter(string_split(lower(text),' '),
+        |        w -> w IN ('the','a','of','and','to','is','in','it','you','that')))
+        |        AS DOUBLE) / len(string_split(text,' ')) * 5.0) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_id" -> (t01LangId _),
+    "t02_quality_score" -> (t02QualityScore _),
+    "t03_token_count" -> (t03TokenCount _),
+    "t04_fingerprint" -> (t04Fingerprint _)
+  )
+}
