@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavior specs for the LLM-training-data operators (SURVEY.md §2
+  * d/s/t/m): recall on planted near-duplicates, language-ID on real
+  * sentences, fingerprint invariance, ANN recall of the LSH path against
+  * the exact path, and the multimodal schema/stat contract. Planted cases
+  * run against a temp table dir so the full loader→operator path is what's
+  * under test.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val sfDir = SparkSessionFixture.sfDir
+
+  /** Write a documents.parquet with the driver's schema into a temp dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-docs").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val data = rows.map { case (id, text) =>
+      Row(id, text, "en", "srcT", text.length.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val vocabA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two three four".split(" ")
+  private val baseText = vocabA.mkString(" ")                  // 30 words
+  private val nearDup = (vocabA.updated(14, "CHANGED")).mkString(" ")
+  private val unrelated = (1 to 30).map(i => s"w$i").mkString(" ")
+
+  test("d02 minhash-LSH finds exact and near duplicates, skips unrelated") {
+    val dir = docsDir(Seq(
+      0L -> baseText, 1L -> baseText, 2L -> nearDup, 3L -> unrelated))
+    val pairs = Dedup.d02DedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must collide and pass tau")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "one-word mutation keeps 3-gram jaccard ~0.8 >= 0.6")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("d03 simhash pairs exact duplicates at hamming 0") {
+    val dir = docsDir(Seq(0L -> baseText, 1L -> baseText, 2L -> unrelated))
+    val rows = Dedup.d03DedupSimhash(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+    assert(rows.head.getInt(2) === 0, "identical text → identical signature")
+  }
+
+  test("d04 exact jaccard agrees with hand computation on the planted pair") {
+    val dir = docsDir(Seq(0L -> baseText, 1L -> nearDup, 2L -> unrelated))
+    val byPair = Dedup.d04NgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 30 words → 28 distinct shingles; a word-14 mutation replaces 3 of
+    // them → |∩|=25, |∪|=31.
+    assert(math.abs(byPair((0L, 1L)) - 25.0 / 31.0) < 1e-12)
+    assert(!byPair.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("t01 language ID picks the stopword-dominant language") {
+    val dir = docsDir(Seq(
+      0L -> "the cat sat on the mat and it is happy you see that",
+      1L -> "der hund ist nicht zu haus und ich bin mit dem auto",
+      2L -> "el perro y el gato de la casa que corre por los campos con una bola",
+      3L -> "le chien est dans la maison pour les enfants et pas une fois",
+      4L -> "qwerty zxcvb asdfgh"))
+    val got = TextAnalysis.t01LangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "en", 1L -> "de", 2L -> "es", 3L -> "fr",
+      4L -> "unknown"))
+  }
+
+  test("t04 fingerprint is content-determined and content-sensitive") {
+    val dir = docsDir(Seq(0L -> baseText, 1L -> baseText, 2L -> unrelated))
+    val rows = TextAnalysis.t04Fingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === rows(1L), "same content → same fingerprint")
+    // A small mutation may keep the min/max sample (that robustness is the
+    // point of min-sampling); disjoint content must not.
+    assert(rows(0L) !== rows(2L), "disjoint content → different fingerprint")
+  }
+
+  test("s02 LSH ANN returns well-formed top-k with usable recall vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.s02AnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet === (0L until 10L).toSet)
+    val hits = exact.keys.map(q =>
+      (exact(q) intersect approx.getOrElse(q, Set.empty)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.2, s"LSH recall@5 too low: $recall")
+  }
+
+  test("m01 multimodal decode stub: schema contract and byte stats") {
+    val df = Multimodal.m01MultimodalMeta(spark, sfDir)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("doc_id", "width", "height", "format", "n_bytes", "mean_byte",
+        "head_hex"))
+    val first = df.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .collect().head
+    val text = graft.sources.Tables(spark, sfDir).documents
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .collect().head.getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    assert(first.getAs[Int]("n_bytes") === bytes.length)
+    assert(math.abs(first.getAs[Double]("mean_byte") -
+      bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-12)
+    assert(first.getAs[String]("head_hex") ===
+      bytes.take(4).map(b => f"${b & 0xff}%02x").mkString)
+  }
+
+  test("cosine kernel: identical vectors → 1.0, orthogonal → 0.0") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.ExprImpl
+    val a = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    assert(math.abs(ExprImpl.cosineSim(a, a) - 1.0) < 1e-12)
+    val x = ArrayData.toArrayData(Array(1.0f, 0.0f))
+    val y = ArrayData.toArrayData(Array(0.0f, 1.0f))
+    assert(ExprImpl.cosineSim(x, y) === 0.0)
+    val zero = ArrayData.toArrayData(Array(0.0f, 0.0f))
+    assert(ExprImpl.cosineSim(x, zero) === 0.0)
+  }
+
+  test("minhash: deterministic, order-free, and jaccard-correlated") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.ExprImpl
+    def mh(xs: Array[Long]): Seq[Long] = {
+      val a = ExprImpl.minhashes(ArrayData.toArrayData(xs), 16)
+      (0 until 16).map(a.getLong)
+    }
+    val s1 = (1L to 100L).toArray
+    assert(mh(s1) === mh(s1.reverse))
+    val s2 = (1L to 95L).toArray ++ Array(201L, 202L, 203L, 204L, 205L)
+    val agree = mh(s1).zip(mh(s2)).count { case (a, b) => a == b }
+    assert(agree >= 8, s"jaccard 0.90 should keep most minima equal: $agree")
+    val far = mh((1000L to 1100L).toArray)
+    assert(mh(s1).zip(far).count { case (a, b) => a == b } <= 4)
+  }
+}
