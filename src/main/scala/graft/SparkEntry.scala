@@ -12,7 +12,10 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      streaming.EventStreams.queries ++
+      sinks.Writers.queries ++
+      pipeline.Incremental.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +24,8 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      streaming.EventStreams.oracle ++
+      sinks.Writers.oracle ++
+      pipeline.Incremental.oracle
 }

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k03 — Pipeline/Step composition + incremental resume (SURVEY.md §2).
+  *
+  * The reference's run loop (cherry cc.Pipeline of cc.Steps, driven by
+  * scripts/main.py) processes half-open block ranges and resumes from
+  * `MAX(block)+1` read back from the sink
+  * (/root/reference/src/cherry_pipelines/db.py:30-45 get_next_block).
+  * Spark-first: a Step is just DataFrame → DataFrame (so Catalyst fuses the
+  * whole chain into one plan — steps are *logical* structure, not physical
+  * stages), and the resume point is one agg over the sink's own parquet.
+  *
+  * At scale the resume agg is cheap: with k01's layout the sink is
+  * partitioned, and max(key) over parquet reads row-group statistics, not
+  * data. Each increment appends new files only — no rewrite of history,
+  * exactly the MergeTree-insert semantics the reference relies on.
+  */
+object Incremental {
+
+  final case class Step(name: String, f: DataFrame => DataFrame)
+
+  final case class Pipeline(steps: Seq[Step]) {
+    def run(in: DataFrame): DataFrame = steps.foldLeft(in)((d, s) => s.f(d))
+  }
+
+  /** MAX(key)+1 over the existing sink; `from` (default 0) when the sink
+    * doesn't exist yet — db.py:30-45's contract.
+    */
+  def nextStart(spark: SparkSession, sinkPath: String, keyCol: String,
+      from: Long = 0L): Long =
+    try {
+      val r = spark.read.parquet(sinkPath).agg(max(col(keyCol))).head
+      if (r.isNullAt(0)) from else r.getLong(0) + 1L
+    } catch { case _: Exception => from } // sink absent → first run
+
+  /** One incremental tick: keep only source rows at/after the resume point,
+    * run the pipeline, append to the sink. Mirrors the reference loop body
+    * (swap_prices.py:59-116): read [start, tip], transform, insert.
+    */
+  def runIncrement(source: DataFrame, sinkPath: String, keyCol: String,
+      pipeline: Pipeline): Long = {
+    val start = nextStart(source.sparkSession, sinkPath, keyCol)
+    val batch = pipeline.run(source.filter(col(keyCol) >= start))
+    batch.write.mode("append").parquet(sinkPath)
+    start
+  }
+
+  // ---- driver-verified query entry ----
+
+  /** k03 as a query: two incremental ticks against a fresh sink — first a
+    * partial source (the "yesterday" run), then the full source (today's
+    * tick appends only the new keys). The oracle is the one-shot batch
+    * answer: incremental ∘ resume must equal batch — the invariant the
+    * whole reference architecture rests on.
+    */
+  def k03Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val sink = Files.createTempDirectory("graft_k03_").toString + "/sink"
+    val pipe = Pipeline(Seq(
+      Step("project", _.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))),
+      Step("boost", _.withColumn("boosted", col("value") * 2.0)),
+      Step("drop_raw", _.drop("value"))))
+    runIncrement(events.filter(col("event_id") < 500), sink, "event_id", pipe)
+    runIncrement(events, sink, "event_id", pipe)
+    spark.read.parquet(sink).orderBy(col("event_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "k03_pipeline" ->
+      """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k03_pipeline" -> (k03Pipeline _)
+  )
+}

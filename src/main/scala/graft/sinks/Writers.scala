@@ -1,0 +1,102 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators k01–k02 (SURVEY.md §2): the ClickHouse writer contract
+  * re-expressed on Spark-native sinks.
+  *
+  * The reference's sink is a MergeTree table: `PARTITION BY` a low-card
+  * expression, `ORDER BY` a sort key that gives minmax-index file skipping
+  * (see /root/reference DDLs under src/cherry_pipelines, e.g.
+  * evm/erc20_transfers.py:127-149 init_db). The parquet analog (k01) is
+  * `partitionBy(partition cols)` + `sortWithinPartitions(sort key)`:
+  * readers get directory-level partition pruning plus parquet row-group
+  * minmax pruning on the sort key — the same two levels of skipping.
+  */
+object Writers {
+
+  /** k01 — partitioned + sorted parquet (MergeTree PARTITION BY/ORDER BY
+    * analog). One `repartition(partCols)` shuffle co-locates each output
+    * partition so every (partition value) writes few large files instead of
+    * numTasks small ones — at 100 TB that's the difference between a
+    * readable table and a small-files incident. maxRecordsPerFile bounds
+    * file size for downstream parallelism.
+    */
+  def partitionedSortedParquet(df: DataFrame, path: String,
+      partCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
+  /** k02 — JDBC batch sink (ClickHouse writer analog,
+    * cc.ClickHouseWriterConfig in the reference pipelines). Pure
+    * config→writer plumbing: batched inserts, bounded write parallelism
+    * (ClickHouse prefers few large inserts), no transaction isolation
+    * (MergeTree has none). Actual connectivity needs a live DB + driver jar,
+    * so `write` is exercised in tests only up to option resolution.
+    */
+  final case class JdbcSink(url: String, table: String,
+      user: String = "default", password: String = "",
+      batchSize: Int = 100000, numPartitions: Int = 8) {
+    def options: Map[String, String] = Map(
+      "url" -> url, "dbtable" -> table,
+      "user" -> user, "password" -> password,
+      "batchsize" -> batchSize.toString,
+      "numPartitions" -> numPartitions.toString,
+      "isolationLevel" -> "NONE",
+      "truncate" -> "true")
+
+    def write(df: DataFrame): Unit =
+      df.coalesce(numPartitions).write.format("jdbc")
+        .options(options).mode("append").save()
+  }
+
+  // ---- driver-verified query entries ----
+
+  /** k01 as a round-trip query: write orders MergeTree-style (partition by
+    * priority, order by date+key), read the layout back. The oracle checks
+    * the round trip is lossless; SinksSpec checks the physical layout
+    * (directories per partition value, sorted row groups).
+    */
+  def k01ParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_k01_").toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "o_orderdate")
+    partitionedSortedParquet(orders, out,
+      partCols = Seq("o_orderpriority"),
+      sortCols = Seq("o_orderdate", "o_orderkey"))
+    spark.read.parquet(out)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        "o_orderdate")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** k02 as a rows-only query: resolved sink options for the reference's
+    * ClickHouse target, as inspectable rows (no live DB in the harness).
+    */
+  def k02JdbcSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    JdbcSink("jdbc:clickhouse://localhost:8123/default", "erc20_transfers")
+      .options.toSeq.sortBy(_._1).toDF("option", "value")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "k01_parquet_sink" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |  o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k01_parquet_sink" -> (k01ParquetSink _),
+    "k02_jdbc_sink" -> (k02JdbcSink _)
+  )
+}

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming operators st01–st02 (SURVEY.md §2).
+  *
+  * The reference's ingest loop is a continuous tip-follow: cherry providers
+  * stream block batches and each pipeline incrementally folds them into the
+  * sink (see /root/reference/src/cherry_pipelines/svm/swap_prices.py:59-116
+  * batched read loop, and db.py resume semantics). Spark-first that is
+  * `readStream → event-time transforms → writeStream`, with watermarks
+  * bounding state instead of the reference's explicit batch bookkeeping.
+  *
+  * Both operators are expressed as a *transform on an unbounded DataFrame*
+  * (`windowedAgg`, `sessionize`) so the identical code runs over a
+  * MemoryStream in tests, a file stream in the driver-verified queries
+  * below, and a Kafka/file stream on a real cluster. At 100 TB-equivalent
+  * event rates the shape holds: the window agg is a streaming partial
+  * aggregation (state keyed by (window, event_type), bounded by the
+  * watermark); sessionization shuffles once on user_id and keeps one small
+  * state row per user, dropped on event-time timeout.
+  */
+object EventStreams {
+
+  /** st01 — tumbling event-time window aggregate with a watermark: the
+    * streaming twin of Relational.q20TimeBucket (same day buckets, same
+    * decimal-exact sums, so the batch oracle verifies the streaming run).
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Session fold: events sorted by (event time, id); a gap > gapUs opens a
+    * new session. State is one row per user — at cluster scale this is the
+    * canonical mapGroupsWithState shape: shuffle once on user_id, state
+    * store holds O(active users), not O(events).
+    */
+  def updateSessions(gapUs: Long)(
+      userId: Long, evs: Iterator[Ev],
+      state: GroupState[SessionState]): UserSessions = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+    sorted.foreach { e =>
+      val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+      st = SessionState(e.ts_us, st.nSessions + (if (fresh) 1L else 0L),
+        st.nEvents + 1L)
+    }
+    state.update(st)
+    UserSessions(userId, st.nEvents, st.nSessions)
+  }
+
+  /** st02 — stateful sessionization via mapGroupsWithState (30-min gap). */
+  def sessionize(events: Dataset[Ev], gapUs: Long = 1800L * 1000000L)
+      : Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateSessions(gapUs))
+  }
+
+  // ---- driver-verified query entries (file stream → memory sink) ----
+
+  private val memId = new AtomicInteger(0)
+
+  /** events.parquet as a *streaming* source; same nanos→µs normalization as
+    * sources.Tables (the file carries TIMESTAMP(NANOS) which Spark's reader
+    * only exposes as long).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file streams need a directory source; the glob filter scopes it to
+    // the events table (the driver's sf dirs hold one file per table)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming transform to completion over the (finite) file source
+    * and hand back the materialized result. Complete/Update + memory sink
+    * keeps finite-source runs deterministic (append mode would hold the
+    * last watermark window open).
+    */
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${memId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  def st01StreamWindow(spark: SparkSession, dir: String): DataFrame =
+    runToTable(windowedAgg(eventsStream(spark, dir)), "complete")
+      .orderBy(col("day"), col("event_type"))
+
+  def st02StreamState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+    runToTable(sessionize(evs).toDF(), "update")
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracles are plain batch SQL over the same table — valid because the
+    * streaming run drains the finite source, so its final state equals the
+    * batch answer (exactly the resume invariant the reference's incremental
+    * loop relies on).
+    */
+  val oracle: Map[String, String] = Map(
+    "st01_stream_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "st02_stream_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
+        |        AND us - prev > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_sessions
+        |FROM (SELECT user_id, epoch_us(ts) AS us,
+        |        LAG(epoch_us(ts)) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_window" -> (st01StreamWindow _),
+    "st02_stream_state" -> (st02StreamState _)
+  )
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Incremental
+import graft.sinks.Writers
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Streaming (st01/st02), sink (k01/k02), and pipeline (k03) specs.
+  *
+  * Streaming tests drive the SAME transforms the driver-verified queries
+  * use, but over a MemoryStream across multiple micro-batches — proving the
+  * state actually carries between batches (the part a single-batch file run
+  * can't show).
+  */
+class StreamingSinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val sfDir = SparkSessionFixture.sfDir
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("st01 windowed agg across micro-batches: counts and sums fold in") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedAgg(events)
+      .writeStream.format("memory").queryName("st01_test")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts("2024-01-01 01:00:00"), "click", 1.0),
+        (ts("2024-01-01 09:00:00"), "click", 2.0),
+        (ts("2024-01-02 03:00:00"), "view", 5.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 23:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("st01_test")
+        .orderBy("day", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+      // second batch folded into the already-open day-1 click window
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 00:00:00.0", "click", 3L, 7.0),
+        ("2024-01-02 00:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("st02 sessionization state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("st02_test")
+      .outputMode("update").start()
+    try {
+      val h = 3600L * 1000000L // one hour in µs
+      // batch 1: user 1 two close events (one session); user 2 one event
+      in.addData(Ev(1L, 10L, 0L), Ev(1L, 11L, h / 6), Ev(2L, 20L, 0L))
+      q.processAllAvailable()
+      // batch 2: user 1 returns 2h later → must open a SECOND session,
+      // which only works if the state row survived batch 1
+      in.addData(Ev(1L, 12L, 2 * h))
+      q.processAllAvailable()
+      val last = spark.table("st02_test").groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.n_sessions"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(last === Set((1L, 3L, 2L), (2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("st02 file-stream query equals the batch lag/gap computation") {
+    val got = EventStreams.st02StreamState(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = spark.sql(
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
+         |        AND us - prev > 1800000000 THEN 1 ELSE 0 END), 0)
+         |    AS n_sessions
+         |FROM (SELECT user_id, unix_micros(ts) AS us,
+         |        LAG(unix_micros(ts)) OVER (
+         |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM ${eventsView()})
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  private def eventsView(): String = {
+    graft.sources.Tables(spark, sfDir).events.createOrReplaceTempView("ev_tmp")
+    "ev_tmp"
+  }
+
+  test("k01 layout: one directory per partition value, rows sorted in-file") {
+    val out = Files.createTempDirectory("k01_spec_").toString
+    val orders = graft.sources.Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    Writers.partitionedSortedParquet(orders, out,
+      Seq("o_orderpriority"), Seq("o_orderdate", "o_orderkey"))
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("o_orderpriority=")))
+    // every physical file individually sorted by the sort key
+    val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select(col("o_orderdate").cast("string"), col("o_orderkey"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq === rows.toSeq.sorted, s"unsorted file ${f.getName}")
+    }
+    // round trip is lossless
+    assert(spark.read.parquet(out).count() === orders.count())
+  }
+
+  test("k02 jdbc sink resolves ClickHouse-appropriate writer options") {
+    val o = Writers.JdbcSink("jdbc:clickhouse://ch:8123/db", "t",
+      batchSize = 50000, numPartitions = 4).options
+    assert(o("isolationLevel") === "NONE") // MergeTree has no txns
+    assert(o("batchsize") === "50000")
+    assert(o("numPartitions") === "4")
+    assert(o("truncate") === "true")
+    assert(o("dbtable") === "t")
+  }
+
+  test("k03 incremental ∘ resume equals one-shot batch") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
+    val src = (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
+    val pipe = Incremental.Pipeline(Seq(
+      Incremental.Step("t", _.withColumn("v3", col("v") * 3))))
+    assert(Incremental.nextStart(spark, sink, "k") === 0L)
+    assert(Incremental.runIncrement(src.filter(col("k") < 40), sink, "k",
+      pipe) === 0L)
+    assert(Incremental.nextStart(spark, sink, "k") === 40L)
+    // second tick resumes at 40 and appends ONLY the new keys
+    assert(Incremental.runIncrement(src, sink, "k", pipe) === 40L)
+    val got = spark.read.parquet(sink).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 100)
+    assert(got.toSeq === (0L until 100L).map(i => (i, i * 2, i * 6)))
+  }
+}
