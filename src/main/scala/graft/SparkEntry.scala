@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Pipelines.queries ++
       streaming.EventStreams.queries ++
       sinks.Writers.queries ++
       pipeline.Incremental.queries
@@ -25,6 +26,7 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
+      operators.Pipelines.oracle ++
       streaming.EventStreams.oracle ++
       sinks.Writers.oracle ++
       pipeline.Incremental.oracle

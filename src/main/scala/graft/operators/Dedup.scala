@@ -28,14 +28,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("h"))
 
-  /** 3-word shingle hash array for a text column (guarded for short docs). */
-  private def shingleHashes(text: Column): Column = {
-    val ws = split(text, " ")
+  /** 3-word shingle hash array over a PRE-SPLIT word-array column.
+    * The split must be materialized by the caller: an expression inside a
+    * transform() lambda is re-evaluated per element, so splitting in here
+    * would make shingling O(words²) per document.
+    */
+  private def shingleHashes(ws: Column, text: Column): Column =
     when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2),
         i => xxhash64(concat_ws(" ", slice(ws, i, lit(3))))))
       .otherwise(array(xxhash64(text)))
-  }
 
   /** d02 — MinHash+LSH near-dup. shingle→16 minhashes (one pass, custom
     * codegen'd expression)→4 bands of 4→bucket equi-join→exact Jaccard on
@@ -45,7 +47,8 @@ object Dedup {
     */
   def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), shingleHashes(col("ws"), col("text")).as("sh"))
       .select(col("doc_id"), col("sh"), minhashes(col("sh"), 16).as("mh"))
     val bands = docs.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -101,9 +104,10 @@ object Dedup {
     * comprehensions).
     */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = col("ws") // pre-split — see shingleHashes note
     val docs = Tables(spark, dir).documents
       .filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(1), size(ws) - 2),
           i => concat_ws(" ", slice(ws, i, lit(3))))).as("sh"))

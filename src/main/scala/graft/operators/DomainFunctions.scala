@@ -45,12 +45,16 @@ object DomainFunctions {
       .orderBy(col("source"))
 
   /** f04 — base58 encode∘decode round trip (base58_decode_string,
-    * orca_swaps.py:235-260). Oracle = identity projection of text. */
+    * orca_swaps.py:235-260). Operates on a 32-byte digest — the same width
+    * as the Solana pubkeys the reference encodes; base conversion is
+    * O(bytes²), so whole-document inputs would be quadratic for no
+    * fidelity gain. Oracle = sha256 identity on the other side of the
+    * round trip. */
   def f04Base58Roundtrip(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        base58_decode(base58_encode(col("text").cast("binary")))
-          .cast("string").as("text"))
+        lower(hex(base58_decode(base58_encode(
+          unhex(sha2(col("text").cast("binary"), 256)))))).as("h"))
       .orderBy(col("doc_id"))
 
   /** f05 — u256 32-byte BE binary codec round trip (erc20 amount
@@ -71,7 +75,7 @@ object DomainFunctions {
         |FROM (SELECT DISTINCT source FROM documents)
         |ORDER BY source""".stripMargin,
     "f04_base58" ->
-      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+      """SELECT doc_id, sha256(text) AS h FROM documents ORDER BY doc_id""",
     "f05_u256_decode" ->
       """SELECT doc_id,
         |  CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)) AS amount

@@ -62,9 +62,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val oracle: Map[String, String] = Map.empty
+  /** m02 — frame sampling: chunk the payload into fixed-size "frames" and
+    * keep every 2nd one (the video frame-sample shape: a decoder would
+    * emit frames; sampling cuts downstream cost before feature
+    * extraction). Pure generate+project — no shuffle, scales linearly; the
+    * per-frame md5 gives the DuckDB oracle an exact twin. Frames are
+    * 64-char windows over the (all-ASCII) document text so bytes == chars
+    * on both engines.
+    */
+  def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nLast = floor((length(col("text")) - 1) / 64).cast("int")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nLast),
+          i => substr(col("text"), i * 64 + 1, lit(64))))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame").cast("binary")).as("frame_md5"),
+        length(col("frame")).as("n_chars_f"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "m02_frame_sample" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text)-1)/64) AS BIGINT) + 1))
+        |      AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  md5(substring(text, CAST(frame_idx*64 + 1 AS INT), 64)) AS frame_md5,
+        |  length(substring(text, CAST(frame_idx*64 + 1 AS INT), 64))
+        |    AS n_chars_f
+        |FROM idx WHERE frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_multimodal_meta" -> (m01MultimodalMeta _)
+    "m01_multimodal_meta" -> (m01MultimodalMeta _),
+    "m02_frame_sample" -> (m02FrameSample _)
   )
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** End-to-end pipeline twins p01–p02: the reference's two flagship
+  * pipelines re-expressed as single composed Spark plans over the test
+  * tables — not isolated operator shapes (q01–q20 cover those) but the
+  * full decode→normalize→match→enrich→aggregate chains a reference user
+  * actually runs.
+  *
+  * Because each stage is declarative, Catalyst fuses the whole pipeline
+  * into one optimized plan: filters reach the scan, the two window stages
+  * share one hash-partition-by-user exchange, and the derived dictionary
+  * join broadcasts. The reference executes these as 5-6 separate
+  * materialized dataframe steps; here the engine sees the whole program.
+  */
+object Pipelines {
+
+  /** p01 — orca_swaps twin (/root/reference/src/cherry_pipelines/svm/
+    * orca_swaps.py): decode two instruction variants to a common schema and
+    * union (py:293-345), drop memo-style rows (py:234-237), match each swap
+    * to its adjacent transfer at the next instruction index (py:402-436 —
+    * here a lead() window, one shuffle instead of a self-join), remap
+    * in/out by direction (py:373-400), then enrich from a derived
+    * dictionary (token_decimals analog) via broadcast and aggregate per
+    * user with a decimal-exact sum.
+    */
+  def p01SwapsPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    // stage 1: variant decode + union
+    val v1 = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("amount"), lit("v1").as("variant"))
+    val v2 = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("double").as("amount"),
+        lit("v2").as("variant"))
+    val swaps = v1.unionByName(v2)
+    // stage 2: adjacency — the "transfer" is the user's next decoded event
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val matched = swaps
+      .select(col("*"), lead(col("amount"), 1).over(w).as("next_amount"),
+        lead(col("variant"), 1).over(w).as("next_variant"))
+      .filter(col("next_amount").isNotNull)
+    // stage 3: direction-dependent in/out remap
+    val aToB = col("variant") === "v1"
+    val directed = matched.select(col("event_id"), col("user_id"),
+      when(aToB, col("amount")).otherwise(col("next_amount")).as("in_amount"),
+      when(aToB, col("next_amount")).otherwise(col("amount")).as("out_amount"))
+    // stage 4: derived per-user dictionary (token_decimals shape) broadcast
+    // back onto the fact — tiny even at 100 TB (one row per user/mint)
+    val dict = swaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_swaps"))
+    directed
+      .join(broadcast(dict), Seq("user_id"))
+      .groupBy(col("user_id"), col("n_swaps"))
+      .agg(sum(col("in_amount").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_in"),
+        sum(col("out_amount").cast(DecimalType(38, 6))).cast("double")
+          .as("sum_out"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("user_id"))
+  }
+
+  /** p02 — swap_prices twin (/root/reference/src/cherry_pipelines/svm/
+    * swap_prices.py:59-317): trailing range-window aggregation per key
+    * (py:189-218, the 20-slot VWAP — here RANGE BETWEEN, linear scan after
+    * one shuffle instead of the reference's O(n·w) join_where), post-window
+    * threshold filter (py:202), Decimal(38,9) ratio math (py:203-217), and
+    * the two-quote union (py:264-303 SOL/USD price branches).
+    */
+  def p02VwapPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-86400L, 0L)
+    val windowed = e.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts_sec"), col("value"),
+      sum(col("value").cast(DecimalType(38, 6))).over(w).cast("double")
+        .as("trail_sum"),
+      count(col("value")).over(w).as("trail_n"))
+    // two quote branches (SOL-quoted / USD-quoted analog), normalized and
+    // unioned; the ratio is the Decimal(38,9) price
+    def branch(t: String, quote: String): DataFrame =
+      windowed.filter(col("event_type") === t)
+        .filter(col("trail_sum") > 100.0)
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          lit(quote).as("quote"),
+          (col("trail_sum") / col("trail_n")).cast(DecimalType(38, 9))
+            .as("vwap"))
+    branch("click", "SOL").unionByName(branch("purchase", "USD"))
+      .orderBy(col("quote"), col("user_id"), col("event_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "p01_swaps_pipeline" ->
+      """WITH swaps AS (
+        |  SELECT event_id, user_id, ts, value AS amount, 'v1' AS variant
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS amount,
+        |    'v2' AS variant
+        |  FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT *,
+        |    LEAD(amount) OVER w AS next_amount,
+        |    LEAD(variant) OVER w AS next_variant
+        |  FROM swaps
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |directed AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN variant = 'v1' THEN amount ELSE next_amount END AS in_amount,
+        |    CASE WHEN variant = 'v1' THEN next_amount ELSE amount END AS out_amount
+        |  FROM matched WHERE next_amount IS NOT NULL),
+        |dict AS (SELECT user_id, COUNT(*) AS n_swaps FROM swaps GROUP BY user_id)
+        |SELECT d.user_id, dict.n_swaps,
+        |  CAST(SUM(CAST(d.in_amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_in,
+        |  CAST(SUM(CAST(d.out_amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_out,
+        |  COUNT(*) AS n_matched
+        |FROM directed d JOIN dict USING (user_id)
+        |GROUP BY d.user_id, dict.n_swaps
+        |ORDER BY d.user_id""".stripMargin,
+    "p02_vwap_pipeline" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |  FROM events),
+        |windowed AS (
+        |  SELECT user_id, event_id, event_type, ts_sec, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS trail_sum,
+        |    COUNT(value) OVER w AS trail_n
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_sec, quote,
+        |  CAST(trail_sum / trail_n AS DECIMAL(38,9)) AS vwap
+        |FROM (
+        |  SELECT *, 'SOL' AS quote FROM windowed WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT *, 'USD' AS quote FROM windowed WHERE event_type = 'purchase')
+        |WHERE trail_sum > 100.0
+        |ORDER BY quote, user_id, event_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_swaps_pipeline" -> (p01SwapsPipeline _),
+    "p02_vwap_pipeline" -> (p02VwapPipeline _)
+  )
+}

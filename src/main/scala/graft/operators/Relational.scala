@@ -306,6 +306,40 @@ object Relational {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** q21 — as-of join: each event picks the latest order of the same user
+    * with o_orderdate <= event ts (the reference's trailing range-match,
+    * swap_prices.py join_where / orca adjacency generalized to time).
+    * Spark-first: NO range join — tag both sides, union, and take
+    * last(order, ignoreNulls) over one (user, time)-ordered window. One
+    * shuffle on the key, linear scan after; at 100 TB this beats any
+    * O(n·w) range join and never explodes candidate pairs. The DuckDB
+    * oracle uses its native ASOF JOIN — independent semantics, same rows.
+    */
+  def q21AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders.select(col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("ts"),
+      col("o_orderkey").as("asof_orderkey"),
+      lit(null).cast("long").as("event_id"))
+    val events = t.events.select(col("user_id"), col("ts"),
+      lit(null).cast("long").as("asof_orderkey"), col("event_id"))
+    // side 0 (orders) sorts before side 1 (events) at equal ts, so an
+    // order dated exactly at the event time IS matched (<= semantics)
+    val tagged = orders.withColumn("side", lit(0))
+      .unionByName(events.withColumn("side", lit(1)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("asof_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .select(col("user_id"), col("ts"), col("event_id"), col("side"),
+        last(col("asof_orderkey"), ignoreNulls = true).over(w)
+          .as("asof_orderkey"))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_orderkey"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -426,7 +460,17 @@ object Relational {
     "q20_time_bucket" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // deterministic as-of contract: greatest (o_orderdate, o_orderkey)
+    // among orders at/before the event — a correlated top-1, independent
+    // of the union+window formulation the Spark side uses
+    "q21_asof_join" ->
+      """SELECT e.user_id, e.event_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |    AS asof_orderkey
+        |FROM events e ORDER BY user_id, event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -449,6 +493,7 @@ object Relational {
     "q17_explode_pos" -> (q17ExplodePos _),
     "q18_having_threshold" -> (q18HavingThreshold _),
     "q19_rollup" -> (q19Rollup _),
-    "q20_time_bucket" -> (q20TimeBucket _)
+    "q20_time_bucket" -> (q20TimeBucket _),
+    "q21_asof_join" -> (q21AsofJoin _)
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Plan audits: SURVEY.md §6's scale claims, enforced by tests.
+  *
+  * These assert on the FORMATTED physical plan, so a regression that
+  * silently drops a pushdown, un-broadcasts a dim join, or adds a second
+  * shuffle to the window queries fails CI — plan shape is part of the
+  * operator contract here, not a hope.
+  */
+class ExplainAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val sfDir = SparkSessionFixture.sfDir
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def countOf(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("q01: filter + projection push into the parquet scan") {
+    val p = plan(Relational.q01AggFilter(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter:\n$p")
+    // 7-column read out of lineitem's 16 — pruning reached the scan
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      "scan reads columns the query never touches")
+  }
+
+  test("q02: startsWith predicate pushes as StringStartsWith") {
+    val p = plan(Relational.q02FilterProject(spark, sfDir))
+    assert(p.contains("StringStartsWith(o_orderpriority,1-"), p)
+    assert(!p.contains("o_comment"))
+  }
+
+  test("q04/q05: dimension joins broadcast — no sort-merge anywhere") {
+    Seq(Relational.q04BroadcastDimJoin(spark, sfDir),
+      Relational.q19Rollup(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"),
+        "dim join fell back to sort-merge — broadcast lost")
+    }
+  }
+
+  test("q10 adjacency: ONE hash exchange, no join operator at all") {
+    val p = plan(Relational.q10AdjacencyJoin(spark, sfDir))
+    assert(!p.toLowerCase.contains("join"),
+      "adjacency should be a window, not a self-join")
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q11 range window: one exchange + one sort, no range join") {
+    val p = plan(Relational.q11RangeWindow(spark, sfDir))
+    assert(!p.toLowerCase.contains("join"))
+    assert(countOf(p, "Arguments: hashpartitioning") === 1)
+    assert(p.contains("RangeFrame"), p)
+  }
+
+  test("s01 ANN: bounded query side broadcasts; corpus never shuffles") {
+    val p = plan(Similarity.s01AnnBruteforce(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("d02 LSH: candidate generation is an equi-join on (band, bucket)") {
+    val p = plan(Dedup.d02DedupMinhash(spark, sfDir))
+    // the join must key on band+bucket (hash-partitionable, linear
+    // candidates), never a theta-only nested loop over all pairs
+    assert(p.contains("hashpartitioning(band") ||
+      p.contains("BroadcastHashJoin"), s"band-bucket join not an equi-join:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan→project hot path (t03)") {
+    // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.operators.TextAnalysis.t03TokenCount(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      assert(p.contains("WholeStageCodegen subtrees") &&
+        !p.startsWith("Found 0 WholeStageCodegen"), p.take(200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
