@@ -77,6 +77,52 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s03 — IVF-style ANN: a fixed coarse quantizer (16 deterministic
+    * centroid vectors, broadcast), one linear assignment pass bucketing the
+    * corpus into cells, queries probe their top-4 nearest cells and
+    * exact-rerank only those cells' members. The corpus-side cost is
+    * O(N·K) kernel evals + one equi-join on cell_id — at 100 TB the
+    * inverted lists are just hash partitions of the corpus, and nprobe
+    * bounds the scanned fraction to ~nprobe/K. Rows-only (SimilaritySpec
+    * measures recall vs s01, like s02).
+    */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+      df.join(broadcast(cents))
+        .select(col(id), col(emb),
+          cosine_similarity(col(emb), col("cemb")).as("ccos"), col("cid"))
+        .select(col(id), col(emb), col("cid"),
+          row_number().over(w).as("crnk"))
+        .filter(col("crnk") <= keep)
+        .select(col(id), col(emb), col("cid"))
+    }
+    // redundant assignment (top-2 cells per vector): the standard IVF
+    // recall lever for weakly-clustered data — 2× index size, no change
+    // to probe cost
+    val corpus = assign(e.select(col("vec_id").as("nid"),
+      col("embedding").as("ne")), "nid", "ne", keep = 2)
+    val probes = assign(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", keep = 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(probes)
+      .join(corpus, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qe"), col("ne"))
+      .dropDuplicates("qid", "nid") // pair may collide via both assigned cells
+      .select(col("qid"), col("nid"),
+        cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .select(col("qid"), col("nid"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -95,6 +141,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteforce _),
-    "s02_ann_lsh" -> (s02AnnLsh _)
+    "s02_ann_lsh" -> (s02AnnLsh _),
+    "s03_ann_ivf" -> (s03AnnIvf _)
   )
 }

@@ -101,10 +101,28 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     assert(approx.keySet === (0L until 10L).toSet)
-    val hits = exact.keys.map(q =>
+    // .keys is a Set — map to a Seq BEFORE summing or equal per-query
+    // counts collapse and undercount
+    val hits = exact.keys.toSeq.map(q =>
       (exact(q) intersect approx.getOrElse(q, Set.empty)).size).sum
     val recall = hits.toDouble / (exact.size * 5)
     assert(recall >= 0.2, s"LSH recall@5 too low: $recall")
+  }
+
+  test("s03 IVF ANN returns well-formed top-k with usable recall vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.s03AnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet === (0L until 10L).toSet)
+    approx.values.foreach(s => assert(s.size <= 5))
+    val hits = exact.keys.toSeq.map(q =>
+      (exact(q) intersect approx.getOrElse(q, Set.empty)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
   }
 
   test("m01 multimodal decode stub: schema contract and byte stats") {
