@@ -107,6 +107,31 @@ object EventStreams {
     runToTable(windowedAgg(eventsStream(spark, dir)), "complete")
       .orderBy(col("day"), col("event_type"))
 
+  /** st03 — the reference's whole ingest architecture in one operator:
+    * stream batches in, fold each micro-batch through the incremental
+    * pipeline into a parquet sink via foreachBatch (cherry's provider loop
+    * → transform → ClickHouse insert, with db.py's MAX+1 resume making
+    * re-delivered batches idempotent). The sink layout is k01's
+    * (partition-pruned, sorted); the oracle is the one-shot batch answer.
+    */
+  def st03StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Incremental
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_st03_").toString + "/sink"
+    val pipe = Incremental.Pipeline(Seq(
+      Incremental.Step("project", _.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))),
+      Incremental.Step("boost", _.withColumn("boosted", col("value") * 2.0)
+        .drop("value"))))
+    val q = eventsStream(spark, dir).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Incremental.runIncrement(batch, sink, "event_id", pipe): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink).orderBy(col("event_id"))
+  }
+
   def st02StreamState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = eventsStream(spark, dir)
@@ -137,11 +162,15 @@ object EventStreams {
         |        LAG(epoch_us(ts)) OVER (
         |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |      FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st03_stream_sink" ->
+      """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
-    "st02_stream_state" -> (st02StreamState _)
+    "st02_stream_state" -> (st02StreamState _),
+    "st03_stream_sink" -> (st03StreamSink _)
   )
 }
