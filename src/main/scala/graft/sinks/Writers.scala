@@ -88,7 +88,62 @@ object Writers {
       .options.toSeq.sortBy(_._1).toDF("option", "value")
   }
 
+  /** k04 — bucketed write + co-located join. Both fact tables are written
+    * `bucketBy(8, orderkey)` pre-sorted; joining them then needs NO
+    * exchange and no sort — the bucket layout IS the shuffle, paid once at
+    * write time and amortized over every subsequent join (SinksSpec
+    * asserts the zero-Exchange plan). This is the parquet analog of two
+    * MergeTree tables sharing an ORDER BY key, and at 100 TB it's the
+    * difference between re-shuffling 100 TB per join and not.
+    */
+  def k04BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    Seq("graft_li_b", "graft_ord_b").foreach(t => dropManaged(spark, t))
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_ord_b")
+    bucketedJoinPlan(spark)
+  }
+
+  /** Drop a managed table AND its warehouse location — a fresh session's
+    * in-memory catalog doesn't know about directories a previous JVM left
+    * behind, and saveAsTable refuses to reuse them. */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(base, table)
+    if (loc.exists()) rm(loc)
+  }
+
+  /** The co-located join over the bucketed tables (separate so SinksSpec
+    * can audit the plan of exactly what k04 returns). */
+  def bucketedJoinPlan(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    spark.table("graft_li_b")
+      .join(spark.table("graft_ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).cast("double")
+        .as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "k04_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "k01_parquet_sink" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
         |  o_orderdate
@@ -97,6 +152,7 @@ object Writers {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k01_parquet_sink" -> (k01ParquetSink _),
-    "k02_jdbc_sink" -> (k02JdbcSink _)
+    "k02_jdbc_sink" -> (k02JdbcSink _),
+    "k04_bucketed_join" -> (k04BucketedJoin _)
   )
 }

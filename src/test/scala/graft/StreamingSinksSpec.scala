@@ -132,6 +132,22 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(o("dbtable") === "t")
   }
 
+  test("k04 bucketed co-located join: the join itself needs no exchange") {
+    Writers.k04BucketedJoin(spark, sfDir).count() // builds bucketed tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Writers.bucketedJoinPlan(spark).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), p)
+      // only the post-join groupBy re-keys; the join reads bucket layout
+      val exchanges = p.sliding("Arguments: hashpartitioning".length)
+        .count(_ == "Arguments: hashpartitioning")
+      assert(exchanges <= 1, s"bucketed join still shuffles:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("k03 incremental ∘ resume equals one-shot batch") {
     import spark.implicits._
     val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
