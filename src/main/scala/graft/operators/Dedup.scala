@@ -50,7 +50,12 @@ object Dedup {
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), shingleHashes(col("ws"), col("text")).as("sh"))
       .select(col("doc_id"), col("sh"), minhashes(col("sh"), 16).as("mh"))
-    val bands = docs.select(col("doc_id"), col("sh"),
+    // candidate generation shuffles ONLY (doc_id, band, bucket) — 24
+    // bytes/row. The shingle arrays (≈ the corpus itself) never enter the
+    // band join; they're fetched per *surviving pair* afterwards. At
+    // 100 TB that's the difference between shuffling 100 TB twice and
+    // shuffling a few TB of ids.
+    val bands = docs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
         .as(Seq("band", "bucket")))
@@ -59,10 +64,12 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .dropDuplicates("a", "b")
+    val shingles = docs.select(col("doc_id"), col("sh"))
     pairs
+      .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         (size(array_intersect(array_distinct(col("sha")), array_distinct(col("shb"))))
           .cast("double") /
