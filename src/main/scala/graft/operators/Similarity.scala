@@ -66,10 +66,11 @@ object Similarity {
       .join(n.as("n"),
         col("q.band") === col("n.band") && col("q.bucket") === col("n.bucket") &&
           col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qe"), col("ne"))
-      .dropDuplicates("qid", "nid")
+      // score BEFORE deduping: dup candidates re-run the (cheap) kernel so
+      // the dedupe shuffle moves only (qid, nid, cos), never the vectors
       .select(col("qid"), col("nid"),
         cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"), col("cos"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 5)
@@ -112,10 +113,11 @@ object Similarity {
     broadcast(probes)
       .join(corpus, Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qe"), col("ne"))
-      .dropDuplicates("qid", "nid") // pair may collide via both assigned cells
+      // score before dedupe — see s02: the pair may collide via both
+      // assigned cells, and the dedupe shuffle should move ids, not vectors
       .select(col("qid"), col("nid"),
         cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .dropDuplicates("qid", "nid")
       .select(col("qid"), col("nid"), col("cos"),
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 5)
