@@ -2,7 +2,9 @@ package graft.functions
 
 import java.math.BigInteger
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -38,6 +40,20 @@ object ExprImpl {
     val bi = new BigInteger(1, b)
     val d = new java.math.BigDecimal(bi)
     if (d.precision > 38) null else Decimal(d, 38, 0)
+  }
+
+  private val U256_MOD = BigInteger.ONE.shiftLeft(256)
+
+  /** Reduce mod 2^256 and render as 32-byte big-endian — ClickHouse
+    * UInt256 wraparound semantics. */
+  def u256Wrap(v: BigInteger): Array[Byte] = {
+    val m = v.mod(U256_MOD)
+    val raw = m.toByteArray // may carry a sign byte / be short
+    val out = new Array[Byte](32)
+    val src = math.max(0, raw.length - 32)
+    val len = math.min(raw.length, 32)
+    System.arraycopy(raw, src, out, 32 - len, len)
+    out
   }
 
   /** splitmix64 finalizer — the deterministic PRNG behind the minhash
@@ -266,6 +282,40 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** u256_sum(32-byte BE binary) → 32-byte BE binary: exact unsigned 256-bit
+  * SUM with 2^256 wraparound — ClickHouse UInt256/Decimal256 aggregation
+  * semantics, which Spark's DecimalType (38 digits max; 2^256 needs 78)
+  * cannot express. A TypedImperativeAggregate over BigInteger: partial
+  * sums combine map-side, the merge shuffles one 33-byte buffer per group.
+  */
+case class U256Sum(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BigInteger] with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "u256_sum"
+  override def createAggregationBuffer(): BigInteger = BigInteger.ZERO
+  override def update(buf: BigInteger, input: InternalRow): BigInteger = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else buf.add(new BigInteger(1, v.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(a: BigInteger, b: BigInteger): BigInteger = a.add(b)
+  override def eval(buf: BigInteger): Any = ExprImpl.u256Wrap(buf)
+  override def serialize(buf: BigInteger): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): BigInteger =
+    new BigInteger(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): U256Sum =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): U256Sum =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): U256Sum =
+    copy(child = newChildren.head)
 }
 
 /** simhash64(array<long>) → long: per-bit majority over token hashes.

@@ -22,4 +22,7 @@ package object functions {
   def lsh_sign_bits(c: Column, planes: Int): Column = u(c)(LshSignBits(_, planes))
   def cosine_similarity(a: Column, b: Column): Column =
     Interop.column(CosineSimilarity(Interop.expression(a), Interop.expression(b)))
+  /** Exact 256-bit unsigned SUM (ClickHouse UInt256 semantics). */
+  def u256_sum(c: Column): Column =
+    Interop.column(U256Sum(Interop.expression(c)).toAggregateExpression())
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{base58_decode, base58_encode, keccak256, u256_from_long, u256_to_decimal}
+import graft.functions.{base58_decode, base58_encode, keccak256, u256_from_long, u256_sum, u256_to_decimal}
 import graft.sources.Tables
 
 /** Domain-function queries f01–f05 (SURVEY.md §2): cherry-core's byte-level
@@ -67,7 +67,26 @@ object DomainFunctions {
           .as("amount"))
       .orderBy(col("doc_id"))
 
+  /** f06 — exact 256-bit SUM per group (ClickHouse sums ERC-20 amounts as
+    * Decimal256/UInt256 — beyond Spark's 38-digit DecimalType, hence the
+    * custom TypedImperativeAggregate). Values here fit 38 digits so the
+    * DuckDB decimal oracle can verify; FunctionsSpec pins the >38-digit
+    * and 2^256-wraparound behavior the oracle can't reach.
+    */
+  def f06U256Sum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(u256_to_decimal(
+        u256_sum(u256_from_long(col("doc_id") * lit(1000000L) + col("n_chars"))))
+        .as("amount"))
+      .orderBy(col("source"))
+
   val oracle: Map[String, String] = Map(
+    "f06_u256_sum" ->
+      """SELECT source,
+        |  CAST(SUM(CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS amount
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "f01_hex_encode" ->
       """SELECT doc_id, hex(text) AS hx FROM documents ORDER BY doc_id""",
     "f02_discriminator" ->
@@ -87,6 +106,7 @@ object DomainFunctions {
     "f02_discriminator" -> (f02Discriminator _),
     "f03_keccak_topic0" -> (f03KeccakTopic0 _),
     "f04_base58" -> (f04Base58Roundtrip _),
-    "f05_u256_decode" -> (f05U256Roundtrip _)
+    "f05_u256_decode" -> (f05U256Roundtrip _),
+    "f06_u256_sum" -> (f06U256Sum _)
   )
 }

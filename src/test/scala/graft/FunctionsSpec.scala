@@ -95,6 +95,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ExprImpl.u256ToDecimal(fits).toBigDecimal === BigDecimal(v))
   }
 
+  test("u256 sum wraps mod 2^256 and carries past 64/128-bit boundaries") {
+    import java.math.BigInteger
+    import graft.functions.ExprImpl
+    def bi(bytes: Array[Byte]) = new BigInteger(1, bytes)
+    // (2^256 - 1) + 1 wraps to 0
+    val maxU = BigInteger.ONE.shiftLeft(256).subtract(BigInteger.ONE)
+    assert(bi(ExprImpl.u256Wrap(maxU.add(BigInteger.ONE))) === BigInteger.ZERO)
+    // a 70-digit sum (beyond Decimal(38)) round-trips exactly
+    val big = new BigInteger("9" * 70)
+    assert(bi(ExprImpl.u256Wrap(big)) === big)
+    // wrap output is always 32 bytes, left-padded
+    assert(ExprImpl.u256Wrap(BigInteger.TEN).length === 32)
+    assert(bi(ExprImpl.u256Wrap(BigInteger.TEN)) === BigInteger.TEN)
+  }
+
+  test("u256_sum aggregate: exact 256-bit group sums end-to-end") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.{u256_from_long, u256_sum}
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    // sum of 1000 near-max longs overflows 64-bit arithmetic ~50x over
+    val df = (1 to 1000).map(i => Long.MaxValue - i).toDF("v")
+      .agg(u256_sum(u256_from_long(col("v") + lit(0L))).as("s"))
+    val got = new java.math.BigInteger(1, df.head.getAs[Array[Byte]]("s"))
+    val want = (1 to 1000).map(i => BigInt(Long.MaxValue) - i).sum
+    assert(BigInt(got) === want)
+  }
+
   test("simhash64 deterministic and length-independent of order bias") {
     import graft.functions.ExprImpl
     import org.apache.spark.sql.catalyst.util.ArrayData
