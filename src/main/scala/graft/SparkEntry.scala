@@ -8,6 +8,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Skew.queries ++
       operators.DomainFunctions.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
@@ -21,6 +22,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
+      operators.Skew.oracle ++
       operators.DomainFunctions.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++

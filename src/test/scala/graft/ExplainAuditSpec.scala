@@ -78,6 +78,14 @@ class ExplainAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"band-bucket join not an equi-join:\n$p")
   }
 
+  test("q22 salted join shuffles on the widened (key, salt) pair") {
+    val p = plan(graft.operators.Skew.q22SaltedJoin(spark, sfDir))
+    // the join's exchanges must hash on BOTH user key and salt — that's
+    // the whole point: a hot user_id spreads over `salts` reducers
+    assert(p.contains("hashpartitioning(user_id") && p.contains("__salt"),
+      s"salt missing from the shuffle key:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
