@@ -340,6 +340,27 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q23 — the SAME as-of semantics as q21, but through graft's native
+    * operator (plans.AsOfJoin: custom LogicalPlan + SparkStrategy +
+    * merge-scan SparkPlan). One exchange+sort per side, O(1) state per
+    * partition, no union/window buffer — and an independent second
+    * implementation the shared oracle cross-checks against q21.
+    */
+  def q23AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_id"), col("ts"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = t.orders.select(col("o_custkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+      col("o_orderkey"))
+    graft.plans.AsOf.join(ev, ord,
+        leftKey = "user_id", leftTime = "ts_us",
+        rightKey = "o_custkey", rightTime = "o_us", rightTie = "o_orderkey")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -470,6 +491,13 @@ object Relational {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
+        |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q23_asof_native" ->
+      """SELECT e.user_id, e.event_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin
   )
 
@@ -494,6 +522,7 @@ object Relational {
     "q18_having_threshold" -> (q18HavingThreshold _),
     "q19_rollup" -> (q19Rollup _),
     "q20_time_bucket" -> (q20TimeBucket _),
-    "q21_asof_join" -> (q21AsofJoin _)
+    "q21_asof_join" -> (q21AsofJoin _),
+    "q23_asof_native" -> (q23AsofNative _)
   )
 }

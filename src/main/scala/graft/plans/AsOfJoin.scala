@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.Interop
+
+/** Native as-of join — the (c) rung of the custom-operator ladder: a
+  * LogicalPlan node + SparkStrategy + physical merge-scan operator,
+  * registered via SparkSessionExtensions (or `spark.experimental`).
+  *
+  * Semantics (the reference's trailing price/range match,
+  * /root/reference/src/cherry_pipelines/svm/swap_prices.py join_where):
+  * each left row picks the right row with the greatest
+  * (rightTime, rightTie) among rows of the same key with
+  * rightTime <= leftTime; no match → nulls.
+  *
+  * Physical contract: both sides hash-cluster on the key and sort by
+  * (key, time) — Catalyst's EnsureRequirements inserts the exchanges and
+  * sorts exactly as for a sort-merge join — then ONE forward merge scan
+  * per partition joins them with O(1) state (the current candidate row).
+  * Versus alternatives at 100 TB: a range join explodes candidates
+  * O(n·w); the union+window composition (Relational.q21) is linear but
+  * shuffles left+right through one union'd exchange and a window buffer;
+  * this operator streams both sides and allocates nothing per row.
+  *
+  * v1 contract: key/time/tie expressions must evaluate to non-null LONGs
+  * (the `AsOf.join` API casts and filters accordingly).
+  */
+final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lt, rk, rt, tie) =>
+      AsOfJoinExec(lk, lt, rk, rt, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val nRight = right.output.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val nullRow = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      var candKey = 0L
+      var cand: InternalRow = null // .copy()'d — rIter reuses its row
+      lIter.map { lRow =>
+        val k = lkB.eval(lRow).asInstanceOf[Long]
+        val t = ltB.eval(lRow).asInstanceOf[Long]
+        if (cand != null && candKey != k) cand = null
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val hk = rkB.eval(rBuf.head).asInstanceOf[Long]
+          if (hk < k ||
+            (hk == k && rtB.eval(rBuf.head).asInstanceOf[Long] <= t)) {
+            val r = rBuf.next()
+            if (hk == k) { cand = r.copy(); candKey = k }
+          } else scanning = false
+        }
+        proj(joined(lRow, if (cand != null && candKey == k) cand else nullRow))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API. Key/time columns are referenced BY NAME against each
+  * side's analyzed output (so callers never juggle resolved attributes)
+  * and must be long-typed; rows with null key/time on either side are
+  * filtered (v1 contract).
+  */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    import org.apache.spark.sql.functions.col
+    val l = left.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val r = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val lPlan = Interop.analyzedPlan(l)
+    val rPlan = Interop.analyzedPlan(r)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    Interop.ofRows(spark, AsOfJoin(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(lPlan, leftTime),
+      attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTie)))
+  }
+
+  /** Idempotent strategy registration for sessions not built with
+    * [[GraftExtensions]]. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+}

@@ -1,15 +1,22 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge between graft's custom Catalyst [[Expression]]s and the public
-  * [[Column]] API. Spark 4 hides the Column(expr) constructor behind the
+/** Bridge between graft's custom Catalyst [[Expression]]s /
+  * [[LogicalPlan]]s and the public [[Column]]/[[DataFrame]] API. Spark 4
+  * hides the Column(expr) constructor and Dataset.ofRows behind the
   * classic module; this shim (placed under org.apache.spark.sql so the
   * private[sql] surface is reachable) is the single point of contact.
   */
 object Interop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 }

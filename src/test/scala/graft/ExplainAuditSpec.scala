@@ -78,6 +78,14 @@ class ExplainAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"band-bucket join not an equi-join:\n$p")
   }
 
+  test("q23 native as-of: AsOfJoinExec with one exchange+sort per side") {
+    val p = plan(graft.operators.Relational.q23AsofNative(spark, sfDir))
+    assert(p.contains("AsOfJoin"), s"custom operator not planned:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      "as-of fell back to a generic join/window plan")
+    assert(countOf(p, "Arguments: hashpartitioning") === 2, p)
+  }
+
   test("q22 salted join shuffles on the widened (key, salt) pair") {
     val p = plan(graft.operators.Skew.q22SaltedJoin(spark, sfDir))
     // the join's exchanges must hash on BOTH user key and salt — that's
