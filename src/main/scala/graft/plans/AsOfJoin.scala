@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.Interop
 
 /** Native as-of join — the (c) rung of the custom-operator ladder: a
@@ -77,7 +78,13 @@ final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
     val rkB = BindReferences.bindReference(rightKey, right.output)
@@ -104,7 +111,10 @@ final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
             if (hk == k) { cand = r.copy(); candKey = k }
           } else scanning = false
         }
-        proj(joined(lRow, if (cand != null && candKey == k) cand else nullRow))
+        numOutputRows += 1
+        val matched = cand != null && candKey == k
+        if (matched) numMatched += 1
+        proj(joined(lRow, if (matched) cand else nullRow))
       }
     }
   }
