@@ -113,6 +113,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t05 — corpus-level statistics via mergeable sketches: HLL++ distinct
+    * counts and quantile summaries per source. This is how a 100 TB corpus
+    * gets profiled — sketches merge associatively across partitions, so
+    * the shuffle carries KB-sized summaries instead of raw values
+    * (exact distinct/percentile would shuffle every row). Rows-only:
+    * sketch estimates are engine-specific; TextAnalysisSpec bounds them
+    * against exact values at test scale.
+    */
+  def t05CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).as("n_chars_m"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("lang")).as("n_langs_est"),
+        percentile_approx(col("n_chars_m"), lit(0.5), lit(1000))
+          .as("median_chars_est"),
+        percentile_approx(col("n_chars_m"), lit(0.99), lit(1000))
+          .as("p99_chars_est"))
+      .orderBy(col("source"))
+
   val oracle: Map[String, String] = Map(
     "t02_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars_m,
@@ -139,6 +160,7 @@ object TextAnalysis {
     "t01_lang_id" -> (t01LangId _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
-    "t04_fingerprint" -> (t04Fingerprint _)
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_corpus_stats" -> (t05CorpusStats _)
   )
 }

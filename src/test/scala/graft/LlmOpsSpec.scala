@@ -70,6 +70,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!byPair.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("t05 sketch stats bound the exact answers at test scale") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val got = TextAnalysis.t05CorpusStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = graft.sources.Tables(spark, sfDir).documents
+      .select(col("source"), col("lang"),
+        org.apache.spark.sql.functions.length(col("text")).as("n"))
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(col("lang")).as("d"),
+        expr("percentile(n, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (src, (d, med)) =>
+      val r = got(src)
+      // HLL++ at default rsd 5%: tiny cardinalities must be near-exact
+      assert(math.abs(r.getLong(2) - d) <= math.max(1L, d / 10), s"$src langs")
+      // quantile sketch with accuracy 1000 on small groups: within 20%
+      assert(math.abs(r.getInt(3) - med) <= med * 0.2 + 1, s"$src median")
+    }
+  }
+
   test("t01 language ID picks the stopword-dominant language") {
     val dir = docsDir(Seq(
       0L -> "the cat sat on the mat and it is happy you see that",
