@@ -1,13 +1,30 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graft.Interop
 
 /** Column-level API over graft's custom Catalyst expressions — the Scala
   * twin of cherry-core's function surface (keccak/base58/u256) plus the
-  * simhash primitive used by the dedup operators.
+  * simhash primitive used by the dedup operators. `registerSql` exposes
+  * the same functions to `spark.sql(...)` text.
   */
 package object functions {
+
+  /** (name, builder) pairs for every graft SQL function. */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "keccak256" -> (es => KeccakHash256(es.head)),
+    "base58_encode" -> (es => Base58Encode(es.head)),
+    "base58_decode" -> (es => Base58Decode(es.head)),
+    "u256_from_long" -> (es => U256FromLong(es.head)),
+    "u256_to_decimal" -> (es => U256ToDecimal(es.head)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "u256_sum" -> (es => U256Sum(es.head).toAggregateExpression()))
+
+  /** Make every graft function callable from SQL text on this session. */
+  def registerSql(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (n, b) => Interop.registerFunction(spark, n, b) }
   private def u(c: Column)(f: org.apache.spark.sql.catalyst.expressions.Expression
       => org.apache.spark.sql.catalyst.expressions.Expression): Column =
     Interop.column(f(Interop.expression(c)))

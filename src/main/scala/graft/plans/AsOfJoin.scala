@@ -51,10 +51,20 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Entry point for `spark.sql.extensions=graft.plans.GraftExtensions`:
+  * planner strategy for the native as-of join + every graft function
+  * exposed to SQL text. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    graft.functions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+  }
 }
 
 final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,

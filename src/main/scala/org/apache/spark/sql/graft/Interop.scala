@@ -19,4 +19,11 @@ object Interop {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+  /** Expose a function builder to `spark.sql(...)` text on an existing
+    * session (the extensions path covers sessions built with
+    * graft.plans.GraftExtensions; this covers everyone else). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

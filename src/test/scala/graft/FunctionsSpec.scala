@@ -123,6 +123,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(BigInt(got) === want)
   }
 
+  test("graft functions callable from spark.sql text after registerSql") {
+    val spark = SparkSessionFixture.spark
+    graft.functions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT
+        |  lower(hex(keccak256(cast('Transfer(address,address,uint256)'
+        |    AS BINARY)))) AS topic0,
+        |  base58_encode(cast('Hello World!' AS BINARY)) AS b58""".stripMargin)
+      .head
+    assert(r.getString(0) ===
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef")
+    assert(r.getString(1) === "2NEpo7TZRRrLZSi2U")
+    val s = spark.sql(
+      """SELECT u256_to_decimal(u256_sum(u256_from_long(id))) AS total
+        |FROM range(1, 1001)""".stripMargin).head.getDecimal(0)
+    assert(s.compareTo(new java.math.BigDecimal(500500)) === 0)
+  }
+
   test("simhash64 deterministic and length-independent of order bias") {
     import graft.functions.ExprImpl
     import org.apache.spark.sql.catalyst.util.ArrayData
