@@ -143,6 +143,35 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /** st04 — stream-stream interval join: the streaming form of the swap→
+    * transfer match (orca_swaps adjacency): each click pairs with the same
+    * user's purchases in the following hour. Both sides are watermarked so
+    * the join state is bounded — Spark buffers only rows inside the
+    * watermark horizon, the 100 TB-rate requirement for any stream-stream
+    * join. Inner matches emit as they arrive; the oracle is the batch
+    * self-join with the identical predicate.
+    */
+  def st04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+    runToTable(joined, "append")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Oracles are plain batch SQL over the same table — valid because the
     * streaming run drains the finite source, so its final state equals the
     * batch answer (exactly the resume invariant the reference's incremental
@@ -165,12 +194,21 @@ object EventStreams {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "st03_stream_sink" ->
       """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "st04_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS c_ts, p.ts AS p_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state" -> (st02StreamState _),
-    "st03_stream_sink" -> (st03StreamSink _)
+    "st03_stream_sink" -> (st03StreamSink _),
+    "st04_stream_join" -> (st04StreamJoin _)
   )
 }
