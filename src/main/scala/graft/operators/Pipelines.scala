@@ -98,7 +98,54 @@ object Pipelines {
       .orderBy(col("quote"), col("user_id"), col("event_id"))
   }
 
+  /** p03 — erc20_transfers twin at the BINARY level
+    * (/root/reference/src/cherry_pipelines/evm/erc20_transfers.py): logs
+    * are synthesized as real ABI-shaped bytes (32-byte topics, u256 data
+    * word) from lineitem columns, then the decode chain runs exactly as
+    * the reference's: topic0 == keccak256("Transfer(address,address,
+    * uint256)") filter (py:94), address extraction from topics 1/2 (last
+    * 20 of 32 bytes), u256 amount decode (Decimal256 column in the CH
+    * DDL), and the left join onto "blocks" for timestamps (py:58-72).
+    * All codegen'd expressions — the whole decode is one projection.
+    * Oracle recomputes the decoded values arithmetically from the source
+    * columns — agreement proves encode∘decode is the identity.
+    */
+  def p03Erc20Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{keccak256, u256_from_long, u256_to_decimal}
+    val t = Tables(spark, dir)
+    val logs = t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      keccak256(lit("Transfer(address,address,uint256)").cast("binary"))
+        .as("topic0"),
+      u256_from_long(col("l_partkey")).as("topic1"),
+      u256_from_long(col("l_suppkey")).as("topic2"),
+      u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("data"))
+    val expectedTopic0 =
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    logs
+      .filter(lower(hex(col("topic0"))) === expectedTopic0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        lower(hex(substring(col("topic1"), 13, 20))).as("from_addr"),
+        lower(hex(substring(col("topic2"), 13, 20))).as("to_addr"),
+        u256_to_decimal(col("data")).as("amount"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("from_addr"),
+        col("to_addr"), col("amount"), col("o_orderdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "p03_erc20_pipeline" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  printf('%040x', l_partkey) AS from_addr,
+        |  printf('%040x', l_suppkey) AS to_addr,
+        |  CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |    AS DECIMAL(38,0)) AS amount,
+        |  o_orderdate
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "p01_swaps_pipeline" ->
       """WITH swaps AS (
         |  SELECT event_id, user_id, ts, value AS amount, 'v1' AS variant
@@ -151,6 +198,7 @@ object Pipelines {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_swaps_pipeline" -> (p01SwapsPipeline _),
-    "p02_vwap_pipeline" -> (p02VwapPipeline _)
+    "p02_vwap_pipeline" -> (p02VwapPipeline _),
+    "p03_erc20_pipeline" -> (p03Erc20Pipeline _)
   )
 }
