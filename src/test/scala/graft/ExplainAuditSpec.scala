@@ -94,6 +94,17 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"salt missing from the shuffle key:\n$p")
   }
 
+  test("p03: Catalyst constant-folds through the custom keccak expression") {
+    val p = plan(graft.operators.Pipelines.p03Erc20Pipeline(spark, sfDir))
+    // topic0 = keccak256(<literal>) compared to a literal hex — foldable
+    // custom expressions mean the filter evaluates at plan time and
+    // disappears entirely; a Filter node here would mean our Expressions
+    // opted out of the optimizer
+    assert(!p.contains("keccak") && !p.contains("ddf252ad"),
+      s"constant keccak filter not folded:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -160,6 +160,8 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(Incremental.nextStart(spark, sink, "k") === 40L)
     // second tick resumes at 40 and appends ONLY the new keys
     assert(Incremental.runIncrement(src, sink, "k", pipe) === 40L)
+    // re-delivering the SAME source is idempotent: tick 3 appends nothing
+    assert(Incremental.runIncrement(src, sink, "k", pipe) === 100L)
     val got = spark.read.parquet(sink).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length === 100)
