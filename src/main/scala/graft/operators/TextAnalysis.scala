@@ -134,7 +134,53 @@ object TextAnalysis {
           .as("p99_chars_est"))
       .orderBy(col("source"))
 
+  /** t06 — intra-document segment dedup (the C4/RefinedWeb repeated-line
+    * filter): split each document into 8-word segments, drop every
+    * repeat of an earlier identical segment, reassemble in order. One
+    * generate + one groupBy(doc, segment) + one re-agg — no cross-document
+    * shuffle, scales linearly. DuckDB oracle mirrors it with window
+    * functions over the same segmentation.
+    */
+  def t06SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val nSeg = floor((size(ws) - 1) / 8).cast("int")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg),
+          i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8)))))
+          .as(Seq("pos", "seg")))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("pos")).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).as("n_chars_c"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "t06_segment_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(range(0,
+        |    CAST(floor((len(ws)-1)/8) AS BIGINT) + 1)) AS pos
+        |  FROM base),
+        |seg AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(ws[CAST(pos*8+1 AS BIGINT)
+        |      : CAST(pos*8+8 AS BIGINT)], ' ') AS seg
+        |  FROM idx),
+        |firsts AS (
+        |  SELECT doc_id, seg, MIN(pos) AS pos FROM seg
+        |  GROUP BY doc_id, seg)
+        |SELECT doc_id,
+        |  string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |  length(string_agg(seg, ' ' ORDER BY pos)) AS n_chars_c
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t02_quality_score" ->
       """SELECT doc_id, length(text) AS n_chars_m,
         |  len(string_split(text,' ')) AS n_words,
@@ -161,6 +207,7 @@ object TextAnalysis {
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_corpus_stats" -> (t05CorpusStats _)
+    "t05_corpus_stats" -> (t05CorpusStats _),
+    "t06_segment_dedup" -> (t06SegmentDedup _)
   )
 }

@@ -80,9 +80,14 @@ object EventStreams {
     * sources.Tables (the file carries TIMESTAMP(NANOS) which Spark's reader
     * only exposes as long).
     */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = schemaCache.computeIfAbsent(s"$dir/events.parquet",
+      p => spark.read.parquet(p).schema)
     // file streams need a directory source; the glob filter scopes it to
     // the events table (the driver's sf dirs hold one file per table)
     spark.readStream.schema(schema)
