@@ -62,6 +62,39 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Resized media: fixed-budget thumbnail payload + scaled dims. */
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+      thumb_w: Int, thumb_h: Int, thumb_bytes: Int, thumb_head: String)
+
+  /** m03 — resize plumbing: per-row "decode→resample→re-encode" stub via
+    * the same typed mapPartitions batch shape as m01. The resample is a
+    * deterministic stride-sample of the payload bytes standing in for a
+    * pixel resampler (no codecs in this container); dims scale to a
+    * 64-wide thumbnail preserving aspect ratio. The Spark contract —
+    * binary in, binary out, metadata recomputed, narrow scan feeding it —
+    * is exactly what a real resizer needs at 100 TB.
+    */
+  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"),
+        lit("png").as("format"))
+      .as[MediaRow]
+    media.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      val budget = 64
+      val stride = math.max(1, n / budget)
+      val thumb = Array.range(0, math.min(budget, n))
+        .map(i => r.payload(math.min(n - 1, i * stride)))
+      val tw = 64
+      val th = math.max(1, (64L * r.height / r.width).toInt)
+      Resized(r.doc_id, r.width, r.height, tw, th, thumb.length,
+        thumb.take(4).map(b => f"${b & 0xff}%02x").mkString)
+    }).toDF().orderBy(col("doc_id"))
+  }
+
   /** m02 — frame sampling: chunk the payload into fixed-size "frames" and
     * keep every 2nd one (the video frame-sample shape: a decoder would
     * emit frames; sampling cuts downstream cost before feature
@@ -102,6 +135,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
-    "m02_frame_sample" -> (m02FrameSample _)
+    "m02_frame_sample" -> (m02FrameSample _),
+    "m03_resize" -> (m03Resize _)
   )
 }

@@ -361,6 +361,29 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
+    * ROLLUP): per-(region, priority), per-region, and per-priority
+    * subtotals in one pass — one shuffle, one partial-agg tree, versus
+    * three separate scans+aggregations unioned.
+    */
+  def q24GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .createOrReplaceTempView("q24_base")
+    spark.sql(
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |FROM q24_base
+        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name),
+        |  (o_orderpriority))
+        |ORDER BY region, priority""".stripMargin)
+  }
+
   val oracle: Map[String, String] = Map(
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
@@ -498,7 +521,19 @@ object Relational {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
-        |FROM events e ORDER BY user_id, event_id""".stripMargin
+        |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name),
+        |  (o_orderpriority))
+        |ORDER BY region, priority""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -523,6 +558,7 @@ object Relational {
     "q19_rollup" -> (q19Rollup _),
     "q20_time_bucket" -> (q20TimeBucket _),
     "q21_asof_join" -> (q21AsofJoin _),
-    "q23_asof_native" -> (q23AsofNative _)
+    "q23_asof_native" -> (q23AsofNative _),
+    "q24_grouping_sets" -> (q24GroupingSets _)
   )
 }
