@@ -42,58 +42,59 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.width, r.height, r.format, n, mean, head)
   }
 
-  /** m01 — build the media table from documents (payload = utf-8 bytes,
-    * metadata derived deterministically), then run the batched decode.
-    * Rows-only (the stub has no DuckDB twin); MultimodalSpec pins the
-    * schema contract and the byte-stat math.
-    */
-  def m01MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic media table both m01 and m03 read: payload = utf-8
+    * bytes, metadata derived deterministically from doc_id. */
+  private def mediaTable(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents
+    Tables(spark, dir).documents
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
         (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"),
         element_at(array(lit("png"), lit("jpeg"), lit("webp")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"))
       .as[MediaRow]
-    media
-      .mapPartitions(_.map(decodeStub))
+  }
+
+  /** m01 — build the media table from documents, then run the batched
+    * decode. Rows-only (the stub has no DuckDB twin); the spec pins the
+    * schema contract and the byte-stat math.
+    */
+  def m01MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .mapPartitions(_.map(decodeStub))(
+        org.apache.spark.sql.Encoders.product[MediaFeatures])
       .toDF()
       .orderBy(col("doc_id"))
-  }
 
-  /** Resized media: fixed-budget thumbnail payload + scaled dims. */
+  /** Resized media: the thumbnail BYTES (binary out — the re-encode half
+    * of the contract) plus recomputed dims. */
   final case class Resized(doc_id: Long, width: Int, height: Int,
-      thumb_w: Int, thumb_h: Int, thumb_bytes: Int, thumb_head: String)
+      thumb_w: Int, thumb_h: Int, thumb: Array[Byte], thumb_bytes: Int)
+
+  /** The resize stub: ceil-stride sampling spans the WHOLE payload (a
+    * floor stride would only ever read a prefix), standing in for a pixel
+    * resampler. Exposed for the spec. */
+  def resizeStub(r: MediaRow): Resized = {
+    val n = r.payload.length
+    val budget = 64
+    val stride = math.max(1, (n + budget - 1) / budget) // ceil(n/budget)
+    val thumb = Array.range(0, math.min(budget, n))
+      .map(i => r.payload(math.min(n - 1, i * stride)))
+    val th = math.max(1, (64L * r.height / r.width).toInt)
+    Resized(r.doc_id, r.width, r.height, 64, th, thumb, thumb.length)
+  }
 
   /** m03 — resize plumbing: per-row "decode→resample→re-encode" stub via
-    * the same typed mapPartitions batch shape as m01. The resample is a
-    * deterministic stride-sample of the payload bytes standing in for a
-    * pixel resampler (no codecs in this container); dims scale to a
-    * 64-wide thumbnail preserving aspect ratio. The Spark contract —
-    * binary in, binary out, metadata recomputed, narrow scan feeding it —
-    * is exactly what a real resizer needs at 100 TB.
+    * the same typed mapPartitions batch shape as m01; binary in, binary
+    * out, metadata recomputed, narrow scan feeding it — the Spark
+    * contract a real resizer needs at 100 TB.
     */
-  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"),
-        lit("png").as("format"))
-      .as[MediaRow]
-    media.mapPartitions(_.map { r =>
-      val n = r.payload.length
-      val budget = 64
-      val stride = math.max(1, n / budget)
-      val thumb = Array.range(0, math.min(budget, n))
-        .map(i => r.payload(math.min(n - 1, i * stride)))
-      val tw = 64
-      val th = math.max(1, (64L * r.height / r.width).toInt)
-      Resized(r.doc_id, r.width, r.height, tw, th, thumb.length,
-        thumb.take(4).map(b => f"${b & 0xff}%02x").mkString)
-    }).toDF().orderBy(col("doc_id"))
-  }
+  def m03Resize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .mapPartitions(_.map(resizeStub))(
+        org.apache.spark.sql.Encoders.product[Resized])
+      .toDF()
+      .orderBy(col("doc_id"))
 
   /** m02 — frame sampling: chunk the payload into fixed-size "frames" and
     * keep every 2nd one (the video frame-sample shape: a decoder would

@@ -372,16 +372,15 @@ object Relational {
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .join(t.orders, col("c_custkey") === col("o_custkey"))
-      .createOrReplaceTempView("q24_base")
-    spark.sql(
-      """SELECT COALESCE(r_name, 'ALL') AS region,
-        |  COALESCE(o_orderpriority, 'ALL') AS priority,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
-        |FROM q24_base
-        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name),
-        |  (o_orderpriority))
-        |ORDER BY region, priority""".stripMargin)
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderpriority")), Seq(col("r_name")),
+          Seq(col("o_orderpriority"))),
+        col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("region"), col("priority"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Skew}
+
+/** Batch specs for the skew-salting utility (q22) and the multimodal
+  * resize stub (m03). */
+class SkewMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+
+  test("q22 salted join equals plain join under planted 90% key skew") {
+    import spark.implicits._
+    // 900 of 1000 fact rows hit key 7 — the hot-key shape salting exists for
+    val fact = (0L until 1000L)
+      .map(i => (i, if (i < 900) 7L else i % 5)).toDF("id", "k")
+    val dim = (0L until 10L).map(k => (k, s"dim_$k")).toDF("dk", "payload")
+    val saltedRows = Skew
+      .saltedJoin(fact, dim, "k", "dk", col("id"), salts = 8)
+      .select("id", "k", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // length FIRST: a salted join that duplicates matches (e.g. a dropped
+    // __salt equality) must fail here, not be collapsed away by a Set
+    assert(saltedRows.length === 1000)
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("id", "k", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(saltedRows.toSet === plain && plain.size === 1000)
+  }
+
+  test("m03 resize stub: ceil stride spans the payload, dims scale") {
+    val r = Multimodal.MediaRow(0L, Array.tabulate[Byte](127)(_.toByte),
+      width = 320, height = 240, format = "png")
+    val out = Multimodal.resizeStub(r)
+    // ceil(127/64) = 2 → samples 0,2,4,...,126: both halves represented
+    assert(out.thumb_bytes === 64 && out.thumb.length === 64)
+    assert(out.thumb(63) === 126.toByte, "stride must reach the tail")
+    assert(out.thumb_w === 64 && out.thumb_h === 48) // 64 * 240/320
+    // short payload: thumb = whole payload
+    val small = Multimodal.resizeStub(r.copy(payload = Array[Byte](1, 2, 3)))
+    assert(small.thumb.toSeq === Seq[Byte](1, 2, 3))
+    // determinism
+    assert(Multimodal.resizeStub(r).thumb.toSeq === out.thumb.toSeq)
+  }
+}

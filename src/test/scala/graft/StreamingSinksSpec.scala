@@ -148,22 +148,6 @@ class StreamingSinksSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
-  test("q22 salted join equals plain join under planted 90% key skew") {
-    import spark.implicits._
-    // 900 of 1000 fact rows hit key 7 — the hot-key shape salting exists for
-    val fact = (0L until 1000L)
-      .map(i => (i, if (i < 900) 7L else i % 5)).toDF("id", "k")
-    val dim = (0L until 10L).map(k => (k, s"dim_$k")).toDF("dk", "payload")
-    val salted = graft.operators.Skew
-      .saltedJoin(fact, dim, "k", "dk", col("id"), salts = 8)
-      .select("id", "k", "payload").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    val plain = fact.join(dim, col("k") === col("dk"))
-      .select("id", "k", "payload").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    assert(salted === plain && plain.size === 1000)
-  }
-
   test("k03 incremental ∘ resume equals one-shot batch") {
     import spark.implicits._
     val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
