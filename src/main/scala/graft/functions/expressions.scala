@@ -102,8 +102,10 @@ object ExprImpl {
       var acc = 0.0
       var d = 0
       while (d < n) {
-        val w = if ((mix64(p.toLong * 1000003L + d) & 1L) == 0L) 1.0 else -1.0
-        acc += v.getFloat(d).toDouble * w
+        if (!v.isNullAt(d)) { // input type permits null elements
+          val w = if ((mix64(p.toLong * 1000003L + d) & 1L) == 0L) 1.0 else -1.0
+          acc += v.getFloat(d).toDouble * w
+        }
         d += 1
       }
       if (acc > 0.0) sig |= (1L << p)
@@ -121,8 +123,9 @@ object ExprImpl {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      // null elements (permitted by the input type) contribute 0
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

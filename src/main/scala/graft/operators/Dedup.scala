@@ -28,17 +28,6 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("h"))
 
-  /** 3-word shingle hash array over a PRE-SPLIT word-array column.
-    * The split must be materialized by the caller: an expression inside a
-    * transform() lambda is re-evaluated per element, so splitting in here
-    * would make shingling O(words²) per document.
-    */
-  private def shingleHashes(ws: Column, text: Column): Column =
-    when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => xxhash64(concat_ws(" ", slice(ws, i, lit(3))))))
-      .otherwise(array(xxhash64(text)))
-
   /** d02 — MinHash+LSH near-dup. shingle→16 minhashes (one pass, custom
     * codegen'd expression)→4 bands of 4→bucket equi-join→exact Jaccard on
     * survivors. The only shuffle is the band-bucket join; candidate pairs
@@ -48,7 +37,8 @@ object Dedup {
   def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), shingleHashes(col("ws"), col("text")).as("sh"))
+      .select(col("doc_id"),
+        Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
       .select(col("doc_id"), col("sh"), minhashes(col("sh"), 16).as("mh"))
     // candidate generation shuffles ONLY (doc_id, band, bucket) — 24
     // bytes/row. The shingle arrays (≈ the corpus itself) never enter the
@@ -111,13 +101,11 @@ object Dedup {
     * comprehensions).
     */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ws = col("ws") // pre-split — see shingleHashes note
     val docs = Tables(spark, dir).documents
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(ws) - 2),
-          i => concat_ws(" ", slice(ws, i, lit(3))))).as("sh"))
+        array_distinct(Shingles.strings(col("ws"), 3)).as("sh"))
     docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /

@@ -106,12 +106,18 @@ object Multimodal {
     */
   def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val nLast = floor((length(col("text")) - 1) / 64).cast("int")
+    // empty text: nLast = -1 and sequence(0, -1) would generate a
+    // DESCENDING [0, -1] — emit zero frames instead, matching the
+    // oracle's empty range
+    val frames = when(length(col("text")) > 0,
+      transform(sequence(lit(0), nLast),
+        i => substr(col("text"), i * 64 + 1, lit(64))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
     Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nLast),
-          i => substr(col("text"), i * 64 + 1, lit(64))))
-          .as(Seq("frame_idx", "frame")))
+        posexplode(frames).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % 2 === 0)
       .select(col("doc_id"), col("frame_idx"),
         md5(col("frame").cast("binary")).as("frame_md5"),

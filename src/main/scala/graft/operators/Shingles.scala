@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** The ONE word-shingle implementation (d02/d04/t04 share it — three
+  * inline copies previously diverged on the short-document guard, which
+  * produced a real crash: sequence(1, n) with n <= 0 generates a
+  * DESCENDING sequence and slice(ws, 0, w) throws).
+  *
+  * `ws` must be a PRE-SPLIT word-array column: an expression inside a
+  * transform() lambda is re-evaluated per element, so splitting in here
+  * would make shingling O(words²) per document.
+  */
+object Shingles {
+
+  private def windows(ws: Column, width: Int, make: Column => Column): Column =
+    transform(sequence(lit(1), size(ws) - (width - 1)),
+      i => make(concat_ws(" ", slice(ws, i, lit(width)))))
+
+  /** width-word shingle hashes; short docs fall back to one whole-text
+    * hash (the d02/t04 contract: every doc gets a non-empty signature). */
+  def hashes(ws: Column, text: Column, width: Int): Column =
+    when(size(ws) >= width, windows(ws, width, xxhash64(_)))
+      .otherwise(array(xxhash64(text)))
+
+  /** width-word shingle strings; short docs yield an EMPTY set (the d04
+    * contract, matching its DuckDB oracle: no shingles → NULL/NaN jaccard
+    * → pair filtered). */
+  def strings(ws: Column, width: Int): Column =
+    when(size(ws) >= width, windows(ws, width, identity))
+      .otherwise(array().cast(ArrayType(StringType)))
+}

@@ -80,7 +80,7 @@ object Similarity {
 
   /** s03 — IVF-style ANN: a fixed coarse quantizer (16 deterministic
     * centroid vectors, broadcast), one linear assignment pass bucketing the
-    * corpus into cells, queries probe their top-4 nearest cells and
+    * corpus into cells, queries probe their top-6 nearest cells and
     * exact-rerank only those cells' members. The corpus-side cost is
     * O(N·K) kernel evals + one equi-join on cell_id — at 100 TB the
     * inverted lists are just hash partitions of the corpus, and nprobe

@@ -97,17 +97,10 @@ object TextAnalysis {
     * fingerprint) and mutation sensitivity.
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the split ONCE: an expression inside a transform() lambda
-    // is re-evaluated per element, so referencing split(text) there would
-    // make shingling O(words²) per document
-    val ws = col("ws")
-    val shingleHashes = when(size(ws) >= 4,
-      transform(sequence(lit(1), size(ws) - 3),
-        i => xxhash64(concat_ws(" ", slice(ws, i, lit(4))))))
-      .otherwise(array(xxhash64(col("text"))))
     Tables(spark, dir).documents
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), shingleHashes.as("sh"))
+      .select(col("doc_id"),
+        Shingles.hashes(col("ws"), col("text"), 4).as("sh"))
       .select(col("doc_id"), array_min(col("sh")).as("fp_min"),
         array_max(col("sh")).as("fp_max"), size(col("sh")).as("n_shingles"))
       .orderBy(col("doc_id"))

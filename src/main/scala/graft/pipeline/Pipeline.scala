@@ -36,7 +36,13 @@ object Incremental {
     try {
       val r = spark.read.parquet(sinkPath).agg(max(col(keyCol))).head
       if (r.isNullAt(0)) from else r.getLong(0) + 1L
-    } catch { case _: Exception => from } // sink absent → first run
+    } catch {
+      // ONLY a missing sink means "first run" — swallowing other errors
+      // (transient FS, corrupt footer, wrong key type) would silently
+      // reset the resume point to 0 and re-append the entire history
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => from
+    }
 
   /** One incremental tick: keep only source rows at/after the resume point,
     * run the pipeline, append to the sink. Mirrors the reference loop body
@@ -59,8 +65,7 @@ object Incremental {
     * whole reference architecture rests on.
     */
   def k03Pipeline(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.sources.Tables(spark, dir).events
     val sink = Files.createTempDirectory("graft_k03_").toString + "/sink"
     val pipe = Pipeline(Seq(
       Step("project", _.select(col("event_id"), col("user_id"),

@@ -11,18 +11,27 @@ import org.apache.spark.sql.functions.expr
   * predicates into the parquet scan. At cluster scale the same loaders work
   * unchanged against a directory of many files.
   */
+object Tables {
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. The ONE copy of the load-time contract every events reader
+    * (batch loader, file stream, pipeline demos) shares: read nanos as
+    * long (legacy conf) and rebuild a microsecond timestamp — lossless
+    * for this data, and µs is what the DuckDB oracle uses anyway.
+    */
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+}
+
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read nanos as long (legacy conf) and rebuild a microsecond
-    * timestamp — lossless for this data (no sub-µs components), and µs is
-    * what every other engine (and the DuckDB oracle) uses anyway.
-    */
   private def eventsRaw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.enableNanosAsLong(spark)
+    Tables.normalizeEventTs(t("events"))
   }
 
   def region: DataFrame     = t("region")

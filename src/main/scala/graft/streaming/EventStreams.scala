@@ -76,23 +76,21 @@ object EventStreams {
 
   private val memId = new AtomicInteger(0)
 
-  /** events.parquet as a *streaming* source; same nanos→µs normalization as
-    * sources.Tables (the file carries TIMESTAMP(NANOS) which Spark's reader
-    * only exposes as long).
-    */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]
 
+  /** events.parquet as a *streaming* source; shares sources.Tables' ONE
+    * nanos→µs normalization. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.enableNanosAsLong(spark)
     val schema = schemaCache.computeIfAbsent(s"$dir/events.parquet",
       p => spark.read.parquet(p).schema)
     // file streams need a directory source; the glob filter scopes it to
     // the events table (the driver's sf dirs hold one file per table)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Run a streaming transform to completion over the (finite) file source
@@ -113,11 +111,14 @@ object EventStreams {
       .orderBy(col("day"), col("event_type"))
 
   /** st03 — the reference's whole ingest architecture in one operator:
-    * stream batches in, fold each micro-batch through the incremental
-    * pipeline into a parquet sink via foreachBatch (cherry's provider loop
-    * → transform → ClickHouse insert, with db.py's MAX+1 resume making
-    * re-delivered batches idempotent). The sink layout is k01's
-    * (partition-pruned, sorted); the oracle is the one-shot batch answer.
+    * stream batches in, fold each micro-batch through the pipeline into a
+    * parquet sink via foreachBatch (cherry's provider loop → transform →
+    * ClickHouse insert). The db.py MAX+1 resume point is computed ONCE at
+    * stream start — re-reading it per micro-batch would silently DROP any
+    * later batch whose keys sort below an earlier batch's max (file/batch
+    * order is not key order). Within a run, exactly-once comes from each
+    * event living in exactly one micro-batch; across runs, from the
+    * resume filter. The oracle is the one-shot batch answer.
     */
   def st03StreamSink(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Incremental
@@ -128,9 +129,11 @@ object EventStreams {
         col("event_type"), col("value"))),
       Incremental.Step("boost", _.withColumn("boosted", col("value") * 2.0)
         .drop("value"))))
+    val start = Incremental.nextStart(spark, sink, "event_id")
     val q = eventsStream(spark, dir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Incremental.runIncrement(batch, sink, "event_id", pipe): Unit
+        pipe.run(batch.filter(col("event_id") >= start))
+          .write.mode("append").parquet(sink): Unit
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -144,7 +147,14 @@ object EventStreams {
         col("event_id").cast("long").as("event_id"),
         unix_micros(col("ts")).as("ts_us"))
       .as[Ev]
+    // Update-mode memory sink APPENDS one row per user per micro-batch;
+    // keep each user's FINAL state (counts are monotone) so a multi-batch
+    // source yields the same one-row-per-user shape as the oracle
     runToTable(sessionize(evs).toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_sessions").as("n_sessions"))
       .orderBy(col("user_id"))
   }
 
