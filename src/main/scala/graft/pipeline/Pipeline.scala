@@ -44,6 +44,19 @@ object Incremental {
           if e.getCondition == "PATH_NOT_FOUND" => from
     }
 
+  /** MIN(key) over the sink (db.py:8-27 get_min_block's probe — used by
+    * the reference to detect backfill gaps); None when the sink is absent
+    * or empty. */
+  def minKey(spark: SparkSession, sinkPath: String,
+      keyCol: String): Option[Long] =
+    try {
+      val r = spark.read.parquet(sinkPath).agg(min(col(keyCol))).head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
+
   /** One incremental tick: keep only source rows at/after the resume point,
     * run the pipeline, append to the sink. Mirrors the reference loop body
     * (swap_prices.py:59-116): read [start, tip], transform, insert.

@@ -137,7 +137,34 @@ object Writers {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** k05 — static in-code dictionary enrich: the reference registers a
+    * code-defined mapping as a ClickHouse DICTIONARY (db.py create_dict +
+    * evm/chain_id.py chain_id→chain_name) and tags rows via dictGet /
+    * SET_CHAIN_ID. Spark-first: the literal mapping IS a broadcast dim —
+    * same O(1) per-row lookup, no external object to manage, and the
+    * optimizer sees through it.
+    */
+  def k05StaticDict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Seq("click" -> 1L, "view" -> 2L, "purchase" -> 3L,
+      "signup" -> 4L, "error" -> 5L).toDF("event_type", "type_id")
+    graft.sources.Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(dict), Seq("event_type"), "left")
+      .select(col("event_type"), col("type_id"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "k05_static_dict" ->
+      """SELECT e.event_type, t.type_id, COUNT(*) AS n
+        |FROM events e
+        |LEFT JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
+        |  ('signup', 4), ('error', 5)) AS t(event_type, type_id)
+        |  ON e.event_type = t.event_type
+        |GROUP BY e.event_type, t.type_id
+        |ORDER BY e.event_type""".stripMargin,
     "k04_bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
@@ -153,6 +180,7 @@ object Writers {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k01_parquet_sink" -> (k01ParquetSink _),
     "k02_jdbc_sink" -> (k02JdbcSink _),
-    "k04_bucketed_join" -> (k04BucketedJoin _)
+    "k04_bucketed_join" -> (k04BucketedJoin _),
+    "k05_static_dict" -> (k05StaticDict _)
   )
 }

@@ -155,6 +155,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     val pipe = Incremental.Pipeline(Seq(
       Incremental.Step("t", _.withColumn("v3", col("v") * 3))))
     assert(Incremental.nextStart(spark, sink, "k") === 0L)
+    assert(Incremental.minKey(spark, sink, "k") === None) // absent sink
     assert(Incremental.runIncrement(src.filter(col("k") < 40), sink, "k",
       pipe) === 0L)
     assert(Incremental.nextStart(spark, sink, "k") === 40L)
@@ -162,6 +163,7 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(Incremental.runIncrement(src, sink, "k", pipe) === 40L)
     // re-delivering the SAME source is idempotent: tick 3 appends nothing
     assert(Incremental.runIncrement(src, sink, "k", pipe) === 100L)
+    assert(Incremental.minKey(spark, sink, "k") === Some(0L)) // min probe
     val got = spark.read.parquet(sink).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length === 100)
