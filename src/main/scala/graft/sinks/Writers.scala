@@ -25,15 +25,24 @@ object Writers {
     * readable table and a small-files incident. maxRecordsPerFile bounds
     * file size for downstream parallelism.
     */
+  /** `bloomCols` reproduces the reference DDLs' `INDEX ... TYPE
+    * bloom_filter` point-lookup skipping via parquet's native bloom
+    * filters (readers prune row groups on equality predicates over
+    * high-cardinality columns the minmax sort key can't help with). */
   def partitionedSortedParquet(df: DataFrame, path: String,
       partCols: Seq[String], sortCols: Seq[String],
-      maxRecordsPerFile: Long = 5000000L): Unit =
-    df.repartition(partCols.map(col): _*)
+      bloomCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    bloomCols
+      .foldLeft(w)((w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true"))
       .partitionBy(partCols: _*)
       .parquet(path)
+  }
 
   /** k02 — JDBC batch sink (ClickHouse writer analog,
     * cc.ClickHouseWriterConfig in the reference pipelines). Pure
@@ -72,7 +81,8 @@ object Writers {
         "o_orderdate")
     partitionedSortedParquet(orders, out,
       partCols = Seq("o_orderpriority"),
-      sortCols = Seq("o_orderdate", "o_orderkey"))
+      sortCols = Seq("o_orderdate", "o_orderkey"),
+      bloomCols = Seq("o_custkey")) // the `from`/`to` bloom-index analog
     spark.read.parquet(out)
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
         "o_orderdate")

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -102,9 +104,10 @@ class StreamingSinksSpec extends AnyFunSuite {
   test("k01 layout: one directory per partition value, rows sorted in-file") {
     val out = Files.createTempDirectory("k01_spec_").toString
     val orders = graft.sources.Tables(spark, sfDir).orders
-      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
     Writers.partitionedSortedParquet(orders, out,
-      Seq("o_orderpriority"), Seq("o_orderdate", "o_orderkey"))
+      Seq("o_orderpriority"), Seq("o_orderdate", "o_orderkey"),
+      bloomCols = Seq("o_custkey"))
     val dirs = new java.io.File(out).listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("o_orderpriority=")))
@@ -120,6 +123,29 @@ class StreamingSinksSpec extends AnyFunSuite {
     }
     // round trip is lossless
     assert(spark.read.parquet(out).count() === orders.count())
+  }
+
+  test("k01 bloom option lands in footers for non-dictionary columns") {
+    // parquet only writes a bloom when the chunk is NOT fully
+    // dictionary-encoded (the dictionary already gives exact skipping) —
+    // i.e. precisely the high-cardinality 100 TB address-column case, so
+    // the spec uses a cardinality that defeats the dictionary
+    import spark.implicits._
+    val out = Files.createTempDirectory("k01_bloom_").toString
+    val df = (0L until 50000L)
+      .map(i => (i, i * 2654435761L % 1000000007L, (i % 4).toString))
+      .toDF("id", "addr", "part")
+    Writers.partitionedSortedParquet(df, out, Seq("part"), Seq("id"),
+      bloomCols = Seq("addr"))
+    val f = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(f.getPath))
+    val chunk = footer.getBlocks.get(0).getColumns.asScala
+      .find(_.getPath.toDotString == "addr").get
+    assert(chunk.getBloomFilterOffset >= 0,
+      s"no bloom for addr (enc=${chunk.getEncodings})")
   }
 
   test("k02 jdbc sink resolves ClickHouse-appropriate writer options") {
