@@ -58,13 +58,16 @@ object DomainFunctions {
       .orderBy(col("doc_id"))
 
   /** f05 — u256 32-byte BE binary codec round trip (erc20 amount
-    * Decimal256 decode). Oracle = direct decimal cast of the same long. */
+    * Decimal256 decode). The final amount is emitted as a canonical
+    * decimal string — the engine-portable representation for values that
+    * may exceed every native numeric width. Oracle = the same arithmetic
+    * on the source longs, cast to VARCHAR. */
   def f05U256Roundtrip(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
         u256_to_decimal(
           u256_from_long(col("doc_id") * lit(1000000L) + col("n_chars")))
-          .as("amount"))
+          .cast("string").as("amount"))
       .orderBy(col("doc_id"))
 
   /** f06 — exact 256-bit SUM per group (ClickHouse sums ERC-20 amounts as
@@ -78,14 +81,14 @@ object DomainFunctions {
       .groupBy(col("source"))
       .agg(u256_to_decimal(
         u256_sum(u256_from_long(col("doc_id") * lit(1000000L) + col("n_chars"))))
-        .as("amount"))
+        .cast("string").as("amount"))
       .orderBy(col("source"))
 
   val oracle: Map[String, String] = Map(
     "f06_u256_sum" ->
       """SELECT source,
-        |  CAST(SUM(CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)))
-        |    AS DECIMAL(38,0)) AS amount
+        |  CAST(CAST(SUM(CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS amount
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "f01_hex_encode" ->
       """SELECT doc_id, hex(text) AS hx FROM documents ORDER BY doc_id""",
@@ -97,7 +100,7 @@ object DomainFunctions {
       """SELECT doc_id, sha256(text) AS h FROM documents ORDER BY doc_id""",
     "f05_u256_decode" ->
       """SELECT doc_id,
-        |  CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)) AS amount
+        |  CAST(CAST(doc_id * 1000000 + n_chars AS BIGINT) AS VARCHAR) AS amount
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -93,7 +93,7 @@ object Pipelines {
         .select(col("user_id"), col("event_id"), col("ts_sec"),
           lit(quote).as("quote"),
           (col("trail_sum") / col("trail_n")).cast(DecimalType(38, 9))
-            .as("vwap"))
+            .cast("double").as("vwap"))
     branch("click", "SOL").unionByName(branch("purchase", "USD"))
       .orderBy(col("quote"), col("user_id"), col("event_id"))
   }
@@ -128,7 +128,7 @@ object Pipelines {
       .select(col("l_orderkey"), col("l_linenumber"),
         lower(hex(substring(col("topic1"), 13, 20))).as("from_addr"),
         lower(hex(substring(col("topic2"), 13, 20))).as("to_addr"),
-        u256_to_decimal(col("data")).as("amount"))
+        u256_to_decimal(col("data")).cast("string").as("amount"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"), "left")
       .select(col("l_orderkey"), col("l_linenumber"), col("from_addr"),
@@ -141,8 +141,8 @@ object Pipelines {
       """SELECT l_orderkey, l_linenumber,
         |  printf('%040x', l_partkey) AS from_addr,
         |  printf('%040x', l_suppkey) AS to_addr,
-        |  CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
-        |    AS DECIMAL(38,0)) AS amount,
+        |  CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+        |    AS amount,
         |  o_orderdate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -187,7 +187,7 @@ object Pipelines {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
         |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, ts_sec, quote,
-        |  CAST(trail_sum / trail_n AS DECIMAL(38,9)) AS vwap
+        |  CAST(CAST(trail_sum / trail_n AS DECIMAL(38,9)) AS DOUBLE) AS vwap
         |FROM (
         |  SELECT *, 'SOL' AS quote FROM windowed WHERE event_type = 'click'
         |  UNION ALL

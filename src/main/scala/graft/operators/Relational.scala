@@ -216,16 +216,18 @@ object Relational {
   }
 
   /** q14 — Decimal(38,9) ratio/price math (swap_prices.py:203-217 price =
-    * amount_a/amount_b in Decimal). Elementwise double division is
-    * IEEE-deterministic in both engines; the final cast fixes the scale.
+    * amount_a/amount_b in Decimal). The ratio is computed and rounded in
+    * decimal; the final output casts back to double (values stay ≤15
+    * significant digits) so the result is engine-portable.
     */
   def q14DecimalRatio(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).lineitem
       .filter(col("l_quantity") > lit(0.0))
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") / col("l_quantity"))
-          .cast(DecimalType(38, 9)).as("unit_price"),
-        col("l_extendedprice").cast(DecimalType(18, 6)).as("price_dec"))
+          .cast(DecimalType(38, 9)).cast("double").as("unit_price"),
+        col("l_extendedprice").cast(DecimalType(18, 6)).cast("double")
+          .as("price_dec"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -465,8 +467,8 @@ object Relational {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q14_decimal_ratio" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice / l_quantity AS DECIMAL(38,9)) AS unit_price,
-        |  CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec
+        |  CAST(CAST(l_extendedprice / l_quantity AS DECIMAL(38,9)) AS DOUBLE) AS unit_price,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DOUBLE) AS price_dec
         |FROM lineitem WHERE l_quantity > 0.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q15_semi_join" ->

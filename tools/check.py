@@ -25,14 +25,42 @@ def canon(df):
     return df
 
 
+def _canon_val(v):
+    """Mimic the driver's hash input: the value's canonical repr.
+
+    numpy scalars unwrap to python; Decimal stays Decimal (so a Spark
+    decimal128 column vs a DuckDB float64 column FAILS, as in the driver)."""
+    if v is None:
+        return "None"
+    if hasattr(v, "item"):
+        v = v.item()
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "None" if v is None else "nan"
+    try:
+        if v != v:  # NaT and friends
+            return "nan"
+    except Exception:
+        pass
+    # temporal normalization: date vs datetime64 repr noise is NOT the
+    # signal we hunt (the driver reads both engines' temporals identically);
+    # decimals stay strict.
+    if hasattr(v, "strftime"):
+        us = getattr(v, "microsecond", 0)
+        return v.strftime("%Y-%m-%d %H:%M:%S") + f".{us:06d}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return repr(v)
+
+
 def values_equal(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+    try:
+        if a is None and b is None:
             return True
-        return a == b
-    return a == b
+    except Exception:
+        pass
+    return _canon_val(a) == _canon_val(b)
 
 
 def main():
@@ -56,10 +84,15 @@ def main():
             failures += 1
             continue
         try:
+            import glob as _g
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+            parts = sorted(_g.glob(f"{out_dir}/{name}/*.parquet"))
             got = canon(
-                con.execute(
-                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-                ).df()
+                _pd.concat(
+                    [_pq.read_table(p).to_pandas() for p in parts],
+                    ignore_index=True,
+                )
             )
         except Exception as e:
             print(f"FAIL {name}: spark output missing/unreadable: {e}")
