@@ -111,7 +111,9 @@ object Pipelines {
     * columns — agreement proves encode∘decode is the identity.
     */
   def p03Erc20Pipeline(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{keccak256, u256_from_long, u256_to_decimal}
+    import graft.functions.{keccak256, u256_from_long, EvmAbi}
+    val erc20Sig =
+      "Transfer(address indexed from, address indexed to, uint256 amount)"
     val t = Tables(spark, dir)
     val logs = t.lineitem.select(
       col("l_orderkey"), col("l_linenumber"),
@@ -121,18 +123,52 @@ object Pipelines {
       u256_from_long(col("l_suppkey")).as("topic2"),
       u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
         .as("data"))
-    val expectedTopic0 =
-      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
-    logs
-      .filter(lower(hex(col("topic0"))) === expectedTopic0)
+    EvmAbi.decodeEvent(
+        logs.filter(lower(hex(col("topic0"))) ===
+          EvmAbi.signatureTopic0Hex(erc20Sig)),
+        erc20Sig)
       .select(col("l_orderkey"), col("l_linenumber"),
-        lower(hex(substring(col("topic1"), 13, 20))).as("from_addr"),
-        lower(hex(substring(col("topic2"), 13, 20))).as("to_addr"),
-        u256_to_decimal(col("data")).cast("string").as("amount"))
+        col("from").as("from_addr"), col("to").as("to_addr"),
+        col("amount").cast("string").as("amount"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"), "left")
       .select(col("l_orderkey"), col("l_linenumber"), col("from_addr"),
         col("to_addr"), col("amount"), col("o_orderdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** p06 — generalized event decode through the same API, on a *second*
+    * event type (VERDICT.md missing #1): a mixed synthesized log stream
+    * holds Approval rows, Transfer decoys (different topic0), and
+    * malformed Approval rows (right topic0, empty data — the shared-
+    * topic0 hazard erc20_transfers.py:137-140 documents). The scan-time
+    * topic0 filter drops the decoys; `allow_decode_fail` semantics null
+    * every decoded column of the malformed rows instead of erroring. */
+  def p06EventDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{keccak256, u256_from_long, EvmAbi}
+    val approvalSig =
+      "Approval(address indexed owner, address indexed spender, uint256 value)"
+    val logs = Tables(spark, dir).lineitem
+      .filter(col("l_linenumber") <= 3)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") === 2,
+          keccak256(lit("Transfer(address,address,uint256)").cast("binary")))
+          .otherwise(
+            keccak256(lit("Approval(address,address,uint256)").cast("binary")))
+          .as("topic0"),
+        u256_from_long(col("l_partkey")).as("topic1"),
+        u256_from_long(col("l_suppkey")).as("topic2"),
+        when(col("l_linenumber") === 3, lit(Array.emptyByteArray))
+          .otherwise(
+            u256_from_long(floor(col("l_extendedprice") * 100).cast("long")))
+          .as("data"))
+    EvmAbi.decodeEvent(
+        logs.filter(lower(hex(col("topic0"))) ===
+          EvmAbi.signatureTopic0Hex(approvalSig)),
+        approvalSig)
+      .select(col("l_orderkey"), col("l_linenumber"), col("owner"),
+        col("spender"), col("value").cast("string").as("value"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -145,6 +181,17 @@ object Pipelines {
         |    AS amount,
         |  o_orderdate
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p06_event_decode" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 1 THEN printf('%040x', l_partkey) END
+        |    AS owner,
+        |  CASE WHEN l_linenumber = 1 THEN printf('%040x', l_suppkey) END
+        |    AS spender,
+        |  CASE WHEN l_linenumber = 1 THEN
+        |    CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+        |  END AS value
+        |FROM lineitem WHERE l_linenumber IN (1, 3)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "p01_swaps_pipeline" ->
       """WITH swaps AS (
@@ -199,6 +246,7 @@ object Pipelines {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_swaps_pipeline" -> (p01SwapsPipeline _),
     "p02_vwap_pipeline" -> (p02VwapPipeline _),
-    "p03_erc20_pipeline" -> (p03Erc20Pipeline _)
+    "p03_erc20_pipeline" -> (p03Erc20Pipeline _),
+    "p06_event_decode" -> (p06EventDecode _)
   )
 }

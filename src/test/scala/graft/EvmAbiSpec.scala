@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.EvmAbi
+import graft.functions.EvmAbi._
+
+/** The generalized event-ABI decoder: signature parsing, canonicalization,
+  * topic0 derivation (public keccak vectors), word decoding for each
+  * supported type, and the allow_decode_fail null semantics — including
+  * the ERC-721-Transfer-shares-ERC-20-topic0 hazard the reference's
+  * allow_decode_fail flag exists for (erc20_transfers.py:131-141).
+  */
+class EvmAbiSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def u256(v: Long): Array[Byte] = {
+    val b = new Array[Byte](32)
+    var x = v; var i = 31
+    while (x != 0) { b(i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+    b
+  }
+  private val transferHex =
+    "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+  test("parse full signature: names, indexed markers, canonical form") {
+    val sig = parseEvent(
+      "Transfer(address indexed from, address indexed to, uint256 amount)")
+    assert(sig.event === "Transfer")
+    assert(sig.canonical === "Transfer(address,address,uint256)")
+    assert(sig.params.map(_.name) === Seq("from", "to", "amount"))
+    assert(sig.params.map(_.indexed) === Seq(true, true, false))
+    assert(sig.topic0Hex === transferHex) // public ERC-20 vector
+  }
+
+  test("parse canonical signature: auto names, uint alias, width checks") {
+    val sig = parseEvent("E(address,uint,bool,bytes32,uint64)")
+    assert(sig.canonical === "E(address,uint256,bool,bytes32,uint64)")
+    assert(sig.params.map(_.name) === Seq("p0", "p1", "p2", "p3", "p4"))
+    intercept[IllegalArgumentException](parseEvent("E(uint7)"))
+    intercept[IllegalArgumentException](parseEvent("E(bytes33)"))
+    intercept[IllegalArgumentException](parseEvent("E(int256)"))
+    intercept[IllegalArgumentException](
+      parseEvent("E(string data)")) // non-indexed dynamic
+    intercept[IllegalArgumentException](
+      parseEvent("E(uint256 indexed a, uint256 indexed b, " +
+        "uint256 indexed c, uint256 indexed d)")) // >3 indexed
+  }
+
+  test("decode a well-formed Transfer log: all three columns") {
+    val df = Seq((1L, u256(0xabcdefL), u256(0x1234L), u256(99999L)))
+      .toDF("id", "topic1", "topic2", "data")
+      .withColumn("topic0", unhex(lit(transferHex)))
+    val out = EvmAbi.decodeEvent(df,
+      "Transfer(address indexed from, address indexed to, uint256 amount)")
+      .select("from", "to", "amount").head
+    assert(out.getString(0) === "0" * 34 + "abcdef")
+    assert(out.getString(1) === "0" * 36 + "1234")
+    assert(out.getDecimal(2).longValueExact === 99999L)
+  }
+
+  test("typed decode: bool, bytes32, uint32 as long, indexed dynamic") {
+    // uint64's max exceeds Long so it stays Decimal; uint32 narrows to long
+    val sig = "E(bool indexed flag, uint32 n, bytes32 h, string indexed s)"
+    val hash = Array.fill[Byte](32)(0x11)
+    val df = Seq((u256(1L), hash, u256(42L) ++ u256(7L)))
+      .toDF("topic1", "topic2", "data")
+      .withColumn("topic0",
+        unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    val r = EvmAbi.decodeEvent(df, sig).select("flag", "n", "h", "s").head
+    assert(r.getBoolean(0) === true)
+    assert(r.getLong(1) === 42L)
+    assert(r.getAs[Array[Byte]](2).toSeq === u256(7L).toSeq)
+    assert(r.getString(3) === "11" * 32)
+  }
+
+  test("allow_decode_fail: malformed rows yield all-null decode") {
+    val good = Row(1L, unhexStr(transferHex), u256(1L), u256(2L), null,
+      u256(10L))
+    val wrongTopic0 = Row(2L, u256(0xdeadL), u256(1L), u256(2L), null,
+      u256(10L))
+    val shortData = Row(3L, unhexStr(transferHex), u256(1L), u256(2L), null,
+      Array[Byte](1, 2, 3))
+    val emptyData = Row(4L, unhexStr(transferHex), u256(1L), u256(2L), null,
+      Array.emptyByteArray)
+    // ERC-721 shape: same topic0, tokenId indexed → topic3 set, data empty
+    val erc721 = Row(5L, unhexStr(transferHex), u256(1L), u256(2L),
+      u256(777L), Array.emptyByteArray)
+    val missingTopic = Row(6L, unhexStr(transferHex), u256(1L), null, null,
+      u256(10L))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("topic0",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic1",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic2",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic3",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(good, wrongTopic0, shortData, emptyData,
+        erc721, missingTopic), schema)
+    val out = EvmAbi.decodeEvent(df,
+      "Transfer(address indexed from, address indexed to, uint256 amount)")
+      .select("id", "from", "to", "amount").orderBy("id").collect()
+    assert(out.length === 6)
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2) && !out(0).isNullAt(3))
+    out.drop(1).foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"row ${r.getLong(0)} should be all-null")
+    }
+  }
+
+  test("decode is a pure projection — no shuffle, no UDF in the plan") {
+    val df = Seq((u256(1L), u256(2L), u256(3L)))
+      .toDF("topic1", "topic2", "data")
+      .withColumn("topic0", unhex(lit(transferHex)))
+    val plan = EvmAbi.decodeEvent(df,
+      "Transfer(address indexed from, address indexed to, uint256 amount)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+
+  private def unhexStr(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+}
