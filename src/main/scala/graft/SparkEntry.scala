@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Pipelines.queries ++
+      operators.SvmInstr.queries ++
       streaming.EventStreams.queries ++
       sinks.Writers.queries ++
       pipeline.Incremental.queries
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
       operators.Pipelines.oracle ++
+      operators.SvmInstr.oracle ++
       streaming.EventStreams.oracle ++
       sinks.Writers.oracle ++
       pipeline.Incremental.oracle

@@ -336,3 +336,95 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+// ---- little-endian binary codecs (Borsh instruction-data decode) ----
+// The reference decodes SVM instruction payloads as little-endian fields
+// after a discriminator prefix (raydium_swaps.py:47-186 InstructionSignature
+// / DynType.U64/U128/Bool). These are the codegen'd primitives the
+// data-driven variant registry (operators/SvmInstr.scala) composes.
+
+object LeImpl {
+  /** Unsigned little-endian integer of `width` ≤ 8 bytes at 0-based `off`;
+    * null when out of range or (width 8) the value exceeds Long.MaxValue. */
+  def leLong(b: Array[Byte], off: Int, width: Int): java.lang.Long = {
+    if (off < 0 || width <= 0 || width > 8 || off + width > b.length) return null
+    var v = 0L
+    var i = width - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    if (width == 8 && v < 0) null else java.lang.Long.valueOf(v)
+  }
+
+  /** Unsigned little-endian integer of `width` ≤ 16 bytes at `off` as
+    * Decimal(38,0); null when out of range or beyond 38 digits (u128 max
+    * has 39 — same overflow-to-null contract as u256_to_decimal). */
+  def leDecimal(b: Array[Byte], off: Int, width: Int): Decimal = {
+    if (off < 0 || width <= 0 || width > 16 || off + width > b.length) return null
+    val be = new Array[Byte](width)
+    var i = 0
+    while (i < width) { be(i) = b(off + width - 1 - i); i += 1 }
+    val d = new java.math.BigDecimal(new BigInteger(1, be))
+    if (d.precision > 38) null else Decimal(d, 38, 0)
+  }
+
+  /** Long → `width`-byte little-endian binary (unsigned truncate) — the
+    * encode side, for synthesizing ABI-shaped test payloads. */
+  def leFromLong(v: Long, width: Int): Array[Byte] = {
+    val out = new Array[Byte](width)
+    var x = v
+    var i = 0
+    while (i < width && i < 8) { out(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    out
+  }
+}
+
+/** le_long(binary) → long: unsigned LE field at fixed (offset, width). */
+case class LeLong(child: Expression, offset: Int, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "le_long"
+  override protected def nullSafeEval(input: Any): Any =
+    LeImpl.leLong(input.asInstanceOf[Array[Byte]], offset, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long ll = graft.functions.LeImpl.leLong($c, $offset, $width);
+         |if (ll == null) { ${ev.isNull} = true; } else { ${ev.value} = ll.longValue(); }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): LeLong =
+    copy(child = newChild)
+}
+
+/** le_decimal(binary) → Decimal(38,0): unsigned LE field (u128 and friends). */
+case class LeDecimal(child: Expression, offset: Int, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
+  override def prettyName: String = "le_decimal"
+  override protected def nullSafeEval(input: Any): Any =
+    LeImpl.leDecimal(input.asInstanceOf[Array[Byte]], offset, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.LeImpl.leDecimal($c, $offset, $width);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): LeDecimal =
+    copy(child = newChild)
+}
+
+/** le_from_long(long) → width-byte LE binary (encode side). */
+case class LeFromLong(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "le_from_long"
+  override protected def nullSafeEval(input: Any): Any =
+    LeImpl.leFromLong(input.asInstanceOf[Long], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LeImpl.leFromLong($c, $width)")
+  override protected def withNewChildInternal(newChild: Expression): LeFromLong =
+    copy(child = newChild)
+}

@@ -35,6 +35,9 @@ package object functions {
   def u256_from_long(c: Column): Column = u(c)(U256FromLong)
   def u256_to_decimal(c: Column): Column = u(c)(U256ToDecimal)
   def simhash64(c: Column): Column      = u(c)(SimHash64)
+  def le_long(c: Column, off: Int, w: Int): Column = u(c)(LeLong(_, off, w))
+  def le_decimal(c: Column, off: Int, w: Int): Column = u(c)(LeDecimal(_, off, w))
+  def le_from_long(c: Column, w: Int): Column = u(c)(LeFromLong(_, w))
   def minhashes(c: Column, k: Int): Column = u(c)(MinHashes(_, k))
   def lsh_sign_bits(c: Column, planes: Int): Column = u(c)(LshSignBits(_, planes))
   def cosine_similarity(a: Column, b: Column): Column =

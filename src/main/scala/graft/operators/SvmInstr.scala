@@ -1,0 +1,256 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{le_long, le_decimal, le_from_long, u256_from_long, Base58}
+import graft.sources.Tables
+
+/** Data-driven N-variant SVM instruction decode.
+  *
+  * The reference hand-writes one split+select block per instruction
+  * variant — raydium_swaps.py:236-420 carries SIX
+  * `InstructionSignature(discriminator=…, params=[ParamInput(name, DynType)
+  * …], accounts_names=[…])` declarations, six `starts_with` filters, and
+  * six 19-column normalize-selects that null-fill the fields the variant
+  * lacks, then vstacks. Adding a seventh variant means ~130 more lines.
+  *
+  * Here the variant table IS the program: an `InstructionSignature` row
+  * declares (program id, discriminator prefix, Borsh field layout, account
+  * aliases), and `decodeVariants` compiles the whole registry into ONE
+  * projection — a `swap_kind` CASE over the (program, discriminator)
+  * match and a per-superset-column CASE that decodes the matching
+  * variant's bytes or yields a typed null. One scan, zero shuffle, fully
+  * codegen'd — where the reference (and a naive port) runs N filtered
+  * scans and a union. At 100 TB of instruction data that is the
+  * difference between reading the table once and reading it N times.
+  */
+object SvmInstr {
+
+  // ---- Borsh field model (DynType analog) ----
+  sealed trait BorshType { def width: Int; def dataType: DataType }
+  case object BU8   extends BorshType { val width = 1;  val dataType: DataType = LongType }
+  case object BU16  extends BorshType { val width = 2;  val dataType: DataType = LongType }
+  case object BU32  extends BorshType { val width = 4;  val dataType: DataType = LongType }
+  case object BU64  extends BorshType { val width = 8;  val dataType: DataType = LongType }
+  case object BU128 extends BorshType { val width = 16; val dataType: DataType = DecimalType(38, 0) }
+  case object BBool extends BorshType { val width = 1;  val dataType: DataType = BooleanType }
+
+  final case class Param(name: String, typ: BorshType)
+
+  /** One registry row ≙ one reference InstructionSignature.
+    * `accountAliases` maps account-list position → output column name
+    * (the reference's accounts_names + per-variant rename, e.g.
+    * user_source_owner→payer, raydium_swaps.py:467-490). */
+  final case class InstructionSignature(
+      kind: String,
+      programIdB58: String,
+      discriminator: Array[Byte],
+      params: Seq[Param],
+      accountAliases: Seq[(Int, String)] = Nil) {
+    lazy val programId: Array[Byte] = Base58.decode(programIdB58)
+  }
+
+  /** sha256("global:" + name).take(8) — the public anchor discriminator
+    * derivation (orca_swaps.py:47 svm_anchor_discriminator). */
+  def anchorDiscriminator(name: String): Array[Byte] =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s"global:$name".getBytes("UTF-8")).take(8)
+
+  /** Compile the registry into a single-scan decode plan over
+    * `instructions(programIdCol: binary, dataCol: binary, accountsCol:
+    * array<binary>)`. Output: `passThrough ++ swap_kind ++` the superset
+    * of all param names (first-appearance order) and account aliases;
+    * unmatched rows are dropped, fields a variant lacks are typed nulls.
+    */
+  def decodeVariants(instructions: DataFrame,
+      registry: Seq[InstructionSignature],
+      passThrough: Seq[String],
+      programIdCol: String = "program_id",
+      dataCol: String = "data",
+      accountsCol: String = "accounts"): DataFrame = {
+    require(registry.nonEmpty, "empty registry")
+    require(registry.map(_.kind).distinct.size == registry.size,
+      "duplicate variant kinds")
+
+    val matchOf: Map[String, Column] = registry.map { sig =>
+      sig.kind ->
+        (col(programIdCol) === lit(sig.programId) &&
+          length(col(dataCol)) >=
+            lit(sig.discriminator.length + sig.params.map(_.typ.width).sum) &&
+          substring(col(dataCol), 1, sig.discriminator.length) ===
+            lit(sig.discriminator))
+    }.toMap
+
+    // superset param columns, first-appearance order; widths → offsets
+    val paramType = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    registry.foreach(_.params.foreach { p =>
+      paramType.get(p.name) match {
+        case Some(dt) => require(dt == p.typ.dataType,
+          s"param ${p.name} has conflicting types across variants")
+        case None => paramType(p.name) = p.typ.dataType
+      }
+    })
+    val accountType = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    registry.foreach(_.accountAliases.foreach { case (_, n) =>
+      accountType(n) = BinaryType })
+    require(paramType.keySet.intersect(accountType.keySet).isEmpty,
+      "param/account name collision")
+
+    def decodeParam(sig: InstructionSignature, name: String): Option[Column] = {
+      var off = sig.discriminator.length
+      sig.params.foreach { p =>
+        if (p.name == name) {
+          val c = p.typ match {
+            case BU128 => le_decimal(col(dataCol), off, 16)
+            case BBool => le_long(col(dataCol), off, 1) =!= lit(0L)
+            case t     => le_long(col(dataCol), off, t.width)
+          }
+          return Some(c)
+        }
+        off += p.typ.width
+      }
+      None
+    }
+
+    def caseOver(name: String, dt: DataType,
+        pick: InstructionSignature => Option[Column]): Column =
+      registry.foldRight(lit(null).cast(dt)) { (sig, acc) =>
+        pick(sig) match {
+          case Some(c) => when(matchOf(sig.kind), c).otherwise(acc)
+          case None    => acc
+        }
+      }.as(name)
+
+    val kindCol = registry.foldRight(lit(null).cast(StringType)) {
+      (sig, acc) => when(matchOf(sig.kind), lit(sig.kind)).otherwise(acc)
+    }.as("swap_kind")
+
+    val paramCols = paramType.toSeq.map { case (n, dt) =>
+      caseOver(n, dt, decodeParam(_, n))
+    }
+    val accountCols = accountType.toSeq.map { case (n, dt) =>
+      caseOver(n, dt, sig => sig.accountAliases.collectFirst {
+        case (i, `n`) => element_at(col(accountsCol), i + 1)
+      })
+    }
+
+    instructions
+      .select(passThrough.map(col) ++ (kindCol +: (paramCols ++ accountCols)): _*)
+      .filter(col("swap_kind").isNotNull)
+  }
+
+  // ---- the raydium 6-variant registry (raydium_swaps.py:44-234) ----
+
+  private val AmmProgram  = "675kPX9MHTjS2zt1qfr1NYHuzeLXfQM9H24wFSUt1Mp8"
+  private val ClmmProgram = "CAMMCzo5YL8w4VFF8KVHrK22GGUsp5VTaW7grrKgrWqK"
+  private val CpProgram   = "CPMMoo8L3F4NbTegBCKVNunggL7H1ZpdTHKxQB5qKP1C"
+  private val MemoProgramV2 = "MemoSq4gqABAXKb96qnH8TysNcWxMyWCqXgDLGmfcHr"
+
+  val raydiumRegistry: Seq[InstructionSignature] = {
+    val clmmParams = Seq(Param("amount", BU64),
+      Param("other_amount_threshold", BU64),
+      Param("sqrt_price_limit_x64", BU128), Param("is_base_input", BBool))
+    Seq(
+      InstructionSignature("amm_base_in", AmmProgram, Array[Byte](9),
+        Seq(Param("amount_in", BU64), Param("minimum_amount_out", BU64)),
+        Seq(0 -> "payer")),
+      InstructionSignature("amm_base_out", AmmProgram, Array[Byte](11),
+        Seq(Param("max_amount_in", BU64), Param("amount_out", BU64)),
+        Seq(0 -> "payer")),
+      InstructionSignature("clmm_v1", ClmmProgram,
+        anchorDiscriminator("swap"), clmmParams, Seq(0 -> "payer")),
+      InstructionSignature("clmm_v2", ClmmProgram,
+        anchorDiscriminator("swap_v2"), clmmParams, Seq(0 -> "payer")),
+      InstructionSignature("cp_swap_base_input", CpProgram,
+        anchorDiscriminator("swap_base_input"),
+        Seq(Param("amount_in", BU64), Param("minimum_amount_out", BU64)),
+        Seq(0 -> "payer")),
+      InstructionSignature("cp_swap_base_output", CpProgram,
+        anchorDiscriminator("swap_base_output"),
+        Seq(Param("max_amount_in", BU64), Param("amount_out", BU64)),
+        Seq(0 -> "payer")))
+  }
+
+  /** p04 — raydium_swaps twin: events are re-encoded as real Borsh-shaped
+    * instruction payloads (discriminator prefix + LE fields) across all 6
+    * variants plus memo-program decoy rows, then decoded back through the
+    * registry. Oracle recomputes the fields arithmetically — agreement
+    * proves encode∘decode is the identity for every variant layout. */
+  def p04RaydiumPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val v = pmod(col("event_id"), lit(6))
+    val amt = floor(col("value") * 100).cast("long")
+    val disc: Int => Array[Byte] = {
+      case 0 => Array[Byte](9)
+      case 1 => Array[Byte](11)
+      case 2 => anchorDiscriminator("swap")
+      case 3 => anchorDiscriminator("swap_v2")
+      case 4 => anchorDiscriminator("swap_base_input")
+      case _ => anchorDiscriminator("swap_base_output")
+    }
+    val twoField: Int => Column = i =>
+      concat(lit(disc(i)), le_from_long(amt, 8),
+        le_from_long(col("event_id"), 8))
+    val clmmField: Int => Column = i =>
+      concat(lit(disc(i)), le_from_long(amt, 8),
+        le_from_long(col("event_id"), 8),
+        le_from_long(col("event_id") * 1000000L + 7L, 8),
+        lit(Array.fill[Byte](8)(0)), // u128 high half
+        le_from_long((pmod(col("event_id"), lit(2)) === 0).cast("long"), 1))
+    val data = when(v === 0, twoField(0)).when(v === 1, twoField(1))
+      .when(v === 2, clmmField(2)).when(v === 3, clmmField(3))
+      .when(v === 4, twoField(4)).otherwise(twoField(5))
+    val program = when(pmod(col("event_id"), lit(13)) === 0,
+        lit(Base58.decode(MemoProgramV2)))          // decoys → dropped
+      .when(v.isin(0, 1), lit(Base58.decode(AmmProgram)))
+      .when(v.isin(2, 3), lit(Base58.decode(ClmmProgram)))
+      .otherwise(lit(Base58.decode(CpProgram)))
+    val instructions = e.select(col("event_id"), program.as("program_id"),
+      data.as("data"), array(u256_from_long(col("user_id"))).as("accounts"))
+
+    decodeVariants(instructions, raydiumRegistry, passThrough = Seq("event_id"))
+      .withColumn("sqrt_price_limit_x64",
+        col("sqrt_price_limit_x64").cast("long"))
+      // nullable booleans round-trip asymmetrically through the two
+      // engines' dataframe readers; 0/1/null BIGINT is portable
+      .withColumn("is_base_input", col("is_base_input").cast("long"))
+      .withColumn("payer", lower(hex(col("payer"))))
+      .orderBy(col("event_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "p04_raydium_pipeline" ->
+      """SELECT event_id,
+        |  CASE event_id % 6
+        |    WHEN 0 THEN 'amm_base_in' WHEN 1 THEN 'amm_base_out'
+        |    WHEN 2 THEN 'clmm_v1'     WHEN 3 THEN 'clmm_v2'
+        |    WHEN 4 THEN 'cp_swap_base_input' ELSE 'cp_swap_base_output'
+        |  END AS swap_kind,
+        |  CASE WHEN event_id % 6 IN (0, 4)
+        |    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS amount_in,
+        |  CASE WHEN event_id % 6 IN (0, 4) THEN event_id
+        |    END AS minimum_amount_out,
+        |  CASE WHEN event_id % 6 IN (1, 5)
+        |    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS max_amount_in,
+        |  CASE WHEN event_id % 6 IN (1, 5) THEN event_id END AS amount_out,
+        |  CASE WHEN event_id % 6 IN (2, 3)
+        |    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS amount,
+        |  CASE WHEN event_id % 6 IN (2, 3) THEN event_id
+        |    END AS other_amount_threshold,
+        |  CASE WHEN event_id % 6 IN (2, 3) THEN event_id * 1000000 + 7
+        |    END AS sqrt_price_limit_x64,
+        |  CASE WHEN event_id % 6 IN (2, 3)
+        |    THEN CAST(event_id % 2 = 0 AS BIGINT) END AS is_base_input,
+        |  printf('%064x', user_id) AS payer
+        |FROM events WHERE event_id % 13 <> 0
+        |ORDER BY event_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p04_raydium_pipeline" -> (p04RaydiumPipeline _)
+  )
+}
