@@ -118,9 +118,16 @@ object Dedup {
     * scale path is s02's LSH bucketing). Cosine accumulates in double via
     * the codegen'd CosineSimilarity kernel; τ=0.35 is calibrated to the
     * synthetic embedding distribution (max pair ≈ 0.51).
+    *
+    * Like d04, the quadratic is explicitly BOUNDED to a key subset
+    * (vec_id < 2000 — a recall ground-truth sample, pushed to the scan);
+    * the full-corpus path is s02's bucketed LSH. An unbounded all-pairs
+    * here would be the one scale-killer in the suite.
     */
   def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val e = Tables(spark, dir).embeddings
+      .filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
         graft.functions.cosine_similarity(col("a.embedding"), col("b.embedding"))
@@ -151,7 +158,8 @@ object Dedup {
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.01
         |ORDER BY a, b""".stripMargin,
     "d05_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings WHERE vec_id < 2000)
         |SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

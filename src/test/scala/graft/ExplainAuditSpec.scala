@@ -94,6 +94,23 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"salt missing from the shuffle key:\n$p")
   }
 
+  test("d05: quadratic baseline is key-bounded, filter pushed to the scan") {
+    val p = plan(Dedup.d05DedupEmbedding(spark, sfDir))
+    // both sides of the all-pairs join must scan a vec_id-bounded subset —
+    // an unbounded cross join over the full embeddings table is the one
+    // shape that cannot survive a 100× corpus
+    assert(countOf(p, "LessThan(vec_id,2000)") >= 2,
+      s"vec_id bound not pushed to both scans:\n$p")
+  }
+
+  test("p04 registry decode: single scan, no union, no exchange pre-sort") {
+    val p = plan(graft.operators.SvmInstr.p04RaydiumPipeline(spark, sfDir))
+    assert(!p.contains("Union"), s"variant decode must be single-pass:\n$p")
+    // one scan of events only (numbered detail headers, one per operator)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"expected one scan:\n$p")
+  }
+
   test("p03: Catalyst constant-folds through the custom keccak expression") {
     val p = plan(graft.operators.Pipelines.p03Erc20Pipeline(spark, sfDir))
     // topic0 = keccak256(<literal>) compared to a literal hex — foldable
