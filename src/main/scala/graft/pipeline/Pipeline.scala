@@ -79,7 +79,7 @@ object Incremental {
     */
   def k03Pipeline(spark: SparkSession, dir: String): DataFrame = {
     val events = graft.sources.Tables(spark, dir).events
-    val sink = Files.createTempDirectory("graft_k03_").toString + "/sink"
+    val sink = graft.Scratch.dir("k03_") + "/sink"
     val pipe = Pipeline(Seq(
       Step("project", _.select(col("event_id"), col("user_id"),
         col("event_type"), col("value"))),

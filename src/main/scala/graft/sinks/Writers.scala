@@ -45,11 +45,12 @@ object Writers {
   }
 
   /** k02 — JDBC batch sink (ClickHouse writer analog,
-    * cc.ClickHouseWriterConfig in the reference pipelines). Pure
-    * config→writer plumbing: batched inserts, bounded write parallelism
-    * (ClickHouse prefers few large inserts), no transaction isolation
-    * (MergeTree has none). Actual connectivity needs a live DB + driver jar,
-    * so `write` is exercised in tests only up to option resolution.
+    * cc.ClickHouseWriterConfig in the reference pipelines). Batched
+    * inserts, bounded write parallelism (ClickHouse prefers few large
+    * inserts), no transaction isolation (MergeTree has none). The
+    * round-trip query runs against embedded Derby (the JDBC database on
+    * Spark's own classpath) — same writer path, same options, different
+    * URL; against the reference's ClickHouse only the URL/driver change.
     */
   final case class JdbcSink(url: String, table: String,
       user: String = "default", password: String = "",
@@ -65,6 +66,13 @@ object Writers {
     def write(df: DataFrame): Unit =
       df.coalesce(numPartitions).write.format("jdbc")
         .options(options).mode("append").save()
+
+    def read(spark: SparkSession): DataFrame =
+      // same identity as the writer — the user names the schema in
+      // DBs that scope tables per user (Derby does)
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("user", user).option("password", password).load()
   }
 
   // ---- driver-verified query entries ----
@@ -75,7 +83,7 @@ object Writers {
     * (directories per partition value, sorted row groups).
     */
   def k01ParquetSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_k01_").toString
+    val out = graft.Scratch.dir("k01_")
     val orders = spark.read.parquet(s"$dir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
         "o_orderdate")
@@ -89,13 +97,28 @@ object Writers {
       .orderBy(col("o_orderkey"))
   }
 
-  /** k02 as a rows-only query: resolved sink options for the reference's
-    * ClickHouse target, as inspectable rows (no live DB in the harness).
+  /** k02 as a LIVE round-trip query: nation⋈region flows through the
+    * JDBC writer into an embedded Derby database and is read back over
+    * JDBC. The oracle is the same join over the source parquet — equality
+    * proves the write→read path is lossless (DDL inference, batched
+    * insert, type mapping). The reference's working sink + DDL is
+    * docker-compose ClickHouse (erc20_transfers.py:30-50 init_db); here
+    * the DB engine is whatever JDBC URL you hand the same sink.
     */
   def k02JdbcSink(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    JdbcSink("jdbc:clickhouse://localhost:8123/default", "erc20_transfers")
-      .options.toSeq.sortBy(_._1).toDF("option", "value")
+    val db = graft.Scratch.dir("k02_") + "/db"
+    // uppercase: Derby folds unquoted lookups to upper case while the
+    // writer creates the table with a quoted identifier
+    val sink = JdbcSink(s"jdbc:derby:$db;create=true", "NATION_ENRICHED",
+      numPartitions = 1)
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    sink.write(nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    sink.read(spark)
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
   }
 
   /** k04 — bucketed write + co-located join. Both fact tables are written
@@ -167,6 +190,10 @@ object Writers {
   }
 
   val oracle: Map[String, String] = Map(
+    "k02_jdbc_sink" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
     "k05_static_dict" ->
       """SELECT e.event_type, t.type_id, COUNT(*) AS n
         |FROM events e

@@ -122,8 +122,7 @@ object EventStreams {
     */
   def st03StreamSink(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Incremental
-    val sink = java.nio.file.Files
-      .createTempDirectory("graft_st03_").toString + "/sink"
+    val sink = graft.Scratch.dir("st03_") + "/sink"
     val pipe = Incremental.Pipeline(Seq(
       Incremental.Step("project", _.select(col("event_id"), col("user_id"),
         col("event_type"), col("value"))),

@@ -158,6 +158,13 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(o("dbtable") === "t")
   }
 
+  test("k02 live JDBC round trip (embedded Derby) is lossless") {
+    val out = Writers.k02JdbcSink(spark, sfDir).collect()
+    assert(out.length === 25)
+    assert(out.map(_.getAs[Number](0).longValue).toSeq === (0L until 25L))
+    assert(out.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+  }
+
   test("k04 bucketed co-located join: the join itself needs no exchange") {
     Writers.k04BucketedJoin(spark, sfDir).count() // builds bucketed tables
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
