@@ -28,22 +28,40 @@ object Bench {
     // charged the JVM's cold start
     try run(SparkEntry.queries("q01_agg_filter")) catch { case _: Throwable => }
 
+    // median-of-N per query (N=3 default): a host-contention spike during
+    // one alphabetical span cannot distort the round artifact (round 1
+    // shipped 90 s where quiet runs measure ~56 s). The per-query min is
+    // reported too — the best observed single-node throughput.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+
     // a crashed query must not masquerade as a fast one: failures report
     // -1 in the per-query map, are excluded from the total, and are
     // listed so "total improved" can never mean "half the queries died"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+      }
+      val ok = times.size == reps
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      val min = if (sorted.isEmpty) -1.0 else sorted.head
+      (name, median, min, ok)
     }
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, med, _, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(med) else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
+    val qsMin = results.map { case (k, _, mn, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(mn) else "-1") }
+      .mkString("{", ",", "}")
+    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.filter(_._4).map(_._2).sum
+    val totalMin = results.filter(_._4).map(_._3).sum
+    println(f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
