@@ -222,7 +222,106 @@ object SvmInstr {
       .orderBy(col("event_id"))
   }
 
+  // ---- orca_metadata twin (orca_metadata.py:36-100, 236-238) ----
+
+  private val WhirlpoolProgram = "whirLbMiicVdio4qvUfM5KAg6Ct8VwpYzGff3uctyCc"
+
+  /** initialize_pool v1/v2 — the reference's two InstructionSignatures
+    * (orca_metadata.py:37-99): v1 carries whirlpool_bump u8 + tick_spacing
+    * u16 + initial_sqrt_price u128 with whirlpool at account 4; v2 drops
+    * the bump and inserts token badges, shifting whirlpool to account 6. */
+  val orcaPoolInitRegistry: Seq[InstructionSignature] = Seq(
+    InstructionSignature("pool_init_v1", WhirlpoolProgram,
+      anchorDiscriminator("initialize_pool"),
+      Seq(Param("whirlpool_bump", BU8), Param("tick_spacing", BU16),
+        Param("initial_sqrt_price", BU128)),
+      Seq(1 -> "token_mint_a", 2 -> "token_mint_b", 4 -> "whirlpool")),
+    InstructionSignature("pool_init_v2", WhirlpoolProgram,
+      anchorDiscriminator("initialize_pool_v2"),
+      Seq(Param("tick_spacing", BU16), Param("initial_sqrt_price", BU128)),
+      Seq(1 -> "token_mint_a", 2 -> "token_mint_b", 6 -> "whirlpool")))
+
+  /** p05 — orca_metadata twin: pool-init decode (both variants through
+    * the registry) + the two enrich joins the reference runs
+    * (orca_metadata.py:236-238 — transactions on (block_slot,
+    * transaction_index), blocks on block_slot) as ONE fused plan. The
+    * instruction stream is synthesized from lineitem; transactions/blocks
+    * twins carry a signature / (height, timestamp) respectively; the
+    * oracle recomputes everything arithmetically. */
+  def p05OrcaMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val v1 = pmod(col("l_orderkey"), lit(2)) === 0
+    val tick = pmod(col("l_partkey"), lit(1000))
+    val price = floor(col("l_extendedprice") * 1000).cast("long")
+    val u128le: Column => Column = c =>
+      concat(le_from_long(c, 8), lit(Array.fill[Byte](8)(0)))
+    val data = when(v1,
+        concat(lit(anchorDiscriminator("initialize_pool")),
+          le_from_long(pmod(col("l_linenumber"), lit(256)).cast("long"), 1),
+          le_from_long(tick.cast("long"), 2), u128le(price)))
+      .otherwise(
+        concat(lit(anchorDiscriminator("initialize_pool_v2")),
+          le_from_long(tick.cast("long"), 2), u128le(price)))
+    val filler = u256_from_long(lit(0L))
+    val whirlpool = u256_from_long(col("l_orderkey") * 10 + col("l_linenumber"))
+    val instructions = t.lineitem.select(
+      col("l_orderkey").as("block_slot"),
+      col("l_linenumber").as("transaction_index"),
+      lit(Base58.decode(WhirlpoolProgram)).as("program_id"),
+      data.as("data"),
+      array(filler, u256_from_long(col("l_partkey")),
+        u256_from_long(col("l_suppkey")), filler, whirlpool, filler,
+        whirlpool).as("accounts"))
+
+    val decoded = decodeVariants(instructions, orcaPoolInitRegistry,
+        passThrough = Seq("block_slot", "transaction_index"))
+      .withColumn("version",
+        when(col("swap_kind") === "pool_init_v1", 1L).otherwise(2L))
+      .drop("swap_kind")
+
+    // distinct: the synthetic lineitem repeats (orderkey, linenumber)
+    // pairs, and a transaction twin must be unique per key or the left
+    // join fans out
+    val transactions = t.lineitem.select(
+      col("l_orderkey").as("block_slot"),
+      col("l_linenumber").as("transaction_index"),
+      md5(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))).as("transaction_signature"))
+      .distinct()
+    val blocks = t.orders.select(
+      col("o_orderkey").as("block_slot"),
+      col("o_custkey").as("block_height"),
+      col("o_orderdate").as("block_date"))
+
+    decoded
+      .join(transactions, Seq("block_slot", "transaction_index"), "left")
+      .join(blocks, Seq("block_slot"), "left")
+      .select(col("block_slot"), col("transaction_index"), col("version"),
+        col("whirlpool_bump"), col("tick_spacing"),
+        col("initial_sqrt_price").cast("long").as("initial_sqrt_price"),
+        lower(hex(col("token_mint_a"))).as("token_mint_a"),
+        lower(hex(col("token_mint_b"))).as("token_mint_b"),
+        lower(hex(col("whirlpool"))).as("whirlpool"),
+        col("transaction_signature"), col("block_height"), col("block_date"))
+      .orderBy(col("block_slot"), col("transaction_index"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "p05_orca_metadata" ->
+      """SELECT l_orderkey AS block_slot, l_linenumber AS transaction_index,
+        |  CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END AS version,
+        |  CASE WHEN l_orderkey % 2 = 0 THEN l_linenumber % 256
+        |    END AS whirlpool_bump,
+        |  l_partkey % 1000 AS tick_spacing,
+        |  CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)
+        |    AS initial_sqrt_price,
+        |  printf('%064x', l_partkey) AS token_mint_a,
+        |  printf('%064x', l_suppkey) AS token_mint_b,
+        |  printf('%064x', l_orderkey * 10 + l_linenumber) AS whirlpool,
+        |  md5(l_orderkey || ':' || l_linenumber) AS transaction_signature,
+        |  o_custkey AS block_height, o_orderdate AS block_date
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY block_slot, transaction_index""".stripMargin,
     "p04_raydium_pipeline" ->
       """SELECT event_id,
         |  CASE event_id % 6
@@ -251,6 +350,7 @@ object SvmInstr {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p04_raydium_pipeline" -> (p04RaydiumPipeline _)
+    "p04_raydium_pipeline" -> (p04RaydiumPipeline _),
+    "p05_orca_metadata" -> (p05OrcaMetadata _)
   )
 }
