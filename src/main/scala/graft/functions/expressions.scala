@@ -428,3 +428,96 @@ case class LeFromLong(child: Expression, width: Int)
   override protected def withNewChildInternal(newChild: Expression): LeFromLong =
     copy(child = newChild)
 }
+
+// ---- u256 arithmetic beyond SUM (Decimal256 mul/div family) ----
+// The reference's price math multiplies/divides Decimal(38,9) values
+// (swap_prices.py:203-217) and ClickHouse stores the amounts as
+// Decimal256/UInt256. These extend the u256 binary codec family with the
+// arithmetic ops, keeping the full 256-bit domain internal and surfacing
+// Spark-typed results only at the edges.
+
+object U256ArithImpl {
+  import java.math.{BigDecimal => JBigDecimal}
+
+  private def bi(b: Array[Byte]): BigInteger = new BigInteger(1, b)
+
+  /** a * b mod 2^256 → 32-byte BE (ClickHouse UInt256 wraparound). */
+  def mul(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    ExprImpl.u256Wrap(bi(a).multiply(bi(b)))
+
+  /** a / b (integer division) → 32-byte BE; null on division by zero. */
+  def div(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val d = bi(b)
+    if (d.signum == 0) null else ExprImpl.u256Wrap(bi(a).divide(d))
+  }
+
+  /** floor(a * 10^scale / b) as Decimal(38, scale) — the exact ratio the
+    * reference computes in Decimal(38,9) (swap_prices.py:203-217), done in
+    * the unbounded integer domain so a and b may each be full u256. Null
+    * on b = 0 or when the result exceeds 38 digits. */
+  def ratioDecimal(a: Array[Byte], b: Array[Byte], scale: Int): Decimal = {
+    val d = bi(b)
+    if (d.signum == 0) return null
+    val unscaled = bi(a).multiply(BigInteger.TEN.pow(scale)).divide(d)
+    val dec = new JBigDecimal(unscaled, scale)
+    if (dec.precision > 38) null else Decimal(dec, 38, scale)
+  }
+}
+
+/** u256_mul(a, b) → 32-byte BE binary, mod 2^256. */
+case class U256Mul(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "u256_mul"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    U256ArithImpl.mul(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.U256ArithImpl.mul($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): U256Mul =
+    copy(left = newLeft, right = newRight)
+}
+
+/** u256_div(a, b) → 32-byte BE binary (integer division); null on b=0. */
+case class U256Div(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "u256_div"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    U256ArithImpl.div(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.U256ArithImpl.div($a, $b);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): U256Div =
+    copy(left = newLeft, right = newRight)
+}
+
+/** u256_ratio_decimal(a, b) → Decimal(38, scale) = floor(a·10^scale / b);
+  * null on b=0 or 38-digit overflow. */
+case class U256RatioDecimal(left: Expression, right: Expression, scale: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DecimalType(38, scale)
+  override def nullable: Boolean = true
+  override def prettyName: String = "u256_ratio_decimal"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    U256ArithImpl.ratioDecimal(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.U256ArithImpl.ratioDecimal($a, $b, $scale);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): U256RatioDecimal =
+    copy(left = newLeft, right = newRight)
+}

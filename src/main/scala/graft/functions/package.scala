@@ -45,4 +45,13 @@ package object functions {
   /** Exact 256-bit unsigned SUM (ClickHouse UInt256 semantics). */
   def u256_sum(c: Column): Column =
     Interop.column(U256Sum(Interop.expression(c)).toAggregateExpression())
+  def u256_mul(a: Column, b: Column): Column =
+    Interop.column(U256Mul(Interop.expression(a), Interop.expression(b)))
+  def u256_div(a: Column, b: Column): Column =
+    Interop.column(U256Div(Interop.expression(a), Interop.expression(b)))
+  /** floor(a·10^scale / b) as Decimal(38, scale) — exact Decimal256-style
+    * ratio math (swap_prices.py:203-217). */
+  def u256_ratio_decimal(a: Column, b: Column, scale: Int): Column =
+    Interop.column(U256RatioDecimal(Interop.expression(a),
+      Interop.expression(b), scale))
 }

@@ -84,7 +84,41 @@ object DomainFunctions {
         .cast("string").as("amount"))
       .orderBy(col("source"))
 
+  /** f07 — Decimal256-style mul/div/ratio arithmetic (swap_prices.py:
+    * 203-217 computes price = amount_a/amount_b in Decimal(38,9);
+    * ClickHouse stores Decimal256). The operands are lifted into the u256
+    * binary domain, multiplied / integer-divided / ratio'd at scale 9
+    * exactly (no double rounding anywhere), and surfaced as canonical
+    * strings. The oracle recomputes the same integer arithmetic in SQL;
+    * FunctionsSpec pins >38-digit products and the 2^256 wraparound the
+    * oracle can't reach.
+    */
+  def f07U256Ratio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{u256_mul, u256_div, u256_ratio_decimal}
+    val t = Tables(spark, dir).lineitem
+      .filter(col("l_quantity") > lit(0.0))
+    val a = u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
+    val b = u256_from_long(floor(col("l_quantity")).cast("long"))
+    t.select(col("l_orderkey"), col("l_linenumber"),
+        u256_to_decimal(u256_mul(a, b)).cast("string").as("product"),
+        u256_to_decimal(u256_div(a, b)).cast("string").as("quotient"),
+        u256_ratio_decimal(a, b, 9).cast("string").as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "f07_u256_ratio" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS a,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) AS b
+        |  FROM lineitem WHERE l_quantity > 0.0)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(a * b AS VARCHAR) AS product,
+        |  CAST(a // b AS VARCHAR) AS quotient,
+        |  printf('%d.%09d', (a * 1000000000 // b) // 1000000000,
+        |    (a * 1000000000 // b) % 1000000000) AS price
+        |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f06_u256_sum" ->
       """SELECT source,
         |  CAST(CAST(SUM(CAST(doc_id * 1000000 + n_chars AS DECIMAL(38,0)))
@@ -110,6 +144,7 @@ object DomainFunctions {
     "f03_keccak_topic0" -> (f03KeccakTopic0 _),
     "f04_base58" -> (f04Base58Roundtrip _),
     "f05_u256_decode" -> (f05U256Roundtrip _),
-    "f06_u256_sum" -> (f06U256Sum _)
+    "f06_u256_sum" -> (f06U256Sum _),
+    "f07_u256_ratio" -> (f07U256Ratio _)
   )
 }

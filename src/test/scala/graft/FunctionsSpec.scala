@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Base58, Keccak}
+import graft.functions.{ExprImpl, U256ArithImpl}
 
 /** Known-vector tests for the pure JVM implementations behind the custom
   * Catalyst expressions. Vectors from the public Keccak/FIPS-202 spec, the
@@ -149,5 +150,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ExprImpl.simhash64(a) === ExprImpl.simhash64(b)) // order-free
     val single = ArrayData.toArrayData(Array(0x0f0f0f0fL))
     assert(ExprImpl.simhash64(single) === 0x0f0f0f0fL) // majority of 1 = value
+  }
+
+  test("u256 mul/div: exact values, 2^256 wraparound, div-by-zero null") {
+    import java.math.BigInteger
+    def w(v: BigInteger) = ExprImpl.u256Wrap(v)
+    def bi(b: Array[Byte]) = new BigInteger(1, b)
+    // exact product beyond 64-bit: (2^80 + 3) * (2^70 + 7)
+    val a = BigInteger.ONE.shiftLeft(80).add(BigInteger.valueOf(3))
+    val b = BigInteger.ONE.shiftLeft(70).add(BigInteger.valueOf(7))
+    assert(bi(U256ArithImpl.mul(w(a), w(b))) === a.multiply(b))
+    // wraparound: 2^200 * 2^60 = 2^260 exceeds 256 bits → mod 2^256
+    val big = BigInteger.ONE.shiftLeft(200)
+    val sh  = BigInteger.ONE.shiftLeft(60)
+    val expected = big.multiply(sh).mod(BigInteger.ONE.shiftLeft(256))
+    assert(bi(U256ArithImpl.mul(w(big), w(sh))) === expected)
+    // integer division, and null on zero divisor
+    assert(bi(U256ArithImpl.div(w(a), w(b))) === a.divide(b))
+    assert(U256ArithImpl.div(w(a), w(BigInteger.ZERO)) === null)
+  }
+
+  test("u256 ratio decimal: exact scale-9 ratio, overflow + zero null") {
+    import java.math.BigInteger
+    def w(v: BigInteger) = ExprImpl.u256Wrap(v)
+    val r = U256ArithImpl.ratioDecimal(
+      w(BigInteger.valueOf(1000L)), w(BigInteger.valueOf(3L)), 9)
+    assert(r.toBigDecimal === BigDecimal("333.333333333"))
+    // operands a full u256 wide still ratio exactly when the result fits
+    val huge = BigInteger.ONE.shiftLeft(255)
+    val r2 = U256ArithImpl.ratioDecimal(w(huge), w(huge), 9)
+    assert(r2.toBigDecimal === BigDecimal("1.000000000"))
+    assert(U256ArithImpl.ratioDecimal(w(huge), w(BigInteger.ONE), 9) === null,
+      "38-digit overflow must null")
+    assert(U256ArithImpl.ratioDecimal(w(BigInteger.ONE),
+      w(BigInteger.ZERO), 9) === null)
   }
 }
