@@ -27,7 +27,11 @@ import org.apache.spark.sql.graft.Interop
   * Versus alternatives at 100 TB: a range join explodes candidates
   * O(n·w); the union+window composition (Relational.q21) is linear but
   * shuffles left+right through one union'd exchange and a window buffer;
-  * this operator streams both sides and allocates nothing per row.
+  * this operator streams both sides. Key/time extraction runs through
+  * codegen'd UnsafeProjections (no interpreted eval, no boxing on the
+  * hot path), and candidate retention reuses ONE mutable UnsafeRow copy
+  * buffer — consuming a same-key right row costs a byte copy into the
+  * reused buffer, not a fresh allocation per row.
   *
   * v1 contract: key/time/tie expressions must evaluate to non-null LONGs
   * (the `AsOf.join` API casts and filters accordingly).
@@ -106,19 +110,39 @@ final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       val nullRow = new GenericInternalRow(nRight)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // codegen'd (key, time) extractors — getLong on the projected row is
+      // primitive access, no per-row boxing or interpreted eval
+      val lktProj = UnsafeProjection.create(Seq(lkB, ltB))
+      val rktProj = UnsafeProjection.create(Seq(rkB, rtB))
       var candKey = 0L
-      var cand: InternalRow = null // .copy()'d — rIter reuses its row
+      var cand: InternalRow = null
+      // single mutable copy buffer: rIter reuses its row object (and any
+      // peek via the buffered iterator invalidates it), so the surviving
+      // candidate must be copied out — but into ONE reused UnsafeRow
+      // buffer, not a fresh allocation per consumed right row
+      var candBuf: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
       lIter.map { lRow =>
-        val k = lkB.eval(lRow).asInstanceOf[Long]
-        val t = ltB.eval(lRow).asInstanceOf[Long]
+        val lkt = lktProj(lRow)
+        val k = lkt.getLong(0)
+        val t = lkt.getLong(1)
         if (cand != null && candKey != k) cand = null
         var scanning = true
         while (scanning && rBuf.hasNext) {
-          val hk = rkB.eval(rBuf.head).asInstanceOf[Long]
-          if (hk < k ||
-            (hk == k && rtB.eval(rBuf.head).asInstanceOf[Long] <= t)) {
+          val hkt = rktProj(rBuf.head)
+          val hk = hkt.getLong(0)
+          val ht = hkt.getLong(1)
+          if (hk < k || (hk == k && ht <= t)) {
             val r = rBuf.next()
-            if (hk == k) { cand = r.copy(); candKey = k }
+            if (hk == k) {
+              r match {
+                case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                  if (candBuf == null) candBuf = ur.copy()
+                  else candBuf.copyFrom(ur)
+                  cand = candBuf
+                case other => cand = other.copy()
+              }
+              candKey = k
+            }
           } else scanning = false
         }
         numOutputRows += 1

@@ -63,4 +63,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     val rows = AsOf.join(l, r, "k", "t", "rk", "rt", "payload").collect()
     assert(rows.length === 1 && rows.head.getLong(4) === 42L)
   }
+
+  test("hot-key stress: one key with 50% of rows stays within ~2x uniform") {
+    // A single hot key lands on one partition of the merge scan. Because
+    // the scan is linear with O(1) state, the worst-case skew cost is
+    // bounded by (hot share x N) single-threaded work - NOT the quadratic
+    // blowup a range join would suffer. With 4 test threads and a 50% hot
+    // key the theoretical ratio is ~2x (0.5N on one thread vs 0.25N each);
+    // assert 2.5x + fixed slack to absorb CI noise.
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    def side(hot: Boolean, timeOff: Long) = {
+      val key =
+        if (hot) when(pmod(col("id"), lit(2)) === 0, 0L)
+          .otherwise(pmod(col("id"), lit(1000)) + 1)
+        else pmod(col("id"), lit(1000))
+      spark.range(n).select(key.as("k"), (col("id") + timeOff).as("t"),
+        col("id").as("tie"))
+    }
+    def timeIt(hot: Boolean): Double = {
+      val l = side(hot, 0L)
+      val r = side(hot, -5L).withColumnRenamed("k", "rk")
+        .withColumnRenamed("t", "rt")
+      val df = AsOf.join(l, r, "k", "t", "rk", "rt", "tie")
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeIt(hot = false); timeIt(hot = true) // warmup both shapes
+    val uniform = Seq(timeIt(hot = false), timeIt(hot = false)).min
+    val skewed = Seq(timeIt(hot = true), timeIt(hot = true)).min
+    assert(skewed <= uniform * 2.5 + 0.5,
+      f"hot-key run $skewed%.2fs vs uniform $uniform%.2fs - skew degraded " +
+        "the merge scan beyond the linear bound")
+  }
 }
