@@ -188,15 +188,25 @@ object Writers {
     */
   def k05StaticDict(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dict = Seq("click" -> 1L, "view" -> 2L, "purchase" -> 3L,
-      "signup" -> 4L, "error" -> 5L).toDF("event_type", "type_id")
+    // the full reference-scale dictionary (73 chains), not a toy subset:
+    // events acquire a chain via a dense index and are enriched
+    // (chain_id, chain_name) through one broadcast — the dictGet analog
+    val dict = graft.sources.ChainDict.indexed
+      .toDF("idx", "chain_id", "chain_name")
+    val n = graft.sources.ChainDict.entries.size
     graft.sources.Tables(spark, dir).events
-      .groupBy(col("event_type"))
+      .select(pmod(col("event_id"), lit(n)).cast("int").as("idx"))
+      .groupBy(col("idx"))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(dict), Seq("event_type"), "left")
-      .select(col("event_type"), col("type_id"), col("n"))
-      .orderBy(col("event_type"))
+      .join(broadcast(dict), Seq("idx"), "left")
+      .select(col("chain_id"), col("chain_name"), col("n"))
+      .orderBy(col("chain_id"))
   }
+
+  private def chainValuesSql: String =
+    graft.sources.ChainDict.indexed
+      .map { case (i, id, name) => s"($i, $id, '$name')" }
+      .mkString(", ")
 
   val oracle: Map[String, String] = Map(
     "k02_jdbc_sink" ->
@@ -204,13 +214,13 @@ object Writers {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
     "k05_static_dict" ->
-      """SELECT e.event_type, t.type_id, COUNT(*) AS n
-        |FROM events e
-        |LEFT JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3),
-        |  ('signup', 4), ('error', 5)) AS t(event_type, type_id)
-        |  ON e.event_type = t.event_type
-        |GROUP BY e.event_type, t.type_id
-        |ORDER BY e.event_type""".stripMargin,
+      s"""SELECT t.chain_id, t.chain_name, COUNT(*) AS n
+         |FROM events e
+         |LEFT JOIN (VALUES $chainValuesSql)
+         |  AS t(idx, chain_id, chain_name)
+         |  ON e.event_id % ${graft.sources.ChainDict.entries.size} = t.idx
+         |GROUP BY t.chain_id, t.chain_name
+         |ORDER BY t.chain_id""".stripMargin,
     "k04_bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
