@@ -30,7 +30,8 @@ object SparkEntry {
       operators.SvmInstr.queries ++
       streaming.EventStreams.queries ++
       sinks.Writers.queries ++
-      pipeline.Incremental.queries
+      pipeline.Incremental.queries ++
+      pipeline.Orchestrator.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -45,5 +46,6 @@ object SparkEntry {
       operators.SvmInstr.oracle ++
       streaming.EventStreams.oracle ++
       sinks.Writers.oracle ++
-      pipeline.Incremental.oracle
+      pipeline.Incremental.oracle ++
+      pipeline.Orchestrator.oracle
 }

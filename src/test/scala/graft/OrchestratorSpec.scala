@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Orchestrator
+import graft.pipeline.Orchestrator._
+
+/** The env-driven orchestration surface (scripts/main.py twin): parse /
+  * validate / fail-fast semantics, registry dispatch, key-range pruning,
+  * chain tagging.
+  */
+class OrchestratorSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val sfDir = SparkSessionFixture.sfDir
+
+  private val evmEnv = Map(KindVar -> "evm", NameVar -> "erc20_transfers",
+    ChainVar -> "1")
+
+  test("config validation fails fast with the offending variable named") {
+    def msg(env: Map[String, String]): String =
+      intercept[IllegalArgumentException](loadConfig(env)).getMessage
+    assert(msg(Map.empty).contains(KindVar))
+    assert(msg(Map(KindVar -> "cosmos")).contains("cosmos"))
+    assert(msg(Map(KindVar -> "evm")).contains(NameVar))
+    assert(msg(Map(KindVar -> "evm", NameVar -> "nope")).contains("nope"))
+    assert(msg(Map(KindVar -> "evm", NameVar -> "erc20_transfers"))
+      .contains(ChainVar))                       // evm requires a chain
+    assert(msg(evmEnv + (ChainVar -> "999999999")).contains("not a known"))
+    assert(msg(evmEnv + (FromVar -> "ten")).contains(FromVar))
+  }
+
+  test("defaults: fromKey 0, open-ended toKey, svm carries no chain") {
+    val cfg = loadConfig(Map(KindVar -> "svm", NameVar -> "raydium_swaps"))
+    assert(cfg.fromKey === 0L && cfg.toKey === None && cfg.chainId === None)
+  }
+
+  test("evm dispatch: range prune + chain tag, and the prune reaches the scan") {
+    val cfg = loadConfig(evmEnv ++ Map(FromVar -> "100", ToVar -> "200"))
+    val df = Orchestrator.dispatch(spark, cfg, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val k = r.getLong(r.fieldIndex("l_orderkey"))
+      k >= 100 && k < 200
+    })
+    assert(rows.forall(_.getAs[String]("chain_name") === "ethereum"))
+    // the config window must prune the parquet scan, not post-filter
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_orderkey,100)"),
+      s"range prune not pushed:\n$plan")
+  }
+
+  test("svm dispatch runs a registry twin end-to-end") {
+    val cfg = loadConfig(Map(KindVar -> "svm", NameVar -> "orca_metadata",
+      ToVar -> "500"))
+    val rows = Orchestrator.dispatch(spark, cfg, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) < 500))
+  }
+}
