@@ -94,6 +94,10 @@ object Multimodal {
       .mapPartitions(_.map(resizeStub))(
         org.apache.spark.sql.Encoders.product[Resized])
       .toDF()
+      // the operator's contract is binary-out (MultimodalSpec pins it);
+      // the gate-facing projection hexes the bytes — raw binary columns
+      // don't survive both engines' dataframe readers comparably
+      .withColumn("thumb", lower(hex(col("thumb"))))
       .orderBy(col("doc_id"))
 
   /** m02 — frame sampling: chunk the payload into fixed-size "frames" and
@@ -126,6 +130,34 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // m01/m03 oracles recompute the stub decode in SQL — possible because
+    // the synthetic corpus is all-ASCII (bytes == chars, verified: zero
+    // rows where octet_length <> len), so byte stats and stride sampling
+    // are expressible over the text column
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+        |  CAST(doc_id % 3 * 120 + 240 AS INT) AS height,
+        |  ['png','jpeg','webp'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE CAST(list_sum([ascii(text[i])
+        |      for i in range(1, len(text)+1)]) AS DOUBLE) / len(text)
+        |  END AS mean_byte,
+        |  lower(hex(substr(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_resize" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, len(text) AS n,
+        |    CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+        |    CAST(doc_id % 3 * 120 + 240 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height, 64 AS thumb_w,
+        |  CAST(GREATEST(1, 64 * height // width) AS INT) AS thumb_h,
+        |  lower(hex(CAST(array_to_string([text[LEAST(n, 1 + i * ((n + 63) // 64))]
+        |    for i in range(0, LEAST(64, n))], '') AS BLOB))) AS thumb,
+        |  CAST(LEAST(64, n) AS INT) AS thumb_bytes
+        |FROM src ORDER BY doc_id""".stripMargin,
     "m02_frame_sample" ->
       """WITH idx AS (
         |  SELECT doc_id, text,

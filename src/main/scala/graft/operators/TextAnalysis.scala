@@ -154,7 +154,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
+    * hit counts as (score, lang) structs, `list_max` picking the same
+    * (max score, then lexicographically-greatest lang) winner as Spark's
+    * array_max — and the stopword lists are generated from the SAME
+    * Scala map, so heuristic and oracle cannot drift. */
+  private def t01OracleSql: String = {
+    val structs = stopwords.keys.toSeq.sorted.map { lang =>
+      val set = stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"{'score': len(list_filter(string_split(lower(text), ' '), " +
+        s"w -> w IN ($set))), 'lang': '$lang'}"
+    }.mkString(",\n        ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, list_max([
+       |        $structs]) AS best
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN best.score > 0 THEN best.lang ELSE 'unknown' END
+       |    AS lang_pred,
+       |  best.score AS stop_hits
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t01_lang_id" -> t01OracleSql,
     "t06_segment_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
