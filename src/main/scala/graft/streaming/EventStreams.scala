@@ -191,21 +191,45 @@ object EventStreams {
     * batch answer (exactly the resume invariant the reference's incremental
     * loop relies on).
     */
+  /** st05 — the same sessionization as st02, but with state in the
+    * RocksDB state store provider instead of the default on-heap HDFS
+    * store. This is the 100 TB-rate configuration: stateful operators
+    * (mapGroupsWithState, stream-stream joins) hold state per key, and at
+    * scale that state exceeds executor heap — RocksDB keeps it on local
+    * disk with an in-memory working set, changing the state-size ceiling
+    * from "fits in heap" to "fits on disk". Identical answer contract:
+    * verified against the SAME oracle as st02.
+    */
+  def st05RocksdbState(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try st02StreamState(spark, dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val sessionizeOracle =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
+      |        AND us - prev > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_sessions
+      |FROM (SELECT user_id, epoch_us(ts) AS us,
+      |        LAG(epoch_us(ts)) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "st05_rocksdb_state" -> sessionizeOracle,
     "st01_stream_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
-    "st02_stream_state" ->
-      """SELECT user_id, COUNT(*) AS n_events,
-        |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
-        |        AND us - prev > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |    AS n_sessions
-        |FROM (SELECT user_id, epoch_us(ts) AS us,
-        |        LAG(epoch_us(ts)) OVER (
-        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |      FROM events)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st02_stream_state" -> sessionizeOracle,
     "st03_stream_sink" ->
       """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
         |FROM events ORDER BY event_id""".stripMargin,
@@ -223,6 +247,7 @@ object EventStreams {
     "st01_stream_window" -> (st01StreamWindow _),
     "st02_stream_state" -> (st02StreamState _),
     "st03_stream_sink" -> (st03StreamSink _),
-    "st04_stream_join" -> (st04StreamJoin _)
+    "st04_stream_join" -> (st04StreamJoin _),
+    "st05_rocksdb_state" -> (st05RocksdbState _)
   )
 }
