@@ -32,7 +32,8 @@ object Bench {
     // one alphabetical span cannot distort the round artifact (round 1
     // shipped 90 s where quiet runs measure ~56 s). The per-query min is
     // reported too — the best observed single-node throughput.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
 
     // a crashed query must not masquerade as a fast one: failures report
     // -1 in the per-query map, are excluded from the total, and are

@@ -50,8 +50,6 @@ object EvmAbi {
         .map(b => f"${b & 0xff}%02x").mkString
   }
 
-  private val typeRe = "^(address|bool|uint([0-9]*)|int([0-9]*)|bytes([0-9]*)|string)$".r
-
   private def parseType(s: String, indexed: Boolean): AbiType = s match {
     case "address" => TAddress
     case "bool"    => TBool

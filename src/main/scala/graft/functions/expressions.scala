@@ -387,11 +387,15 @@ case class LeLong(child: Expression, offset: Int, width: Int)
   override protected def nullSafeEval(input: Any): Any =
     LeImpl.leLong(input.asInstanceOf[Array[Byte]], offset, width)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // fresh name: a fixed local would collide when the expression
+      // appears twice in one codegen scope with a non-nullable child
+      val ll = ctx.freshName("leLong")
       s"""
-         |java.lang.Long ll = graft.functions.LeImpl.leLong($c, $offset, $width);
-         |if (ll == null) { ${ev.isNull} = true; } else { ${ev.value} = ll.longValue(); }
-       """.stripMargin)
+         |java.lang.Long $ll = graft.functions.LeImpl.leLong($c, $offset, $width);
+         |if ($ll == null) { ${ev.isNull} = true; } else { ${ev.value} = $ll.longValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): LeLong =
     copy(child = newChild)
 }

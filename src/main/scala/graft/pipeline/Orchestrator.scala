@@ -98,15 +98,21 @@ object Orchestrator {
   /** Run the configured pipeline over `sfDir`: registry lookup, [from,
     * to) key prune, EVM chain tag. */
   def dispatch(spark: SparkSession, cfg: JobConfig, sfDir: String): DataFrame = {
+    // re-validate here: a hand-built JobConfig that skipped loadConfig
+    // must fail with the same named errors, not a bare NoSuchElement
     val registry = if (cfg.pipelineKind == "evm") evmPipelines else svmPipelines
-    val entry = registry(cfg.pipelineName)
+    val entry = registry.getOrElse(cfg.pipelineName,
+      throw new IllegalArgumentException(
+        s"unknown ${cfg.pipelineKind} pipeline '${cfg.pipelineName}', " +
+          s"have: ${registry.keys.toSeq.sorted.mkString(", ")}"))
     val base = entry.run(spark, sfDir)
     val ranged = cfg.toKey.foldLeft(
         base.filter(col(entry.keyCol) >= cfg.fromKey))(
         (df, to) => df.filter(col(entry.keyCol) < to))
     cfg.chainId match {
       case Some(id) =>
-        val name = ChainDict.entries.find(_._1 == id).get._2
+        val name = ChainDict.entries.find(_._1 == id).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"$ChainVar $id is not a known chain"))
         ranged.withColumn("chain_id", lit(id))
           .withColumn("chain_name", lit(name))
       case None => ranged
