@@ -38,6 +38,11 @@ object SvmInstr {
   case object BU64  extends BorshType { val width = 8;  val dataType: DataType = LongType }
   case object BU128 extends BorshType { val width = 16; val dataType: DataType = DecimalType(38, 0) }
   case object BBool extends BorshType { val width = 1;  val dataType: DataType = BooleanType }
+  /** FixedArray(U8, n) — an n-byte field (DynType.FixedArray, meteora's
+    * 32-byte pool pubkey inside the CPI event payload). */
+  final case class BBytesFixed(n: Int) extends BorshType {
+    val width: Int = n; val dataType: DataType = BinaryType
+  }
 
   final case class Param(name: String, typ: BorshType)
 
@@ -107,6 +112,7 @@ object SvmInstr {
           val c = p.typ match {
             case BU128 => le_decimal(col(dataCol), off, 16)
             case BBool => le_long(col(dataCol), off, 1) =!= lit(0L)
+            case BBytesFixed(n) => substring(col(dataCol), off + 1, n)
             case t     => le_long(col(dataCol), off, t.width)
           }
           return Some(c)
@@ -306,7 +312,90 @@ object SvmInstr {
       .orderBy(col("block_slot"), col("transaction_index"))
   }
 
+  // ---- meteora twin (meteora_swaps.py:34-110) ----
+
+  private val MeteoraCpAmm = "cpamdpZCGKUy5JxQXB4dcpGPiikHawvSWAd6mEn1sGG"
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** The meteora pair: a plain anchor swap instruction AND a 16-byte-
+    * discriminator CPI *event* payload (meteora_swaps.py:35-36) whose
+    * layout opens with a FixedArray(U8,32) pool pubkey — a field shape
+    * the registry expresses as BBytesFixed(32). Same decode machinery,
+    * third registry. */
+  val meteoraRegistry: Seq[InstructionSignature] = Seq(
+    InstructionSignature("cp_amm_swap", MeteoraCpAmm,
+      anchorDiscriminator("swap"),
+      Seq(Param("amount_in", BU64), Param("minimum_amount_out", BU64)),
+      Seq(0 -> "payer")),
+    InstructionSignature("cp_amm_swap_cpi", MeteoraCpAmm,
+      hexBytes("e445a52e51cb9a1d1b3c15d58aaabb93"),
+      Seq(Param("pool", BBytesFixed(32)), Param("b_to_a", BBool),
+        Param("has_referral", BBool), Param("amount_in", BU64),
+        Param("minimum_amount_out", BU64), Param("output_amount", BU64),
+        Param("next_sqrt_price", BU128), Param("lp_fee", BU64),
+        Param("protocol_fee", BU64))))
+
+  /** p07 — meteora_swaps twin: both variants (instruction + CPI event
+    * layout) synthesized from events and decoded through the registry;
+    * the CPI branch exercises the fixed-bytes field and the 16-byte
+    * discriminator. */
+  def p07MeteoraPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val v1 = pmod(col("event_id"), lit(2)) === 0
+    val amt = floor(col("value") * 100).cast("long")
+    val data = when(v1,
+        concat(lit(anchorDiscriminator("swap")), le_from_long(amt, 8),
+          le_from_long(col("event_id"), 8)))
+      .otherwise(concat(
+        lit(hexBytes("e445a52e51cb9a1d1b3c15d58aaabb93")),
+        u256_from_long(col("user_id")), // pool pubkey bytes (BE fake)
+        le_from_long((pmod(col("event_id"), lit(3)) === 0).cast("long"), 1),
+        le_from_long((pmod(col("event_id"), lit(5)) === 0).cast("long"), 1),
+        le_from_long(amt, 8), le_from_long(col("event_id"), 8),
+        le_from_long(col("event_id") * 3, 8),
+        le_from_long(col("event_id") * 1000000L + 7L, 8),
+        lit(Array.fill[Byte](8)(0)),
+        le_from_long(pmod(col("event_id"), lit(100)).cast("long"), 8),
+        le_from_long(pmod(col("event_id"), lit(10)).cast("long"), 8)))
+    val instructions = e.select(col("event_id"),
+      lit(Base58.decode(MeteoraCpAmm)).as("program_id"), data.as("data"),
+      array(u256_from_long(col("user_id"))).as("accounts"))
+    decodeVariants(instructions, meteoraRegistry, passThrough = Seq("event_id"))
+      .select(col("event_id"), col("swap_kind"), col("amount_in"),
+        col("minimum_amount_out"),
+        lower(hex(col("pool"))).as("pool"),
+        col("b_to_a").cast("long").as("b_to_a"),
+        col("has_referral").cast("long").as("has_referral"),
+        col("output_amount"),
+        col("next_sqrt_price").cast("long").as("next_sqrt_price"),
+        col("lp_fee"), col("protocol_fee"),
+        lower(hex(col("payer"))).as("payer"))
+      .orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "p07_meteora_pipeline" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'cp_amm_swap'
+        |    ELSE 'cp_amm_swap_cpi' END AS swap_kind,
+        |  CAST(FLOOR(value * 100) AS BIGINT) AS amount_in,
+        |  event_id AS minimum_amount_out,
+        |  CASE WHEN event_id % 2 = 1 THEN printf('%064x', user_id)
+        |    END AS pool,
+        |  CASE WHEN event_id % 2 = 1
+        |    THEN CAST(event_id % 3 = 0 AS BIGINT) END AS b_to_a,
+        |  CASE WHEN event_id % 2 = 1
+        |    THEN CAST(event_id % 5 = 0 AS BIGINT) END AS has_referral,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id * 3 END AS output_amount,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id * 1000000 + 7
+        |    END AS next_sqrt_price,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id % 100 END AS lp_fee,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id % 10 END AS protocol_fee,
+        |  CASE WHEN event_id % 2 = 0 THEN printf('%064x', user_id)
+        |    END AS payer
+        |FROM events ORDER BY event_id""".stripMargin,
     "p05_orca_metadata" ->
       """SELECT l_orderkey AS block_slot, l_linenumber AS transaction_index,
         |  CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END AS version,
@@ -351,6 +440,7 @@ object SvmInstr {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p04_raydium_pipeline" -> (p04RaydiumPipeline _),
-    "p05_orca_metadata" -> (p05OrcaMetadata _)
+    "p05_orca_metadata" -> (p05OrcaMetadata _),
+    "p07_meteora_pipeline" -> (p07MeteoraPipeline _)
   )
 }
