@@ -312,6 +312,30 @@ object SvmInstr {
       .orderBy(col("block_slot"), col("transaction_index"))
   }
 
+  // ---- shared token-transfer signatures (common_signatures.py) ----
+
+  val TokenProgram = "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"
+  val Token2022Program = "TokenzQdBNbLqP5VEhdkAS6EPFLC1PHnBqCXEpPxuEb"
+
+  /** The transfer / transfer_checked pair every swap pipeline matches
+    * against (common_signatures.py:7-46), declared for both the classic
+    * token program and token-2022 — the reference ORs the two program
+    * ids; here that's two registry rows per layout. */
+  val tokenTransferRegistry: Seq[InstructionSignature] = {
+    def transfer(kind: String, program: String) =
+      InstructionSignature(kind, program, Array[Byte](3),
+        Seq(Param("amount", BU64)),
+        Seq(0 -> "source", 1 -> "destination", 2 -> "authority"))
+    def checked(kind: String, program: String) =
+      InstructionSignature(kind, program, Array[Byte](12),
+        Seq(Param("amount", BU64), Param("decimals", BU8)),
+        Seq(0 -> "source", 1 -> "mint", 2 -> "destination", 3 -> "authority"))
+    Seq(transfer("transfer", TokenProgram),
+      transfer("transfer_2022", Token2022Program),
+      checked("transfer_checked", TokenProgram),
+      checked("transfer_checked_2022", Token2022Program))
+  }
+
   // ---- meteora twin (meteora_swaps.py:34-110) ----
 
   private val MeteoraCpAmm = "cpamdpZCGKUy5JxQXB4dcpGPiikHawvSWAd6mEn1sGG"

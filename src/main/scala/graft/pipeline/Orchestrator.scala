@@ -79,11 +79,26 @@ object Orchestrator {
   final case class Entry(
       run: (SparkSession, String) => DataFrame, keyCol: String)
 
+  /** The two dictionary pipelines in the reference's _EVM_PIPELINES
+    * (chain_name.py / chain_id.py): materialize the chain mapping keyed
+    * by id and by name respectively. */
+  private def chainNameDict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ChainDict.entries.toDF("chain_id", "chain_name").orderBy(col("chain_id"))
+  }
+  private def chainIdDict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ChainDict.entries.map(_.swap).toDF("chain_name", "chain_id")
+      .orderBy(col("chain_name"))
+  }
+
   val evmPipelines: Map[String, Entry] = Map(
     "erc20_transfers" ->
       Entry(graft.operators.Pipelines.p03Erc20Pipeline, "l_orderkey"),
     "event_decode" ->
-      Entry(graft.operators.Pipelines.p06EventDecode, "l_orderkey"))
+      Entry(graft.operators.Pipelines.p06EventDecode, "l_orderkey"),
+    "chain_name" -> Entry(chainNameDict, "chain_id"),
+    "chain_id" -> Entry(chainIdDict, "chain_id"))
 
   val svmPipelines: Map[String, Entry] = Map(
     "orca_swaps" ->

@@ -93,4 +93,29 @@ class SvmInstrSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       decodeVariants(df, Seq(a, b), Nil))
   }
+
+  test("token-transfer registry: both programs, both layouts, u8 decimals") {
+    val tok = Base58.decode(SvmInstr.TokenProgram)
+    val tok22 = Base58.decode(SvmInstr.Token2022Program)
+    val accts = (1 to 4).map(i => Array.fill[Byte](32)(i.toByte))
+    val rows = Seq(
+      (1L, tok, Array[Byte](3) ++ le(500, 8), accts),          // transfer
+      (2L, tok22, Array[Byte](3) ++ le(600, 8), accts),        // 2022 transfer
+      (3L, tok, Array[Byte](12) ++ le(700, 8) ++ le(9, 1), accts), // checked
+      (4L, tok22, Array[Byte](12) ++ le(800, 8) ++ le(6, 1), accts))
+      .toDF("id", "program_id", "data", "accounts")
+    val out = decodeVariants(rows, tokenTransferRegistry, Seq("id"))
+      .orderBy("id").collect()
+    assert(out.map(r => r.getString(1)).toSeq ===
+      Seq("transfer", "transfer_2022", "transfer_checked",
+        "transfer_checked_2022"))
+    assert(out.map(_.getLong(out(0).fieldIndex("amount"))).toSeq ===
+      Seq(500L, 600L, 700L, 800L))
+    assert(out(0).isNullAt(out(0).fieldIndex("decimals"))) // plain transfer
+    assert(out(2).getLong(out(2).fieldIndex("decimals")) === 9L)
+    // checked layout aliases account 1 as mint; plain layout has no mint
+    assert(out(0).isNullAt(out(0).fieldIndex("mint")))
+    assert(out(2).getAs[Array[Byte]]("mint").toSeq ===
+      Array.fill[Byte](32)(2).toSeq)
+  }
 }
