@@ -399,7 +399,78 @@ object SvmInstr {
       .orderBy(col("event_id"))
   }
 
+  /** p08 — the full binary-level swap→transfer composite every reference
+    * swap pipeline runs (orca_swaps.py:402-436, raydium_swaps.py same
+    * shape): ONE mixed instruction stream carries swap instructions and
+    * token-transfer instructions at adjacent instruction indexes; both
+    * registries decode in a single combined pass (one scan — the
+    * combined registry is just raydium-AMM rows ++ token-transfer rows),
+    * then each swap picks up its +1-adjacent transfer with a lead()
+    * window (one shuffle) instead of the reference's self-join. Missing
+    * transfers (every 7th event) yield found_transfer = 0 with null
+    * amounts — the reference's found_input/found_output contract. */
+  def p08SwapTransferMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+    val v1 = pmod(col("event_id"), lit(2)) === 0
+    val amt = floor(col("value") * 100).cast("long")
+    val swapsSrc = e.select(col("event_id"), col("user_id"),
+      (col("event_id") * 2).as("instruction_index"),
+      lit(Base58.decode(AmmProgram)).as("program_id"),
+      when(v1, concat(lit(Array[Byte](9)), le_from_long(amt, 8),
+          le_from_long(col("event_id"), 8)))
+        .otherwise(concat(lit(Array[Byte](11)), le_from_long(amt, 8),
+          le_from_long(col("event_id"), 8))).as("data"),
+      array(u256_from_long(col("user_id"))).as("accounts"))
+    val transfersSrc = e.filter(pmod(col("event_id"), lit(7)) =!= 0)
+      .select(col("event_id"), col("user_id"),
+        (col("event_id") * 2 + 1).as("instruction_index"),
+        lit(Base58.decode(TokenProgram)).as("program_id"),
+        concat(lit(Array[Byte](3)),
+          le_from_long(floor(col("value") * 10).cast("long"), 8)).as("data"),
+        array(u256_from_long(col("user_id")),
+          u256_from_long(col("user_id") + 1),
+          u256_from_long(lit(0L))).as("accounts"))
+
+    val combined = raydiumRegistry.take(2) ++ tokenTransferRegistry.take(1)
+    val decoded = decodeVariants(
+      swapsSrc.unionByName(transfersSrc), combined,
+      passThrough = Seq("event_id", "user_id", "instruction_index"))
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("instruction_index"))
+    decoded
+      .withColumn("next_kind", lead(col("swap_kind"), 1).over(w))
+      .withColumn("next_idx", lead(col("instruction_index"), 1).over(w))
+      .withColumn("next_amount", lead(col("amount"), 1).over(w))
+      .filter(col("swap_kind").isin("amm_base_in", "amm_base_out"))
+      .withColumn("found_transfer",
+        coalesce((col("next_kind") === "transfer" &&
+          col("next_idx") === col("instruction_index") + 1).cast("long"),
+          lit(0L)))
+      .select(col("event_id"), col("swap_kind"), col("amount_in"),
+        col("minimum_amount_out"), col("max_amount_in"), col("amount_out"),
+        when(col("found_transfer") === 1, col("next_amount"))
+          .as("transfer_amount"),
+        col("found_transfer"))
+      .orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "p08_swap_transfer_match" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'amm_base_in'
+        |    ELSE 'amm_base_out' END AS swap_kind,
+        |  CASE WHEN event_id % 2 = 0
+        |    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS amount_in,
+        |  CASE WHEN event_id % 2 = 0 THEN event_id
+        |    END AS minimum_amount_out,
+        |  CASE WHEN event_id % 2 = 1
+        |    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS max_amount_in,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id END AS amount_out,
+        |  CASE WHEN event_id % 7 <> 0
+        |    THEN CAST(FLOOR(value * 10) AS BIGINT) END AS transfer_amount,
+        |  CAST(event_id % 7 <> 0 AS BIGINT) AS found_transfer
+        |FROM events ORDER BY event_id""".stripMargin,
     "p07_meteora_pipeline" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 2 = 0 THEN 'cp_amm_swap'
@@ -465,6 +536,7 @@ object SvmInstr {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p04_raydium_pipeline" -> (p04RaydiumPipeline _),
     "p05_orca_metadata" -> (p05OrcaMetadata _),
-    "p07_meteora_pipeline" -> (p07MeteoraPipeline _)
+    "p07_meteora_pipeline" -> (p07MeteoraPipeline _),
+    "p08_swap_transfer_match" -> (p08SwapTransferMatch _)
   )
 }
