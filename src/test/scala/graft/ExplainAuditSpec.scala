@@ -111,6 +111,14 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected one scan:\n$p")
   }
 
+  test("p08 composite: adjacency via ONE window exchange, no self-join") {
+    val p = plan(graft.operators.SvmInstr.p08SwapTransferMatch(spark, sfDir))
+    assert(!p.toLowerCase.contains("join"),
+      "swap→transfer adjacency must be a window, not a self-join")
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"expected exactly one hash exchange (the user_id window):\n$p")
+  }
+
   test("p03: Catalyst constant-folds through the custom keccak expression") {
     val p = plan(graft.operators.Pipelines.p03Erc20Pipeline(spark, sfDir))
     // topic0 = keccak256(<literal>) compared to a literal hex — foldable
