@@ -294,10 +294,12 @@ object SvmInstr {
       md5(concat(col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string"))).as("transaction_signature"))
       .distinct()
-    val blocks = t.orders.select(
+    // blocks is a narrow 3-column projection of orders — broadcast it so
+    // only the transactions join shuffles (one exchange pair, not two)
+    val blocks = broadcast(t.orders.select(
       col("o_orderkey").as("block_slot"),
       col("o_custkey").as("block_height"),
-      col("o_orderdate").as("block_date"))
+      col("o_orderdate").as("block_date")))
 
     decoded
       .join(transactions, Seq("block_slot", "transaction_index"), "left")
