@@ -102,6 +102,30 @@ object EvmAbi {
     EventSig(name, params)
   }
 
+  /** ABI well-formedness of one 32-byte word for its declared type: the
+    * reference decoder validates padding and fails the row (null under
+    * allow_decode_fail) rather than silently truncating — a uint8 word
+    * with nonzero high bytes is a different event, not a value. uintN /
+    * address are right-aligned (leading zeros); bytesN is left-aligned
+    * (trailing zeros); bool must be 0 or 1. */
+  private def wordOk(word: Column, typ: AbiType): Column = {
+    def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
+    typ match {
+      case TAddress => substring(word, 1, 12) === zeros(12)
+      case TUint(bits) if bits < 256 =>
+        substring(word, 1, 32 - bits / 8) === zeros(32 - bits / 8)
+      case TUint(_) => lit(true)
+      case TBool =>
+        substring(word, 1, 31) === zeros(31) &&
+          (substring(word, 32, 1) === lit(Array[Byte](0)) ||
+            substring(word, 32, 1) === lit(Array[Byte](1)))
+      case TBytesFixed(n) if n < 32 =>
+        substring(word, n + 1, 32 - n) === zeros(32 - n)
+      case TBytesFixed(_) => lit(true)
+      case TDynamic(_) => lit(true) // topic holds a hash — any bytes valid
+    }
+  }
+
   /** The decoded Spark column for one 32-byte word. */
   private def decodeWord(word: Column, typ: AbiType): Column = typ match {
     case TAddress       => lower(hex(substring(word, 13, 20)))
@@ -163,16 +187,21 @@ object EvmAbi {
             else lit(true))
       else Seq(length(col(dataCol)) === lit(32 * sig.dataParams.size))
     val sigOk = lower(hex(col(topicCols.head))) === lit(sig.topic0Hex)
-    val valid = (Seq(sigOk) ++ topicOk ++ extraTopicNull ++ dataOk)
-      .reduce(_ && _)
 
     var idxSeen = 0
     var dataSeen = 0
-    val decoded = sig.params.map { p =>
-      val word =
-        if (p.indexed) { idxSeen += 1; col(topicCols(idxSeen)) }
-        else { val off = dataSeen * 32; dataSeen += 1
-               substring(col(dataCol), off + 1, 32) }
+    val words = sig.params.map { p =>
+      if (p.indexed) { idxSeen += 1; col(topicCols(idxSeen)) }
+      else { val off = dataSeen * 32; dataSeen += 1
+             substring(col(dataCol), off + 1, 32) }
+    }
+    // shape checks AND per-word padding validity — a type-violating word
+    // means a different event sharing our topic0, not a truncatable value
+    val paddingOk = sig.params.zip(words).map { case (p, w) => wordOk(w, p.typ) }
+    val valid = (Seq(sigOk) ++ topicOk ++ extraTopicNull ++ dataOk ++ paddingOk)
+      .reduce(_ && _)
+
+    val decoded = sig.params.zip(words).map { case (p, word) =>
       val c = decodeWord(word, p.typ)
       val guarded =
         if (allowDecodeFail) when(valid, c).otherwise(lit(null).cast(sparkType(p.typ)))

@@ -118,6 +118,27 @@ class EvmAbiSpec extends AnyFunSuite {
     }
   }
 
+  test("padding violations decode-fail: truncation is never silent") {
+    // uint8 word with a nonzero high byte / bool word > 1: the reference
+    // decoder rejects these rows (different event, same topic0), it does
+    // not truncate
+    val sig = "E(uint8 indexed small, bool indexed flag)"
+    val t0 = unhex(lit(EvmAbi.signatureTopic0Hex(sig)))
+    val good = u256(200L)
+    val dirty = { val b = u256(200L); b(0) = 1; b } // high byte set
+    val bool2 = u256(2L)                            // not 0/1
+    val df = Seq(
+      (1L, good, u256(1L)),
+      (2L, dirty, u256(1L)),
+      (3L, good, bool2))
+      .toDF("id", "topic1", "topic2").withColumn("topic0", t0)
+    val out = EvmAbi.decodeEvent(df, sig)
+      .select("id", "small", "flag").orderBy("id").collect()
+    assert(out(0).getLong(1) === 200L && out(0).getBoolean(2) === true)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "dirty uint8 row")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2), "bool=2 row")
+  }
+
   test("decode is a pure projection — no shuffle, no UDF in the plan") {
     val df = Seq((u256(1L), u256(2L), u256(3L)))
       .toDF("topic1", "topic2", "data")
