@@ -102,12 +102,13 @@ object EvmAbi {
     EventSig(name, params)
   }
 
-  /** ABI well-formedness of one 32-byte word for its declared type: the
-    * reference decoder validates padding and fails the row (null under
-    * allow_decode_fail) rather than silently truncating — a uint8 word
-    * with nonzero high bytes is a different event, not a value. uintN /
-    * address are right-aligned (leading zeros); bytesN is left-aligned
-    * (trailing zeros); bool must be 0 or 1. */
+  /** ABI well-formedness of one 32-byte word for its declared type,
+    * folded into the allow_decode_fail guard: the reference decoder
+    * validates padding and fails the row rather than silently
+    * truncating — a uint8 word with nonzero high bytes is a different
+    * event, not a value. uintN / address are right-aligned (leading
+    * zeros); bytesN is left-aligned (trailing zeros); bool must be 0 or
+    * 1. (Unused on the allowDecodeFail=false trusted-input path.) */
   private def wordOk(word: Column, typ: AbiType): Column = {
     def zeros(n: Int) = lit(Array.fill[Byte](n)(0))
     typ match {
@@ -153,8 +154,12 @@ object EvmAbi {
     * a missing/short topic the layout needs, an unexpected extra topic
     * (only checked when that topic column exists in `df`), or a data blob
     * whose length is not exactly 32 × (non-indexed param count).
-    * `allowDecodeFail = false` skips the guard (trusted pre-filtered
-    * input; the per-word decode itself never throws).
+    * `allowDecodeFail = false` is the trusted-input fast path: NO guard
+    * runs — neither shape nor padding checks — and the per-word decode
+    * never throws, so malformed input yields garbage, not errors. (The
+    * reference's allow_decode_fail=False aborts the job instead; a pure
+    * Column plan cannot abort, so callers who need strictness keep the
+    * default and filter on a decoded column's nullness.)
     */
   def decodeEvent(df: DataFrame, signature: String,
       allowDecodeFail: Boolean = true,

@@ -294,12 +294,14 @@ object SvmInstr {
       md5(concat(col("l_orderkey").cast("string"), lit(":"),
         col("l_linenumber").cast("string"))).as("transaction_signature"))
       .distinct()
-    // blocks is a narrow 3-column projection of orders — broadcast it so
-    // only the transactions join shuffles (one exchange pair, not two)
-    val blocks = broadcast(t.orders.select(
+    // no broadcast hint on blocks: it maps to a FACT table here (one row
+    // per order), so forcing a broadcast would collect the whole side on
+    // the driver at scale. AQE converts the join to broadcast at runtime
+    // whenever the side is actually small — the scale-safe default.
+    val blocks = t.orders.select(
       col("o_orderkey").as("block_slot"),
       col("o_custkey").as("block_height"),
-      col("o_orderdate").as("block_date")))
+      col("o_orderdate").as("block_date"))
 
     decoded
       .join(transactions, Seq("block_slot", "transaction_index"), "left")
@@ -434,7 +436,10 @@ object SvmInstr {
           u256_from_long(col("user_id") + 1),
           u256_from_long(lit(0L))).as("accounts"))
 
-    val combined = raydiumRegistry.take(2) ++ tokenTransferRegistry.take(1)
+    // select by kind, not position — registry order is not a contract
+    val wanted = Set("amm_base_in", "amm_base_out", "transfer")
+    val combined =
+      (raydiumRegistry ++ tokenTransferRegistry).filter(s => wanted(s.kind))
     val decoded = decodeVariants(
       swapsSrc.unionByName(transfersSrc), combined,
       passThrough = Seq("event_id", "user_id", "instruction_index"))

@@ -75,9 +75,15 @@ object Orchestrator {
   }
 
   /** Named pipeline registries (main.py:284-297) mapped to the pipeline
-    * twins, each tagged with its range-prune key column. */
+    * twins, each tagged with its range-prune key column — None for
+    * pipelines with no block-keyed data (the dictionary pipelines): a
+    * block range must never silently filter dictionary entries. */
   final case class Entry(
-      run: (SparkSession, String) => DataFrame, keyCol: String)
+      run: (SparkSession, String) => DataFrame, keyCol: Option[String])
+  object Entry {
+    def apply(run: (SparkSession, String) => DataFrame,
+        keyCol: String): Entry = Entry(run, Some(keyCol))
+  }
 
   /** The two dictionary pipelines in the reference's _EVM_PIPELINES
     * (chain_name.py / chain_id.py): materialize the chain mapping keyed
@@ -97,8 +103,8 @@ object Orchestrator {
       Entry(graft.operators.Pipelines.p03Erc20Pipeline, "l_orderkey"),
     "event_decode" ->
       Entry(graft.operators.Pipelines.p06EventDecode, "l_orderkey"),
-    "chain_name" -> Entry(chainNameDict, "chain_id"),
-    "chain_id" -> Entry(chainIdDict, "chain_id"))
+    "chain_name" -> Entry(chainNameDict, None),
+    "chain_id" -> Entry(chainIdDict, None))
 
   val svmPipelines: Map[String, Entry] = Map(
     "orca_swaps" ->
@@ -121,16 +127,22 @@ object Orchestrator {
         s"unknown ${cfg.pipelineKind} pipeline '${cfg.pipelineName}', " +
           s"have: ${registry.keys.toSeq.sorted.mkString(", ")}"))
     val base = entry.run(spark, sfDir)
-    val ranged = cfg.toKey.foldLeft(
-        base.filter(col(entry.keyCol) >= cfg.fromKey))(
-        (df, to) => df.filter(col(entry.keyCol) < to))
+    val ranged = entry.keyCol match {
+      case Some(k) =>
+        cfg.toKey.foldLeft(base.filter(col(k) >= cfg.fromKey))(
+          (df, to) => df.filter(col(k) < to))
+      case None => base // no block-keyed data — range does not apply
+    }
     cfg.chainId match {
-      case Some(id) =>
+      // tag only pipelines that don't already carry chain columns: the
+      // dictionary pipelines' OWN chain_id/chain_name must never be
+      // clobbered by the job's configured chain
+      case Some(id) if !ranged.columns.contains("chain_id") =>
         val name = ChainDict.entries.find(_._1 == id).map(_._2).getOrElse(
           throw new IllegalArgumentException(s"$ChainVar $id is not a known chain"))
         ranged.withColumn("chain_id", lit(id))
           .withColumn("chain_name", lit(name))
-      case None => ranged
+      case _ => ranged
     }
   }
 

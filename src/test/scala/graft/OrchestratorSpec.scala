@@ -51,6 +51,17 @@ class OrchestratorSpec extends AnyFunSuite {
       s"range prune not pushed:\n$plan")
   }
 
+  test("dict pipelines: no range prune, own chain columns never clobbered") {
+    val cfg = loadConfig(Map(KindVar -> "evm", NameVar -> "chain_name",
+      ChainVar -> "1", FromVar -> "100", ToVar -> "2000"))
+    val rows = Orchestrator.dispatch(spark, cfg, sfDir).collect()
+    // the full 73-entry dictionary, not a block-range-filtered or
+    // constant-tagged subset
+    assert(rows.length === graft.sources.ChainDict.entries.size)
+    assert(rows.map(_.getAs[String]("chain_name")).distinct.length ===
+      rows.length)
+  }
+
   test("svm dispatch runs a registry twin end-to-end") {
     val cfg = loadConfig(Map(KindVar -> "svm", NameVar -> "orca_metadata",
       ToVar -> "500"))
