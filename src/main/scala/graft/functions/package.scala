@@ -20,7 +20,24 @@ package object functions {
     "u256_to_decimal" -> (es => U256ToDecimal(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
-    "u256_sum" -> (es => U256Sum(es.head).toAggregateExpression()))
+    "u256_sum" -> (es => U256Sum(es.head).toAggregateExpression()),
+    "u256_mul" -> (es => U256Mul(es(0), es(1))),
+    "u256_div" -> (es => U256Div(es(0), es(1))),
+    "u256_ratio_decimal" ->
+      (es => U256RatioDecimal(es(0), es(1), litInt(es(2), "scale"))),
+    "le_long" ->
+      (es => LeLong(es(0), litInt(es(1), "offset"), litInt(es(2), "width"))),
+    "le_decimal" ->
+      (es => LeDecimal(es(0), litInt(es(1), "offset"), litInt(es(2), "width"))),
+    "le_from_long" -> (es => LeFromLong(es(0), litInt(es(1), "width"))))
+
+  /** Static int parameters (offsets/widths/scales) must be literals in
+    * SQL text — they shape the expression itself. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Make every graft function callable from SQL text on this session. */
   def registerSql(spark: SparkSession): Unit =

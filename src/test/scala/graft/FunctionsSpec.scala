@@ -140,6 +140,19 @@ class FunctionsSpec extends AnyFunSuite {
       """SELECT u256_to_decimal(u256_sum(u256_from_long(id))) AS total
         |FROM range(1, 1001)""".stripMargin).head.getDecimal(0)
     assert(s.compareTo(new java.math.BigDecimal(500500)) === 0)
+    // round-2 additions: arithmetic + LE codecs from SQL text
+    val r2 = spark.sql(
+      """SELECT
+        |  CAST(u256_ratio_decimal(u256_from_long(CAST(1000 AS BIGINT)),
+        |    u256_from_long(CAST(3 AS BIGINT)), 9) AS STRING) AS ratio,
+        |  u256_to_decimal(u256_mul(u256_from_long(CAST(1 AS BIGINT) << 40),
+        |    u256_from_long(CAST(1 AS BIGINT) << 30))) AS product,
+        |  le_long(le_from_long(CAST(258 AS BIGINT), 4), 0, 4) AS roundtrip""".stripMargin)
+      .head
+    assert(r2.getString(0) === "333.333333333")
+    assert(r2.getDecimal(1).toBigInteger ===
+      java.math.BigInteger.ONE.shiftLeft(70))
+    assert(r2.getLong(2) === 258L)
   }
 
   test("simhash64 deterministic and length-independent of order bias") {
