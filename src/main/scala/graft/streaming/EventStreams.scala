@@ -93,17 +93,36 @@ object EventStreams {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
+  /** Stateful streaming queries get their OWN shuffle-partition count:
+    * every stateful operator instantiates one state store per shuffle
+    * partition per micro-batch, so the batch-side default (sized for
+    * data-proportional shuffles) buys pure fixed overhead here. Sized by
+    * SPARK_GRAFT_STREAM_PARTITIONS (default 8 — right for the bench's
+    * state volumes; raise at cluster scale where state actually fills
+    * partitions). Spark pins a streaming query's state partitioning at
+    * first start, so at 100 TB this is a per-pipeline capacity choice,
+    * exactly like the reference sizing its provider buffers. */
+  private def streamPartitions: String =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+      .flatMap(_.trim.toIntOption).getOrElse(8).toString
+
   /** Run a streaming transform to completion over the (finite) file source
     * and hand back the materialized result. Complete/Update + memory sink
     * keeps finite-source runs deterministic (append mode would hold the
     * last watermark window open).
     */
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${memId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, streamPartitions)
+    try {
+      val name = s"graft_stream_${memId.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set(key, prev)
   }
 
   def st01StreamWindow(spark: SparkSession, dir: String): DataFrame =
