@@ -97,6 +97,31 @@ object Writers {
       .orderBy(col("o_orderkey"))
   }
 
+  /** k07 — multi-format source/sink round trip: events flow parquet →
+    * CSV → JSON → back, and the result must equal the source exactly
+    * (the oracle is the identity projection). This pins the two
+    * format-boundary contracts that silently corrupt data when wrong:
+    * microsecond-precision timestamps through a text format (explicit
+    * timestampFormat on write AND read — the default truncates), and
+    * doubles through text (Spark writes shortest-round-trip decimal
+    * reprs, so parse-back is bit-identical).
+    */
+  def k07FormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val root = graft.Scratch.dir("k07_")
+    val src = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    src.write.option("header", "true").option("timestampFormat", tsFmt)
+      .csv(s"$root/csv")
+    val fromCsv = spark.read.option("header", "true")
+      .option("timestampFormat", tsFmt).schema(src.schema).csv(s"$root/csv")
+    fromCsv.write.option("timestampFormat", tsFmt).json(s"$root/json")
+    spark.read.option("timestampFormat", tsFmt).schema(src.schema)
+      .json(s"$root/json")
+      .orderBy(col("event_id"))
+  }
+
   /** k02 as a LIVE round-trip query: nation⋈region flows through the
     * JDBC writer into an embedded Derby database and is read back over
     * JDBC. The oracle is the same join over the source parquet — equality
@@ -212,6 +237,9 @@ object Writers {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "k07_format_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
     "k02_jdbc_sink" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -240,6 +268,7 @@ object Writers {
     "k01_parquet_sink" -> (k01ParquetSink _),
     "k02_jdbc_sink" -> (k02JdbcSink _),
     "k04_bucketed_join" -> (k04BucketedJoin _),
-    "k05_static_dict" -> (k05StaticDict _)
+    "k05_static_dict" -> (k05StaticDict _),
+    "k07_format_roundtrip" -> (k07FormatRoundtrip _)
   )
 }
