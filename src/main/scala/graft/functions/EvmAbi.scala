@@ -27,6 +27,9 @@ object EvmAbi {
   sealed trait AbiType { def canonical: String }
   case object TAddress extends AbiType { val canonical = "address" }
   final case class TUint(bits: Int) extends AbiType { def canonical = s"uint$bits" }
+  /** Signed two's-complement intN (Uniswap-V3-style Swap carries int256
+    * amounts). */
+  final case class TInt(bits: Int) extends AbiType { def canonical = s"int$bits" }
   case object TBool extends AbiType { val canonical = "bool" }
   final case class TBytesFixed(n: Int) extends AbiType { def canonical = s"bytes$n" }
   /** Dynamic types (string/bytes/arrays) are only decodable when indexed —
@@ -67,9 +70,11 @@ object EvmAbi {
       val n = t.drop(5).toInt
       require(n >= 1 && n <= 32, s"bad bytesN width: $t")
       TBytesFixed(n)
+    case "int" => TInt(256)
     case t if t.startsWith("int") =>
-      throw new IllegalArgumentException(
-        s"signed type '$t' not supported yet (two's-complement word decode)")
+      val bits = t.drop(3).toInt
+      require(bits % 8 == 0 && bits > 0 && bits <= 256, s"bad int width: $t")
+      TInt(bits)
     case other =>
       throw new IllegalArgumentException(s"unsupported ABI type '$other'")
   }
@@ -116,6 +121,16 @@ object EvmAbi {
       case TUint(bits) if bits < 256 =>
         substring(word, 1, 32 - bits / 8) === zeros(32 - bits / 8)
       case TUint(_) => lit(true)
+      case TInt(bits) if bits < 256 =>
+        // proper sign extension: leading bytes all 0x00 with a clear sign
+        // bit, or all 0xff with a set one (binary compare is unsigned)
+        val k = 32 - bits / 8
+        val lead = substring(word, 1, k)
+        val signByte = substring(word, k + 1, 1)
+        (lead === zeros(k) && signByte < lit(Array(0x80.toByte))) ||
+          (lead === lit(Array.fill[Byte](k)(0xff.toByte)) &&
+            signByte >= lit(Array(0x80.toByte)))
+      case TInt(_) => lit(true)
       case TBool =>
         substring(word, 1, 31) === zeros(31) &&
           (substring(word, 32, 1) === lit(Array[Byte](0)) ||
@@ -132,6 +147,8 @@ object EvmAbi {
     case TAddress       => lower(hex(substring(word, 13, 20)))
     case TUint(bits) if bits <= 63 => u256_to_decimal(word).cast(LongType)
     case TUint(_)       => u256_to_decimal(word) // Decimal(38,0); null > 38 digits
+    case TInt(bits) if bits <= 64 => s256_to_decimal(word).cast(LongType)
+    case TInt(_)        => s256_to_decimal(word)
     case TBool          => u256_to_decimal(word) =!= lit(BigDecimal(0))
     case TBytesFixed(n) => substring(word, 1, n)
     case TDynamic(_)    => lower(hex(word)) // keccak hash of the value
@@ -141,6 +158,8 @@ object EvmAbi {
     case TAddress        => StringType
     case TUint(b) if b <= 63 => LongType
     case TUint(_)        => DecimalType(38, 0)
+    case TInt(b) if b <= 64 => LongType
+    case TInt(_)         => DecimalType(38, 0)
     case TBool           => BooleanType
     case TBytesFixed(_)  => BinaryType
     case TDynamic(_)     => StringType

@@ -525,3 +525,57 @@ case class U256RatioDecimal(left: Expression, right: Expression, scale: Int)
       newLeft: Expression, newRight: Expression): U256RatioDecimal =
     copy(left = newLeft, right = newRight)
 }
+
+// ---- signed 256-bit codecs (intN event params, e.g. Uniswap V3 Swap) ----
+
+object S256Impl {
+  /** 32-byte BE two's-complement word → Decimal(38,0); null past 38
+    * digits (i256 extremes need 78). */
+  def s256ToDecimal(b: Array[Byte]): Decimal = {
+    if (b.length != 32) return null
+    val d = new java.math.BigDecimal(new BigInteger(b)) // signed ctor
+    if (d.precision > 38) null else Decimal(d, 38, 0)
+  }
+
+  /** Long → 32-byte BE sign-extended two's-complement (encode side). */
+  def s256FromLong(v: Long): Array[Byte] = {
+    val out = Array.fill[Byte](32)(if (v < 0) 0xff.toByte else 0x00)
+    var x = v
+    var i = 31
+    while (i >= 24) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+}
+
+/** s256_to_decimal(32-byte BE two's-complement) → Decimal(38,0). */
+case class S256ToDecimal(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
+  override def prettyName: String = "s256_to_decimal"
+  override protected def nullSafeEval(input: Any): Any =
+    S256Impl.s256ToDecimal(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.S256Impl.s256ToDecimal($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): S256ToDecimal =
+    copy(child = newChild)
+}
+
+/** s256_from_long(long) → 32-byte BE sign-extended binary. */
+case class S256FromLong(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "s256_from_long"
+  override protected def nullSafeEval(input: Any): Any =
+    S256Impl.s256FromLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.S256Impl.s256FromLong($c)")
+  override protected def withNewChildInternal(newChild: Expression): S256FromLong =
+    copy(child = newChild)
+}

@@ -18,6 +18,8 @@ package object functions {
     "base58_decode" -> (es => Base58Decode(es.head)),
     "u256_from_long" -> (es => U256FromLong(es.head)),
     "u256_to_decimal" -> (es => U256ToDecimal(es.head)),
+    "s256_from_long" -> (es => S256FromLong(es.head)),
+    "s256_to_decimal" -> (es => S256ToDecimal(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "u256_sum" -> (es => U256Sum(es.head).toAggregateExpression()),
@@ -52,6 +54,8 @@ package object functions {
   def u256_from_long(c: Column): Column = u(c)(U256FromLong)
   def u256_to_decimal(c: Column): Column = u(c)(U256ToDecimal)
   def simhash64(c: Column): Column      = u(c)(SimHash64)
+  def s256_from_long(c: Column): Column = u(c)(S256FromLong)
+  def s256_to_decimal(c: Column): Column = u(c)(S256ToDecimal)
   def le_long(c: Column, off: Int, w: Int): Column = u(c)(LeLong(_, off, w))
   def le_decimal(c: Column, off: Int, w: Int): Column = u(c)(LeDecimal(_, off, w))
   def le_from_long(c: Column, w: Int): Column = u(c)(LeFromLong(_, w))

@@ -106,7 +106,26 @@ object DomainFunctions {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** f08 — SIGNED 256-bit codec round trip (int256 event params, e.g.
+    * Uniswap-V3 Swap amounts): sign-extended encode, two's-complement
+    * decode, canonical signed decimal strings across the negative/
+    * positive boundary. */
+  def f08S256Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{s256_from_long, s256_to_decimal}
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        s256_to_decimal(s256_from_long(
+          (col("doc_id") - 250) * lit(1000000L) + col("n_chars")))
+          .cast("string").as("amount"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "f08_s256_decode" ->
+      """SELECT doc_id,
+        |  CAST(CAST((doc_id - 250) * 1000000 + n_chars AS BIGINT)
+        |    AS VARCHAR) AS amount
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "f07_u256_ratio" ->
       """WITH src AS (
         |  SELECT l_orderkey, l_linenumber,
@@ -145,6 +164,7 @@ object DomainFunctions {
     "f04_base58" -> (f04Base58Roundtrip _),
     "f05_u256_decode" -> (f05U256Roundtrip _),
     "f06_u256_sum" -> (f06U256Sum _),
-    "f07_u256_ratio" -> (f07U256Ratio _)
+    "f07_u256_ratio" -> (f07U256Ratio _),
+    "f08_s256_decode" -> (f08S256Roundtrip _)
   )
 }

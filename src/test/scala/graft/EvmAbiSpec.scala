@@ -42,7 +42,8 @@ class EvmAbiSpec extends AnyFunSuite {
     assert(sig.params.map(_.name) === Seq("p0", "p1", "p2", "p3", "p4"))
     intercept[IllegalArgumentException](parseEvent("E(uint7)"))
     intercept[IllegalArgumentException](parseEvent("E(bytes33)"))
-    intercept[IllegalArgumentException](parseEvent("E(int256)"))
+    intercept[IllegalArgumentException](parseEvent("E(int7)"))
+    assert(parseEvent("E(int,int128)").canonical === "E(int256,int128)")
     intercept[IllegalArgumentException](
       parseEvent("E(string data)")) // non-indexed dynamic
     intercept[IllegalArgumentException](
@@ -137,6 +138,28 @@ class EvmAbiSpec extends AnyFunSuite {
     assert(out(0).getLong(1) === 200L && out(0).getBoolean(2) === true)
     assert(out(1).isNullAt(1) && out(1).isNullAt(2), "dirty uint8 row")
     assert(out(2).isNullAt(1) && out(2).isNullAt(2), "bool=2 row")
+  }
+
+  test("signed intN decode: negatives, sign-extension validity") {
+    // Uniswap-V3 Swap shape: int256 amounts, one positive one negative
+    val sig = "S(address indexed sender, int256 amount0, int8 delta)"
+    val t0 = unhex(lit(EvmAbi.signatureTopic0Hex(sig)))
+    val neg5 = Array.fill[Byte](32)(0xff.toByte); neg5(31) = 0xfb.toByte
+    val minus1Byte = Array.fill[Byte](32)(0xff.toByte) // int8 -1, extended
+    val badExt = { val b = new Array[Byte](32); b(31) = 0x80.toByte; b }
+    // int8 value byte 0x80 (-128) needs 0xff lead bytes; zeros = invalid
+    val rows = Seq(
+      (1L, u256(7L), u256(5L) ++ minus1Byte),
+      (2L, u256(7L), neg5 ++ minus1Byte),
+      (3L, u256(7L), u256(5L) ++ badExt))
+      .toDF("id", "topic1", "data").withColumn("topic0", t0)
+    val out = EvmAbi.decodeEvent(rows, sig)
+      .select("id", "amount0", "delta").orderBy("id").collect()
+    assert(out(0).getDecimal(1).longValueExact === 5L)
+    assert(out(0).getLong(2) === -1L)
+    assert(out(1).getDecimal(1).longValueExact === -5L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2),
+      "bad sign extension must fail the row")
   }
 
   test("decode is a pure projection — no shuffle, no UDF in the plan") {
