@@ -144,10 +144,13 @@ object EvmAbi {
 
   /** The decoded Spark column for one 32-byte word. */
   private def decodeWord(word: Column, typ: AbiType): Column = typ match {
+    // try_cast, not cast: on the unguarded allowDecodeFail=false path an
+    // out-of-range word must yield null, not an ANSI CAST_OVERFLOW abort
+    // (the guarded path's padding checks make the cast provably safe)
     case TAddress       => lower(hex(substring(word, 13, 20)))
-    case TUint(bits) if bits <= 63 => u256_to_decimal(word).cast(LongType)
+    case TUint(bits) if bits <= 63 => u256_to_decimal(word).try_cast(LongType)
     case TUint(_)       => u256_to_decimal(word) // Decimal(38,0); null > 38 digits
-    case TInt(bits) if bits <= 64 => s256_to_decimal(word).cast(LongType)
+    case TInt(bits) if bits <= 64 => s256_to_decimal(word).try_cast(LongType)
     case TInt(_)        => s256_to_decimal(word)
     case TBool          => u256_to_decimal(word) =!= lit(BigDecimal(0))
     case TBytesFixed(n) => substring(word, 1, n)

@@ -34,11 +34,18 @@ package object functions {
     "le_from_long" -> (es => LeFromLong(es(0), litInt(es(1), "width"))))
 
   /** Static int parameters (offsets/widths/scales) must be literals in
-    * SQL text — they shape the expression itself. */
-  private def litInt(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+    * SQL text — they shape the expression itself. Any integral literal
+    * width is accepted (8, 8L, 8S, 8Y) as long as the value fits Int. */
+  private def litInt(e: Expression, what: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) if v.isValidInt => v.toInt
+      case Literal(v: Short, _) => v.toInt
+      case Literal(v: Byte, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 
   /** Make every graft function callable from SQL text on this session. */

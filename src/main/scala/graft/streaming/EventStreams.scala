@@ -102,9 +102,15 @@ object EventStreams {
     * partitions). Spark pins a streaming query's state partitioning at
     * first start, so at 100 TB this is a per-pipeline capacity choice,
     * exactly like the reference sizing its provider buffers. */
-  private def streamPartitions: String =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
-      .flatMap(_.trim.toIntOption).getOrElse(8).toString
+  private def streamPartitions: String = {
+    val raw = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    val parsed = raw.flatMap(_.trim.toIntOption).filter(_ > 0)
+    if (raw.isDefined && parsed.isEmpty)
+      System.err.println(
+        s"[graft] ignoring invalid SPARK_GRAFT_STREAM_PARTITIONS=" +
+          s"${raw.get} (need a positive integer); using 8")
+    parsed.getOrElse(8).toString
+  }
 
   /** Run a streaming transform to completion over the (finite) file source
     * and hand back the materialized result. Complete/Update + memory sink
