@@ -181,6 +181,19 @@ class StreamingSinksSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("k04 memo rebuilds when the same session alternates datasets") {
+    // regression: a grow-only memo once returned the PREVIOUS dataset's
+    // join results when alternating sf dirs in one session
+    val a = Writers.k04BucketedJoin(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_lines")).head.getLong(0)
+    val b = Writers.k04BucketedJoin(spark, "/root/testdata/sf0.01")
+      .agg(org.apache.spark.sql.functions.sum("n_lines")).head.getLong(0)
+    val a2 = Writers.k04BucketedJoin(spark, "/root/testdata/sf0.001")
+      .agg(org.apache.spark.sql.functions.sum("n_lines")).head.getLong(0)
+    assert(b > a, "sf0.01 must join more lineitem rows than sf0.001")
+    assert(a2 === a, "returning to the first dataset must rebuild, not reuse")
+  }
+
   test("k03 incremental ∘ resume equals one-shot batch") {
     import spark.implicits._
     val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
