@@ -53,12 +53,18 @@ object EvmAbi {
         .map(b => f"${b & 0xff}%02x").mkString
   }
 
+  private def unsupported(t: String): Nothing =
+    throw new IllegalArgumentException(s"unsupported ABI type '$t'")
+
   private def parseType(s: String, indexed: Boolean): AbiType = s match {
+    // tuples and arrays would otherwise fall into the uintN/bytesN width
+    // parse below and surface as a bare NumberFormatException
+    case t if t.contains("(") || t.contains("[") => unsupported(t)
     case "address" => TAddress
     case "bool"    => TBool
     case "uint"    => TUint(256)
     case t if t.startsWith("uint") =>
-      val bits = t.drop(4).toInt
+      val bits = t.drop(4).toIntOption.getOrElse(unsupported(t))
       require(bits % 8 == 0 && bits > 0 && bits <= 256, s"bad uint width: $t")
       TUint(bits)
     case "bytes" | "string" =>
@@ -67,16 +73,15 @@ object EvmAbi {
         "indexed (topic = keccak of the value) or drop it")
       TDynamic(s)
     case t if t.startsWith("bytes") =>
-      val n = t.drop(5).toInt
+      val n = t.drop(5).toIntOption.getOrElse(unsupported(t))
       require(n >= 1 && n <= 32, s"bad bytesN width: $t")
       TBytesFixed(n)
     case "int" => TInt(256)
     case t if t.startsWith("int") =>
-      val bits = t.drop(3).toInt
+      val bits = t.drop(3).toIntOption.getOrElse(unsupported(t))
       require(bits % 8 == 0 && bits > 0 && bits <= 256, s"bad int width: $t")
       TInt(bits)
-    case other =>
-      throw new IllegalArgumentException(s"unsupported ABI type '$other'")
+    case other => unsupported(other)
   }
 
   /** Parse a human-readable event signature. Accepts both the full form
@@ -189,6 +194,13 @@ object EvmAbi {
       dataCol: String = "data"): DataFrame = {
     val sig = parseEvent(signature)
     val present = df.columns.toSet
+    // decoded columns are appended under the params' names — a collision
+    // with an input column (a param named 'data' or 'topic1') would yield
+    // duplicate names and ambiguous references downstream
+    val clash = sig.params.map(_.name).filter(present.contains)
+    require(clash.isEmpty, "event param name(s) " +
+      clash.mkString("'", "', '", "'") +
+      s" collide with input columns; rename the params in: $signature")
     require(present.contains(topicCols.head), s"missing ${topicCols.head}")
     require(sig.dataParams.isEmpty || present.contains(dataCol),
       s"missing $dataCol")

@@ -363,7 +363,9 @@ object SvmInstr {
         Param("has_referral", BBool), Param("amount_in", BU64),
         Param("minimum_amount_out", BU64), Param("output_amount", BU64),
         Param("next_sqrt_price", BU128), Param("lp_fee", BU64),
-        Param("protocol_fee", BU64))))
+        Param("protocol_fee", BU64), Param("partner_fee", BU64),
+        Param("referral_fee", BU64), Param("actual_amount_in", BU64),
+        Param("current_timestamp", BU64))))
 
   /** p07 — meteora_swaps twin: both variants (instruction + CPI event
     * layout) synthesized from events and decoded through the registry;
@@ -386,7 +388,11 @@ object SvmInstr {
         le_from_long(col("event_id") * 1000000L + 7L, 8),
         lit(Array.fill[Byte](8)(0)),
         le_from_long(pmod(col("event_id"), lit(100)).cast("long"), 8),
-        le_from_long(pmod(col("event_id"), lit(10)).cast("long"), 8)))
+        le_from_long(pmod(col("event_id"), lit(10)).cast("long"), 8),
+        le_from_long(pmod(col("event_id"), lit(7)).cast("long"), 8),
+        le_from_long(pmod(col("event_id"), lit(11)).cast("long"), 8),
+        le_from_long(amt + 1, 8),
+        le_from_long(col("event_id") + 1700000000L, 8)))
     val instructions = e.select(col("event_id"),
       lit(Base58.decode(MeteoraCpAmm)).as("program_id"), data.as("data"),
       array(u256_from_long(col("user_id"))).as("accounts"))
@@ -398,7 +404,9 @@ object SvmInstr {
         col("has_referral").cast("long").as("has_referral"),
         col("output_amount"),
         col("next_sqrt_price").cast("long").as("next_sqrt_price"),
-        col("lp_fee"), col("protocol_fee"),
+        col("lp_fee"), col("protocol_fee"), col("partner_fee"),
+        col("referral_fee"), col("actual_amount_in"),
+        col("current_timestamp"),
         lower(hex(col("payer"))).as("payer"))
       .orderBy(col("event_id"))
   }
@@ -495,6 +503,13 @@ object SvmInstr {
         |    END AS next_sqrt_price,
         |  CASE WHEN event_id % 2 = 1 THEN event_id % 100 END AS lp_fee,
         |  CASE WHEN event_id % 2 = 1 THEN event_id % 10 END AS protocol_fee,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id % 7 END AS partner_fee,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id % 11 END AS referral_fee,
+        |  CASE WHEN event_id % 2 = 1
+        |    THEN CAST(FLOOR(value * 100) AS BIGINT) + 1
+        |    END AS actual_amount_in,
+        |  CASE WHEN event_id % 2 = 1 THEN event_id + 1700000000
+        |    END AS current_timestamp,
         |  CASE WHEN event_id % 2 = 0 THEN printf('%064x', user_id)
         |    END AS payer
         |FROM events ORDER BY event_id""".stripMargin,

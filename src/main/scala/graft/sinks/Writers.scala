@@ -165,16 +165,21 @@ object Writers {
 
   def k04BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val key = System.identityHashCode(spark) + "|" + dir
-    if (bucketedFor.getAndSet(key) != key) {
+    // memoize only AFTER both writes succeed: a failed/partial build must
+    // be retried on the next call, not skipped (a getAndSet up front would
+    // memoize the failure and silently join missing or mixed tables)
+    if (bucketedFor.get() != key) {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
         .select("l_orderkey", "l_quantity")
       val ord = spark.read.parquet(s"$dir/orders.parquet")
         .select("o_orderkey", "o_orderpriority")
+      bucketedFor.set(null)
       Seq("graft_li_b", "graft_ord_b").foreach(t => dropManaged(spark, t))
       li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("graft_li_b")
       ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("graft_ord_b")
+      bucketedFor.set(key)
     }
     bucketedJoinPlan(spark)
   }

@@ -49,6 +49,23 @@ class EvmAbiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       parseEvent("E(uint256 indexed a, uint256 indexed b, " +
         "uint256 indexed c, uint256 indexed d)")) // >3 indexed
+    // arrays and tuples must fail as 'unsupported ABI type', not leak a
+    // NumberFormatException out of the uintN/bytesN width parse
+    for (bad <- Seq("E(uint256[] a)", "E(bytes[] b)", "E((uint256,address) t)",
+        "E(uintX n)", "E(bytesX n)", "E(intX n)")) {
+      val e = intercept[IllegalArgumentException](parseEvent(bad))
+      assert(e.getMessage.contains("unsupported ABI type"), bad)
+    }
+  }
+
+  test("decodeEvent rejects param names colliding with input columns") {
+    val df = Seq((u256(1L), u256(2L)))
+      .toDF("topic1", "data")
+      .withColumn("topic0", unhex(lit(
+        EvmAbi.signatureTopic0Hex("E(uint256 indexed data, uint256 n)"))))
+    val e = intercept[IllegalArgumentException](
+      EvmAbi.decodeEvent(df, "E(uint256 indexed data, uint256 n)"))
+    assert(e.getMessage.contains("collide"))
   }
 
   test("decode a well-formed Transfer log: all three columns") {

@@ -50,6 +50,8 @@ def _canon_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:  # -0.0 == 0.0 but repr differs; engines disagree on sign
+            return "0.0"
         return repr(v)
     return repr(v)
 
