@@ -38,7 +38,12 @@ object Bench {
     // a crashed query must not masquerade as a fast one: failures report
     // -1 in the per-query map, are excluded from the total, and are
     // listed so "total improved" can never mean "half the queries died"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter for fast local iteration; the
+    // driver invokes with no args and benches everything
+    val only = args.toSet
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn); Some((System.nanoTime() - t0) / 1e9) }

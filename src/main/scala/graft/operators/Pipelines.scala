@@ -123,18 +123,24 @@ object Pipelines {
       u256_from_long(col("l_suppkey")).as("topic2"),
       u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
         .as("data"))
-    EvmAbi.decodeEvent(
-        logs.filter(lower(hex(col("topic0"))) ===
-          EvmAbi.signatureTopic0Hex(erc20Sig)),
-        erc20Sig)
+    // join + ORDER BY run over the narrow binary log rows, and the ABI
+    // decode (an order-preserving projection) runs after the sort: the
+    // range exchange's sampling pass re-executes its child, so keeping the
+    // decode downstream of the sort runs it once instead of twice, over
+    // rows that are 32-byte binaries instead of decoded hex strings. Both
+    // join sides share one hash clustering on the join key.
+    val filtered = logs.filter(lower(hex(col("topic0"))) ===
+        EvmAbi.signatureTopic0Hex(erc20Sig))
+      .repartition(col("l_orderkey"))
+    val enriched = filtered
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"))
+          .repartition(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    EvmAbi.decodeEvent(enriched, erc20Sig)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("from").as("from_addr"), col("to").as("to_addr"),
-        col("amount").cast("string").as("amount"))
-      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"), "left")
-      .select(col("l_orderkey"), col("l_linenumber"), col("from_addr"),
-        col("to_addr"), col("amount"), col("o_orderdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+        col("amount").cast("string").as("amount"), col("o_orderdate"))
   }
 
   /** p06 — generalized event decode through the same API, on a *second*

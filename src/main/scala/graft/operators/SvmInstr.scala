@@ -187,7 +187,14 @@ object SvmInstr {
     * registry. Oracle recomputes the fields arithmetically — agreement
     * proves encode∘decode is the identity for every variant layout. */
   def p04RaydiumPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // ORDER BY the narrow source, not the decoded output: the decode is an
+    // order-preserving projection+filter, so sorting first gives the same
+    // ordered result while the range exchange (and its sampling pass,
+    // which re-executes its child) moves three scan columns instead of
+    // re-running the whole variant decode
     val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
     val v = pmod(col("event_id"), lit(6))
     val amt = floor(col("value") * 100).cast("long")
     val disc: Int => Array[Byte] = {
@@ -225,7 +232,6 @@ object SvmInstr {
       // engines' dataframe readers; 0/1/null BIGINT is portable
       .withColumn("is_base_input", col("is_base_input").cast("long"))
       .withColumn("payer", lower(hex(col("payer"))))
-      .orderBy(col("event_id"))
   }
 
   // ---- orca_metadata twin (orca_metadata.py:36-100, 236-238) ----
@@ -287,13 +293,25 @@ object SvmInstr {
 
     // distinct: the synthetic lineitem repeats (orderkey, linenumber)
     // pairs, and a transaction twin must be unique per key or the left
-    // join fans out
+    // join fans out. Dedupe on the KEYS only (narrow shuffle), derive the
+    // signature after — hashing 2 string-casts per surviving row, not per
+    // input row.
+    //
+    // Shuffle economy: every side is clustered on block_slot ONCE and that
+    // clustering satisfies both joins (hash(slot) co-locates (slot, idx)
+    // too — a subset partitioning satisfies the wider clustering), so the
+    // transactions join and the blocks join add zero exchanges. The wide
+    // hex/md5 string projections stay AFTER the final sort: the range
+    // exchange and its sampling pass move 32-byte binaries, not 64-char
+    // strings.
     val transactions = t.lineitem.select(
-      col("l_orderkey").as("block_slot"),
-      col("l_linenumber").as("transaction_index"),
-      md5(concat(col("l_orderkey").cast("string"), lit(":"),
-        col("l_linenumber").cast("string"))).as("transaction_signature"))
-      .distinct()
+        col("l_orderkey").as("block_slot"),
+        col("l_linenumber").as("transaction_index"))
+      .repartition(col("block_slot"))
+      .dropDuplicates("block_slot", "transaction_index")
+      .withColumn("transaction_signature",
+        md5(concat(col("block_slot").cast("string"), lit(":"),
+          col("transaction_index").cast("string"))))
     // no broadcast hint on blocks: it maps to a FACT table here (one row
     // per order), so forcing a broadcast would collect the whole side on
     // the driver at scale. AQE converts the join to broadcast at runtime
@@ -303,9 +321,10 @@ object SvmInstr {
       col("o_custkey").as("block_height"),
       col("o_orderdate").as("block_date"))
 
-    decoded
+    decoded.repartition(col("block_slot"))
       .join(transactions, Seq("block_slot", "transaction_index"), "left")
-      .join(blocks, Seq("block_slot"), "left")
+      .join(blocks.repartition(col("block_slot")), Seq("block_slot"), "left")
+      .orderBy(col("block_slot"), col("transaction_index"))
       .select(col("block_slot"), col("transaction_index"), col("version"),
         col("whirlpool_bump"), col("tick_spacing"),
         col("initial_sqrt_price").cast("long").as("initial_sqrt_price"),
@@ -313,7 +332,6 @@ object SvmInstr {
         lower(hex(col("token_mint_b"))).as("token_mint_b"),
         lower(hex(col("whirlpool"))).as("whirlpool"),
         col("transaction_signature"), col("block_height"), col("block_date"))
-      .orderBy(col("block_slot"), col("transaction_index"))
   }
 
   // ---- shared token-transfer signatures (common_signatures.py) ----

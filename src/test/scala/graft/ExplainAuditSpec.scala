@@ -119,6 +119,16 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected exactly one hash exchange (the user_id window):\n$p")
   }
 
+  test("p05: one clustering reused by both joins — 3 hash + 1 range exchange") {
+    val p = plan(graft.operators.SvmInstr.p05OrcaMetadata(spark, sfDir))
+    // each input side is hashed on block_slot exactly once; the
+    // transactions dedupe and BOTH enrich joins reuse that clustering
+    assert(countOf(p, "Arguments: hashpartitioning") === 3,
+      s"expected exactly three hash exchanges (one per input side):\n$p")
+    assert(countOf(p, "Arguments: rangepartitioning") === 1,
+      s"expected exactly one range exchange (the final ORDER BY):\n$p")
+  }
+
   test("p03: Catalyst constant-folds through the custom keccak expression") {
     val p = plan(graft.operators.Pipelines.p03Erc20Pipeline(spark, sfDir))
     // topic0 = keccak256(<literal>) compared to a literal hex — foldable
