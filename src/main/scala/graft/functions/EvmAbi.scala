@@ -32,10 +32,26 @@ object EvmAbi {
   final case class TInt(bits: Int) extends AbiType { def canonical = s"int$bits" }
   case object TBool extends AbiType { val canonical = "bool" }
   final case class TBytesFixed(n: Int) extends AbiType { def canonical = s"bytes$n" }
-  /** Dynamic types (string/bytes/arrays) are only decodable when indexed —
-    * the topic then holds the keccak hash of the value, which we surface
-    * as hex. Non-indexed dynamic params are rejected at parse time. */
+  /** An INDEXED dynamic type (string/bytes/array): the topic holds the
+    * keccak hash of the value, which we surface as hex. */
   final case class TDynamic(canonical: String) extends AbiType
+  /** A NON-indexed string/bytes param, decoded from the data blob's tail:
+    * the head word holds a byte offset, the tail holds a 32-byte length
+    * word followed by the zero-padded payload. */
+  final case class TDynBytes(isString: Boolean) extends AbiType {
+    def canonical = if (isString) "string" else "bytes"
+  }
+  /** A NON-indexed dynamic array `T[]` of a STATIC element type: head word
+    * = offset, tail = length word + one 32-byte word per element. (Nested
+    * dynamic element types are rejected at parse time.) */
+  final case class TArray(elem: AbiType) extends AbiType {
+    def canonical = elem.canonical + "[]"
+  }
+
+  private def isDynamic(t: AbiType): Boolean = t match {
+    case TDynBytes(_) | TArray(_) => true
+    case _ => false
+  }
 
   final case class Param(name: String, typ: AbiType, indexed: Boolean)
 
@@ -57,8 +73,18 @@ object EvmAbi {
     throw new IllegalArgumentException(s"unsupported ABI type '$t'")
 
   private def parseType(s: String, indexed: Boolean): AbiType = s match {
-    // tuples and arrays would otherwise fall into the uintN/bytesN width
-    // parse below and surface as a bare NumberFormatException
+    case t if t.endsWith("[]") =>
+      val elem = parseType(t.dropRight(2), indexed = false)
+      // an indexed array's topic is the hash of the encoding — same
+      // surface as indexed string/bytes
+      if (indexed) TDynamic(elem.canonical + "[]")
+      else elem match {
+        case e if isDynamic(e) || e.isInstanceOf[TDynamic] =>
+          unsupported(t) // nested dynamic (string[], bytes[][], …)
+        case e => TArray(e)
+      }
+    // tuples (and fixed-size arrays) would otherwise fall into the
+    // uintN/bytesN width parse below and surface as NumberFormatException
     case t if t.contains("(") || t.contains("[") => unsupported(t)
     case "address" => TAddress
     case "bool"    => TBool
@@ -68,10 +94,9 @@ object EvmAbi {
       require(bits % 8 == 0 && bits > 0 && bits <= 256, s"bad uint width: $t")
       TUint(bits)
     case "bytes" | "string" =>
-      require(indexed, s"non-indexed dynamic type '$s' is not decodable " +
-        "from a log (the ABI tail encoding is not supported); mark it " +
-        "indexed (topic = keccak of the value) or drop it")
-      TDynamic(s)
+      // non-indexed dynamics decode from the data tail (TDynBytes);
+      // indexed ones surface the topic hash (TDynamic)
+      if (indexed) TDynamic(s) else TDynBytes(s == "string")
     case t if t.startsWith("bytes") =>
       val n = t.drop(5).toIntOption.getOrElse(unsupported(t))
       require(n >= 1 && n <= 32, s"bad bytesN width: $t")
@@ -144,6 +169,9 @@ object EvmAbi {
         substring(word, n + 1, 32 - n) === zeros(32 - n)
       case TBytesFixed(_) => lit(true)
       case TDynamic(_) => lit(true) // topic holds a hash — any bytes valid
+      // head word of a tail-encoded param is an offset; its bounds are
+      // validated by decodeDynamic, not by word padding
+      case TDynBytes(_) | TArray(_) => lit(true)
     }
   }
 
@@ -160,6 +188,69 @@ object EvmAbi {
     case TBool          => u256_to_decimal(word) =!= lit(BigDecimal(0))
     case TBytesFixed(n) => substring(word, 1, n)
     case TDynamic(_)    => lower(hex(word)) // keccak hash of the value
+    case TDynBytes(_) | TArray(_) =>
+      throw new IllegalStateException("dynamic params decode via decodeDynamic")
+  }
+
+  /** Tail decode for one non-indexed dynamic param (`string`, `bytes`,
+    * `T[]`): the head word holds a byte offset into the data blob; the
+    * tail there is a 32-byte length word followed by the payload (zero-
+    * padded to a word boundary for string/bytes; one word per element for
+    * arrays). Returns (value, validity).
+    *
+    * The VALUE side clamps the element count to what the blob can
+    * physically hold, so the trusted (allowDecodeFail=false) path yields
+    * garbage — never an error — on malformed input, matching the static
+    * decoders. The VALIDITY side pins what the reference decoder enforces:
+    * 32-aligned offset pointing past the head, length word in bounds,
+    * tail fully inside the blob, zero padding.
+    */
+  private def decodeDynamic(data: Column, head: Column, typ: AbiType,
+      headBytes: Int): (Column, Column) = {
+    val len = length(data).cast(LongType)
+    val off = u256_to_decimal(head).try_cast(LongType)
+    // EVERY expression here must be total — SQL AND does not short-circuit
+    // per row, and substr's implicit long→int position cast throws under
+    // ANSI on out-of-range values. So the raw off/n feed only pure-long
+    // comparisons (boundsOk), while anything that touches substr uses
+    // clamped twins that provably stay within the blob: garbage input
+    // yields garbage values (nulled by `valid` on the guarded path),
+    // never an error.
+    val offV = least(coalesce(off, lit(Long.MaxValue)), len)
+    val clampPos: Column => Column = p => least(p, len + lit(1L))
+    val n = u256_to_decimal(substr(data, offV + lit(1L), lit(32L)))
+      .try_cast(LongType)
+    val nV = least(greatest(coalesce(n, lit(Long.MaxValue)), lit(0L)), len)
+    // ceil(nV/32)*32 in exact long math (32 = 2^5); computed on the
+    // CLAMPED length — raw off/n can sit at Long.MaxValue where even +31
+    // overflows under ANSI, so they only ever feed pure comparisons, and
+    // the comparisons pin offV === off, nV === n wherever validity holds
+    val paddedV = shiftleft(shiftright(nV + lit(31L), 5), 5)
+    val boundsOk = off.isNotNull && pmod(off, lit(32L)) === 0 &&
+      off >= lit(headBytes.toLong) && off <= len &&
+      n.isNotNull && n >= 0 && n <= len && offV + lit(32L) + paddedV <= len
+    typ match {
+      case TDynBytes(isString) =>
+        val payload = substr(data, clampPos(offV + lit(33L)), nV)
+        val value = if (isString) payload.cast(StringType) else payload
+        val padLenV = paddedV - nV
+        val padOk = substr(data, clampPos(offV + lit(33L) + nV), padLenV) ===
+          substr(lit(Array.fill[Byte](32)(0)), lit(1L), padLenV)
+        (value, boundsOk && padOk)
+      case TArray(elem) =>
+        // the blob holds at most len/32 words — a garbage length word on
+        // the unguarded path builds a bounded array, never an OOM
+        val nArr = least(nV, shiftright(len, 5))
+        val rawWords = when(nArr > 0,
+            transform(sequence(lit(0L), nArr - 1),
+              i => substr(data, clampPos(offV + lit(33L) + i * 32), lit(32L))))
+          .otherwise(array().cast(ArrayType(BinaryType)))
+        val value = transform(rawWords, w => decodeWord(w, elem))
+        val elemsOk = forall(rawWords, w => wordOk(w, elem))
+        (value, boundsOk && n === nArr && elemsOk)
+      case other =>
+        throw new IllegalStateException(s"not a dynamic type: $other")
+    }
   }
 
   private def sparkType(typ: AbiType): DataType = typ match {
@@ -171,6 +262,8 @@ object EvmAbi {
     case TBool           => BooleanType
     case TBytesFixed(_)  => BinaryType
     case TDynamic(_)     => StringType
+    case TDynBytes(s)    => if (s) StringType else BinaryType
+    case TArray(e)       => ArrayType(sparkType(e))
   }
 
   /** Append one decoded column per event parameter (named after the
@@ -180,7 +273,9 @@ object EvmAbi {
     * scans) nulls ALL decoded columns on any shape mismatch: wrong topic0,
     * a missing/short topic the layout needs, an unexpected extra topic
     * (only checked when that topic column exists in `df`), or a data blob
-    * whose length is not exactly 32 × (non-indexed param count).
+    * whose length is not exactly 32 × (non-indexed param count) — with
+    * dynamic params, a blob that is too short for the head, not word-
+    * aligned, or whose tail offsets/lengths/padding violate the encoding.
     * `allowDecodeFail = false` is the trusted-input fast path: NO guard
     * runs — neither shape nor padding checks — and the per-word decode
     * never throws, so malformed input yields garbage, not errors. (The
@@ -219,12 +314,17 @@ object EvmAbi {
     val extraTopicNull = ((nIdx + 1) until topicCols.size)
       .filter(i => present.contains(topicCols(i)))
       .map(i => col(topicCols(i)).isNull)
+    val hasDynamic = sig.dataParams.exists(p => isDynamic(p.typ))
+    val headBytes = 32 * sig.dataParams.size
     val dataOk =
       if (sig.dataParams.isEmpty)
         Seq(if (present.contains(dataCol))
               col(dataCol).isNull || length(col(dataCol)) === 0
             else lit(true))
-      else Seq(length(col(dataCol)) === lit(32 * sig.dataParams.size))
+      else if (!hasDynamic) Seq(length(col(dataCol)) === lit(headBytes))
+      // with tails the blob is head + variable tails, still word-aligned
+      else Seq(length(col(dataCol)) >= lit(headBytes),
+        pmod(length(col(dataCol)), lit(32)) === 0)
     val sigOk = lower(hex(col(topicCols.head))) === lit(sig.topic0Hex)
 
     var idxSeen = 0
@@ -234,14 +334,19 @@ object EvmAbi {
       else { val off = dataSeen * 32; dataSeen += 1
              substring(col(dataCol), off + 1, 32) }
     }
-    // shape checks AND per-word padding validity — a type-violating word
-    // means a different event sharing our topic0, not a truncatable value
-    val paddingOk = sig.params.zip(words).map { case (p, w) => wordOk(w, p.typ) }
-    val valid = (Seq(sigOk) ++ topicOk ++ extraTopicNull ++ dataOk ++ paddingOk)
-      .reduce(_ && _)
+    // per-param (value, validity): static params decode their word with a
+    // padding check (a type-violating word means a different event sharing
+    // our topic0, not a truncatable value); dynamic params follow their
+    // head word's offset into the tail with bounds checks
+    val perParam = sig.params.zip(words).map { case (p, w) =>
+      if (!p.indexed && isDynamic(p.typ))
+        decodeDynamic(col(dataCol), w, p.typ, headBytes)
+      else (decodeWord(w, p.typ), wordOk(w, p.typ))
+    }
+    val valid = (Seq(sigOk) ++ topicOk ++ extraTopicNull ++ dataOk ++
+      perParam.map(_._2)).reduce(_ && _)
 
-    val decoded = sig.params.zip(words).map { case (p, word) =>
-      val c = decodeWord(word, p.typ)
+    val decoded = sig.params.zip(perParam).map { case (p, (c, _)) =>
       val guarded =
         if (allowDecodeFail) when(valid, c).otherwise(lit(null).cast(sparkType(p.typ)))
         else c

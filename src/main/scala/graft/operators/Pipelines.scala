@@ -178,7 +178,60 @@ object Pipelines {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** p09 — dynamic-type event decode: `string` and `uint256[]` params
+    * decoded from the ABI tail encoding (head word = offset, tail =
+    * length word + padded payload). The reference's decoder handles
+    * arbitrary event signatures including dynamic types
+    * (EvmDecodeEventsConfig, erc20_transfers.py:131-141); this exercises
+    * the tail path end-to-end: per-document payloads with variable-length
+    * strings and 0–4-element arrays, plus truncated blobs (every 13th
+    * doc) that must null out under allow_decode_fail. */
+  def p09DynamicDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{u256_from_long, EvmAbi}
+    val sig = "DataLogged(address indexed src, string note, uint256[] vals)"
+    // sort the narrow source first: the decode is an order-preserving
+    // projection, so the range exchange samples two scan columns
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    val noteB = substring(col("text"), 1, 40).cast("binary")
+    val nb = length(noteB).cast("long")
+    val padded = shiftleft(shiftright(nb + lit(31L), 5), 5)
+    val strTail = concat(u256_from_long(nb), noteB,
+      substr(lit(Array.fill[Byte](32)(0)), lit(1L), padded - nb))
+    val nvals = pmod(col("doc_id"), lit(5)).cast("long")
+    def el(i: Int) = when(nvals > i, u256_from_long(col("doc_id") * 10 + i))
+      .otherwise(lit(Array.emptyByteArray))
+    val arrTail = concat(u256_from_long(nvals), el(0), el(1), el(2), el(3))
+    val payload = concat(
+      u256_from_long(lit(64L)),            // offset of note's tail
+      u256_from_long(lit(96L) + padded),   // offset of vals' tail
+      strTail, arrTail)
+    val data = when(pmod(col("doc_id"), lit(13)) === 0,
+        substr(payload, lit(1L), lit(64L))) // head only → offsets dangle
+      .otherwise(payload)
+    val logs = d.select(col("doc_id"),
+      unhex(lit(EvmAbi.signatureTopic0Hex(sig))).as("topic0"),
+      u256_from_long(col("doc_id")).as("topic1"),
+      data.as("data"))
+    EvmAbi.decodeEvent(logs, sig)
+      .select(col("doc_id"), col("src"), col("note"),
+        size(col("vals")).cast("long").as("n_vals"),
+        array_join(transform(col("vals"), v => v.cast("string")), ",")
+          .as("vals_csv"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "p09_dynamic_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 <> 0 THEN printf('%040x', doc_id) END
+        |    AS src,
+        |  CASE WHEN doc_id % 13 <> 0 THEN substring(text, 1, 40) END
+        |    AS note,
+        |  CASE WHEN doc_id % 13 <> 0 THEN doc_id % 5 END AS n_vals,
+        |  CASE WHEN doc_id % 13 <> 0 THEN coalesce(array_to_string(
+        |    [CAST(doc_id * 10 + x AS VARCHAR) FOR x IN range(doc_id % 5)],
+        |    ','), '') END AS vals_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p03_erc20_pipeline" ->
       """SELECT l_orderkey, l_linenumber,
         |  printf('%040x', l_partkey) AS from_addr,
@@ -253,6 +306,7 @@ object Pipelines {
     "p01_swaps_pipeline" -> (p01SwapsPipeline _),
     "p02_vwap_pipeline" -> (p02VwapPipeline _),
     "p03_erc20_pipeline" -> (p03Erc20Pipeline _),
-    "p06_event_decode" -> (p06EventDecode _)
+    "p06_event_decode" -> (p06EventDecode _),
+    "p09_dynamic_decode" -> (p09DynamicDecode _)
   )
 }

@@ -44,18 +44,96 @@ class EvmAbiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseEvent("E(bytes33)"))
     intercept[IllegalArgumentException](parseEvent("E(int7)"))
     assert(parseEvent("E(int,int128)").canonical === "E(int256,int128)")
-    intercept[IllegalArgumentException](
-      parseEvent("E(string data)")) // non-indexed dynamic
+    // non-indexed dynamics are tail-decodable; arrays normalize element
+    // aliases in the canonical form
+    assert(parseEvent("E(string data_, uint[] vals)").canonical ===
+      "E(string,uint256[])")
     intercept[IllegalArgumentException](
       parseEvent("E(uint256 indexed a, uint256 indexed b, " +
         "uint256 indexed c, uint256 indexed d)")) // >3 indexed
-    // arrays and tuples must fail as 'unsupported ABI type', not leak a
-    // NumberFormatException out of the uintN/bytesN width parse
-    for (bad <- Seq("E(uint256[] a)", "E(bytes[] b)", "E((uint256,address) t)",
-        "E(uintX n)", "E(bytesX n)", "E(intX n)")) {
+    // tuples, nested dynamics and malformed widths must fail as
+    // 'unsupported ABI type', not leak a NumberFormatException
+    for (bad <- Seq("E(bytes[] b)", "E(string[] s)", "E(uint256[][] m)",
+        "E((uint256,address) t)", "E(uintX n)", "E(bytesX n)", "E(intX n)")) {
       val e = intercept[IllegalArgumentException](parseEvent(bad))
       assert(e.getMessage.contains("unsupported ABI type"), bad)
     }
+  }
+
+  test("dynamic tail decode: string, bytes, uint256[] — well-formed rows") {
+    // LogCall(address indexed usr, string note, uint256[] vals)
+    val sig = "LogCall(address indexed usr, string note, uint256[] vals)"
+    def pad32(b: Array[Byte]): Array[Byte] =
+      b ++ Array.fill[Byte]((32 - b.length % 32) % 32)(0)
+    val note = "hello tail".getBytes("UTF-8")
+    // head: [off(note)=64, off(vals)=128] ++ tail(note) ++ tail(vals)
+    val data = u256(64) ++ u256(64 + 32 + 32) ++
+      (u256(note.length) ++ pad32(note)) ++
+      (u256(3) ++ u256(7) ++ u256(8) ++ u256(9))
+    val df = Seq((u256(0xbeefL), data)).toDF("topic1", "data")
+      .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    val r = EvmAbi.decodeEvent(df, sig).select("usr", "note", "vals").head
+    assert(r.getString(0).endsWith("beef"))
+    assert(r.getString(1) === "hello tail")
+    assert(r.getSeq[java.math.BigDecimal](2).map(_.longValueExact) ===
+      Seq(7L, 8L, 9L))
+
+    // empty string + empty array: tails are just length words
+    val empty = u256(64) ++ u256(96) ++ u256(0) ++ u256(0)
+    val df2 = df.withColumn("data", lit(empty))
+    val r2 = EvmAbi.decodeEvent(df2, sig).select("note", "vals").head
+    assert(r2.getString(0) === "")
+    assert(r2.getSeq[java.math.BigDecimal](1).isEmpty)
+  }
+
+  test("dynamic tail decode-fail: bad offsets, lengths, padding all null") {
+    val sig = "LogCall(string note, uint64[] vals)"
+    val good = u256(64) ++ u256(128) ++
+      (u256(2) ++ ("hi".getBytes("UTF-8") ++ Array.fill[Byte](30)(0))) ++
+      (u256(1) ++ u256(5))
+    val rows = Seq(
+      ("good", good),
+      // offset not 32-aligned
+      ("unaligned", u256(65) ++ good.drop(32)),
+      // offset points before the head's end
+      ("into_head", u256(32) ++ good.drop(32)),
+      // length word claims more than the blob holds
+      ("overlong", u256(64) ++ u256(128) ++
+        (u256(99) ++ ("hi".getBytes("UTF-8") ++ Array.fill[Byte](30)(0))) ++
+        (u256(1) ++ u256(5))),
+      // nonzero bytes in the string's padding
+      ("dirty_pad", u256(64) ++ u256(128) ++
+        (u256(2) ++ ("hi".getBytes("UTF-8") ++ Array.fill[Byte](30)(1))) ++
+        (u256(1) ++ u256(5))),
+      // array element violates uint64 padding (high bytes set)
+      ("fat_elem", u256(64) ++ u256(128) ++
+        (u256(2) ++ ("hi".getBytes("UTF-8") ++ Array.fill[Byte](30)(0))) ++
+        (u256(1) ++ Array.fill[Byte](32)(0x7f))),
+      // blob not word-aligned
+      ("ragged", good ++ Array[Byte](1)))
+    val df = rows.toDF("label", "data")
+      .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    val out = EvmAbi.decodeEvent(df, sig)
+      .select("label", "note", "vals").collect()
+      .map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out("good") === ((false, false)))
+    for (bad <- Seq("unaligned", "into_head", "overlong", "dirty_pad",
+        "fat_elem", "ragged"))
+      assert(out(bad) === ((true, true)), bad)
+  }
+
+  test("dynamic decode on the trusted path never throws on garbage") {
+    val sig = "LogCall(string note, uint256[] vals)"
+    val rows = Seq(
+      Array.fill[Byte](64)(0x7e), // offsets pointing far out of the blob
+      u256(64) ++ u256(96) ++ u256(Long.MaxValue) ++ u256(0), // huge length
+      Array[Byte](1, 2, 3)) // shorter than the head
+      .map(Tuple1(_))
+    val df = rows.toDF("data")
+      .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    // must evaluate without throwing; values are garbage/null by contract
+    EvmAbi.decodeEvent(df, sig, allowDecodeFail = false)
+      .select("note", "vals").collect()
   }
 
   test("decodeEvent rejects param names colliding with input columns") {
