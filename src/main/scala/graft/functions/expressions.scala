@@ -132,6 +132,26 @@ object ExprImpl {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Cosine similarity over two int8-quantized vectors. Symmetric
+    * (no-zero-point) quantization cancels each vector's scale factor in
+    * the cosine ratio, so the kernel runs on the raw int8 codes — exact
+    * integer dot/norm accumulation in long, one double division at the
+    * end, and 4× less memory traffic than the float32 kernel (s04's
+    * storage/bandwidth story at 100 TB). */
+  def cosineSimI8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0L else a.getByte(i).toLong
+      val y = if (b.isNullAt(i)) 0L else b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
   /** SimHash over pre-hashed 64-bit token hashes: majority vote per bit. */
   def simhash64(hashes: ArrayData): Long = {
     val n = hashes.numElements()
@@ -284,6 +304,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       (a, b) => s"graft.functions.ExprImpl.cosineSim($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine_similarity_i8(array<tinyint>, array<tinyint>) → double; the
+  * int8-quantized twin of CosineSimilarity (see ExprImpl.cosineSimI8 —
+  * symmetric quantization scales cancel, so cosine runs on raw codes). */
+case class CosineSimilarityI8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity_i8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.cosineSimI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprImpl.cosineSimI8($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityI8 =
     copy(left = newLeft, right = newRight)
 }
 

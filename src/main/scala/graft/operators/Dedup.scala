@@ -137,6 +137,44 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d06 — the FULL-corpus embedding near-dup path d05's bound points at:
+    * sign-random-projection LSH (32-bit signature, 8 bands × 4 bits)
+    * generates candidate pairs via an equi-join on (band, bucket) — ids
+    * only, never vectors — then the survivors rejoin their embeddings for
+    * exact-cosine verification at τ=0.45. Precision is 1 by construction
+    * (every emitted pair is exactly verified); recall is the LSH
+    * collision probability, which concentrates on genuinely-similar pairs
+    * — the regime dedup cares about (the τ≈0.35 weak-similarity tail is
+    * d05's bounded exact baseline's job, not LSH's). At 100 TB this is
+    * one linear signature pass + hash-partitioned bucket joins; no
+    * quadratic anywhere. Rows-only (seeded hash family); LlmOpsSpec pins
+    * containment in the exact pair set and recall on it.
+    */
+  def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.lsh_sign_bits
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val bands = e
+      .select(col("vec_id"), lsh_sign_bits(col("embedding"), 32).as("sig"))
+      .select(col("vec_id"), posexplode(array((0 to 7).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.cosine_similarity(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
@@ -172,6 +210,7 @@ object Dedup {
     "d02_dedup_minhash" -> (d02DedupMinhash _),
     "d03_dedup_simhash" -> (d03DedupSimhash _),
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
-    "d05_dedup_embedding" -> (d05DedupEmbedding _)
+    "d05_dedup_embedding" -> (d05DedupEmbedding _),
+    "d06_dedup_embedding_lsh" -> (d06DedupEmbeddingLsh _)
   )
 }

@@ -125,6 +125,43 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s04 — ANN over int8-quantized vectors: symmetric per-vector
+    * quantization (scale = max|x|/127, no zero point) shrinks the corpus
+    * 4× — at 100 TB of embeddings that is the difference between spilling
+    * and fitting executor memory, and the shuffle/scan bandwidth falls
+    * with it. Because symmetric scales cancel in the cosine ratio, the
+    * codegen'd cosine_similarity_i8 kernel ranks on the RAW int8 codes —
+    * no dequantization anywhere. Same query/k contract as s01 so
+    * SimilaritySpec measures the quantization recall loss directly
+    * (int8 on 64-dim keeps cosine nearly intact). Rows-only.
+    */
+  def s04AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.cosine_similarity_i8
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val quant = e
+      .select(col("vec_id"),
+        greatest(array_max(transform(col("embedding"), x => abs(x))),
+          lit(1e-12f)).as("mx"),
+        col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x / col("mx") * 127.0f).cast("byte")).as("q"))
+    val q = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(q)
+      .join(quant.select(col("vec_id").as("nid"), col("q").as("nq")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine_similarity_i8(col("qq"), col("nq")).as("cos"))
+      .select(col("qid"), col("nid"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -144,6 +181,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteforce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
-    "s03_ann_ivf" -> (s03AnnIvf _)
+    "s03_ann_ivf" -> (s03AnnIvf _),
+    "s04_ann_quantized" -> (s04AnnQuantized _)
   )
 }

@@ -154,6 +154,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t07 — Gopher-style repetition filter (Rae et al. 2021 §A1.1: docs
+    * dominated by repeated lines/n-grams are boilerplate, not prose).
+    * Two signals per document: the duplicate fraction of 8-word segments
+    * (computed row-local with array_distinct — no shuffle), and the
+    * fraction of all word 2-grams taken by the single most frequent one
+    * (explode + two-level agg keyed by doc_id — linear, one shuffle, the
+    * t06 pattern). Thresholds flag the doc. All ratios are single-rounded
+    * double divisions mirrored verbatim in the DuckDB oracle.
+    */
+  def t07RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val ws = col("ws")
+    val segs = transform(
+      sequence(lit(0), floor((size(ws) - 1) / 8).cast("int")),
+      i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))
+    val segStats = base.select(col("doc_id"), size(segs).as("n_segs"),
+      size(array_distinct(segs)).as("n_distinct_segs"))
+    // explode_outer keeps <2-word docs as a null-gram row so the join
+    // below stays an inner join on a complete key set
+    val grams = base.select(col("doc_id"),
+      explode_outer(when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))).as("gram"))
+    val gramStats = grams.groupBy(col("doc_id"), col("gram")).count()
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("gram").isNotNull, col("count")).otherwise(0L))
+        .as("n_grams"),
+        max(when(col("gram").isNotNull, col("count")).otherwise(0L))
+          .as("top_cnt"))
+    val dupFrac = lit(1.0) -
+      col("n_distinct_segs").cast("double") / col("n_segs")
+    val topFrac = when(col("n_grams") > 0,
+      col("top_cnt").cast("double") / col("n_grams")).otherwise(lit(0.0))
+    segStats.join(gramStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_segs"), col("n_distinct_segs"),
+        dupFrac.as("dup_seg_frac"), topFrac.as("top2gram_frac"),
+        (dupFrac > 0.3 || topFrac > 0.18).cast("long").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t08 — PII scrub (the redaction pass every training-data pipeline
+    * runs): emails, IPv4s and phone numbers replaced by typed tokens,
+    * with per-document match counts. PII is injected deterministically
+    * from doc_id so the scrubber has a measurable target on the synthetic
+    * corpus; patterns are engine-portable (no \\d, no \\b — Java regex
+    * and DuckDB's RE2 agree on the subset used). Replacement order is
+    * email → IP → phone so earlier tokens can't be re-matched.
+    */
+  def t08PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+      pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit(".4 tel +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("aug"), emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(scrubbed).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
     * hit counts as (score, lang) structs, `list_max` picking the same
     * (max score, then lexicographically-greatest lang) winner as Spark's
@@ -215,7 +287,60 @@ object TextAnalysis {
     "t03_token_count" ->
       """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_repetition_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    [array_to_string(ws[CAST(i*8+1 AS BIGINT)
+        |       : CAST(i*8+8 AS BIGINT)], ' ')
+        |     FOR i IN range(0, CAST(floor((len(ws)-1)/8) AS BIGINT) + 1)]
+        |      AS segs
+        |  FROM base),
+        |ss AS (
+        |  SELECT doc_id, len(segs) AS n_segs,
+        |    len(list_distinct(segs)) AS n_distinct_segs FROM seg),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+        |      AS gram
+        |  FROM base),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_cnt
+        |       FROM gc GROUP BY 1)
+        |SELECT ss.doc_id, ss.n_segs, ss.n_distinct_segs,
+        |  1.0 - CAST(ss.n_distinct_segs AS DOUBLE) / ss.n_segs
+        |    AS dup_seg_frac,
+        |  CASE WHEN coalesce(gs.n_grams, 0) > 0
+        |    THEN CAST(gs.top_cnt AS DOUBLE) / gs.n_grams
+        |    ELSE 0.0 END AS top2gram_frac,
+        |  CAST((1.0 - CAST(ss.n_distinct_segs AS DOUBLE) / ss.n_segs) > 0.3
+        |    OR (CASE WHEN coalesce(gs.n_grams, 0) > 0
+        |          THEN CAST(gs.top_cnt AS DOUBLE) / gs.n_grams
+        |          ELSE 0.0 END) > 0.18 AS BIGINT) AS flagged
+        |FROM ss LEFT JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t08_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 10.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      || '.4 tel +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM aug ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -224,6 +349,8 @@ object TextAnalysis {
     "t03_token_count" -> (t03TokenCount _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_corpus_stats" -> (t05CorpusStats _),
-    "t06_segment_dedup" -> (t06SegmentDedup _)
+    "t06_segment_dedup" -> (t06SegmentDedup _),
+    "t07_repetition_filter" -> (t07RepetitionFilter _),
+    "t08_pii_scrub" -> (t08PiiScrub _)
   )
 }

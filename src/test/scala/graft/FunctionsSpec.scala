@@ -165,6 +165,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ExprImpl.simhash64(single) === 0x0f0f0f0fL) // majority of 1 = value
   }
 
+  test("cosine_similarity_i8: exact int accumulation, scale cancellation") {
+    import graft.functions.ExprImpl
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Byte*) = ArrayData.toArrayData(xs.toArray)
+    // identical codes → 1.0 exactly (integer norms are exact)
+    assert(ExprImpl.cosineSimI8(arr(1, -2, 3), arr(1, -2, 3)) === 1.0)
+    // orthogonal → 0.0
+    assert(ExprImpl.cosineSimI8(arr(127, 0), arr(0, 127)) === 0.0)
+    // hand-computed: (3,4)·(-1,2) = -3+8 = 5; |a| = 5, |b| = √5
+    assert(math.abs(ExprImpl.cosineSimI8(arr(3, 4), arr(-1, 2)) -
+      5.0 / (5.0 * math.sqrt(5.0))) < 1e-15)
+    // zero vector → 0.0, not NaN
+    assert(ExprImpl.cosineSimI8(arr(0, 0), arr(1, 2)) === 0.0)
+    // scale cancellation: the int8 cosine of quantized codes approximates
+    // the float cosine of the originals regardless of per-vector scale
+    val fa = ArrayData.toArrayData(Array(0.9f, -0.3f, 0.1f, 0.5f))
+    val fb = ArrayData.toArrayData(Array(0.2f, 0.8f, -0.4f, 0.6f))
+    def quant(xs: Array[Float]) = ArrayData.toArrayData(
+      xs.map(x => math.round(x / xs.map(math.abs).max * 127).toByte))
+    val exact = ExprImpl.cosineSim(fa, fb)
+    val q = ExprImpl.cosineSimI8(
+      quant(Array(0.9f, -0.3f, 0.1f, 0.5f)),
+      quant(Array(0.2f, 0.8f, -0.4f, 0.6f)))
+    assert(math.abs(exact - q) < 0.01, s"exact=$exact quant=$q")
+  }
+
   test("u256 mul/div: exact values, 2^256 wraparound, div-by-zero null") {
     import java.math.BigInteger
     def w(v: BigInteger) = ExprImpl.u256Wrap(v)

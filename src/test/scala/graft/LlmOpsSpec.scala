@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -145,6 +146,39 @@ class LlmOpsSpec extends AnyFunSuite {
     val recall = hits.toDouble / (exact.size * 5)
     info(s"IVF recall@5 = $recall")
     assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+  }
+
+  test("s04 quantized ANN: int8 codes keep cosine ranking nearly intact") {
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.s04AnnQuantized(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet === (0L until 10L).toSet)
+    approx.values.foreach(s => assert(s.size === 5))
+    val hits = exact.keys.toSeq.map(q =>
+      (exact(q) intersect approx.getOrElse(q, Set.empty)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    info(s"int8 recall@5 = $recall")
+    // quantization noise, not bucketing, is the only loss source here —
+    // the bar is far above the LSH/IVF candidate-pruning paths
+    assert(recall >= 0.8, s"int8 quantization recall@5 too low: $recall")
+  }
+
+  test("d06 LSH dedup: contained in the exact pair set with usable recall") {
+    val exact = graft.operators.Dedup.d05DedupEmbedding(spark, sfDir)
+      .filter(col("cos") >= 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Dedup.d06DedupEmbeddingLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction: every candidate is exact-verified at
+    // the same τ, so the LSH output must be a subset of the exact pairs
+    assert(lsh.subsetOf(exact), s"non-exact pairs leaked: ${lsh diff exact}")
+    val recall =
+      if (exact.isEmpty) 1.0 else (lsh intersect exact).size.toDouble / exact.size
+    info(s"d06 recall vs exact τ≥0.45 pairs = $recall (${exact.size} pairs)")
+    assert(recall >= 0.4, s"LSH dedup recall too low: $recall")
   }
 
   test("m01 multimodal decode stub: schema contract and byte stats") {
