@@ -385,7 +385,38 @@ object Relational {
       .orderBy(col("region"), col("priority"))
   }
 
+  /** q25 — PIVOT with an explicit value list: per-user event-type totals
+    * as columns (the wide-table reshape ClickHouse users write as
+    * sumIf-per-type columns, and the reference's per-variant column
+    * normalization does manually). The explicit list matters at scale:
+    * without it Spark runs an extra distinct job just to discover the
+    * columns, and the output schema becomes data-dependent. One shuffle,
+    * map-side partial aggregation, same dsum exactness contract as every
+    * aggregate here.
+    */
+  def q25Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(dsum(col("value"), 6))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q25_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error'
+        |    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup'
+        |    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q01_agg_filter" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
@@ -560,6 +591,7 @@ object Relational {
     "q20_time_bucket" -> (q20TimeBucket _),
     "q21_asof_join" -> (q21AsofJoin _),
     "q23_asof_native" -> (q23AsofNative _),
-    "q24_grouping_sets" -> (q24GroupingSets _)
+    "q24_grouping_sets" -> (q24GroupingSets _),
+    "q25_pivot" -> (q25Pivot _)
   )
 }

@@ -98,13 +98,15 @@ object Writers {
   }
 
   /** k07 — multi-format source/sink round trip: events flow parquet →
-    * CSV → JSON → back, and the result must equal the source exactly
-    * (the oracle is the identity projection). This pins the two
+    * CSV → JSON → ORC → back, and the result must equal the source
+    * exactly (the oracle is the identity projection). This pins the
     * format-boundary contracts that silently corrupt data when wrong:
     * microsecond-precision timestamps through a text format (explicit
-    * timestampFormat on write AND read — the default truncates), and
-    * doubles through text (Spark writes shortest-round-trip decimal
-    * reprs, so parse-back is bit-identical).
+    * timestampFormat on write AND read — the default truncates), doubles
+    * through text (Spark writes shortest-round-trip decimal reprs, so
+    * parse-back is bit-identical), and the binary-columnar leg (ORC —
+    * the other native columnar format Spark ships) preserving both
+    * losslessly without options.
     */
   def k07FormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -119,6 +121,8 @@ object Writers {
     fromCsv.write.option("timestampFormat", tsFmt).json(s"$root/json")
     spark.read.option("timestampFormat", tsFmt).schema(src.schema)
       .json(s"$root/json")
+      .write.orc(s"$root/orc")
+    spark.read.schema(src.schema).orc(s"$root/orc")
       .orderBy(col("event_id"))
   }
 

@@ -237,6 +237,35 @@ object EventStreams {
     }
   }
 
+  /** st06 — the reference's ACTUAL sink topology end-to-end: stream in,
+    * transform per micro-batch, batched JDBC insert into a live database
+    * (cherry's provider loop → transform → ClickHouse insert;
+    * erc20_transfers.py:30-50 init_db + writer). st03 proved the
+    * streaming fold into parquet; this proves it into the DB engine —
+    * table auto-created on the first batch, appends after, every event
+    * in exactly one micro-batch. Read-back over JDBC is the query
+    * result, so the oracle certifies the whole write→read path
+    * (DDL inference, batched insert, type mapping) under streaming.
+    */
+  def st06StreamJdbc(spark: SparkSession, dir: String): DataFrame = {
+    val db = graft.Scratch.dir("st06_") + "/db"
+    val sink = graft.sinks.Writers.JdbcSink(
+      s"jdbc:derby:$db;create=true", "EVENTS_BOOSTED", numPartitions = 1)
+    val q = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.write(batch.withColumn("boosted", col("value") * 2.0)
+          .drop("value"))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    sink.read(spark)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("boosted"))
+      .orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -258,6 +287,9 @@ object EventStreams {
     "st03_stream_sink" ->
       """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
         |FROM events ORDER BY event_id""".stripMargin,
+    "st06_stream_jdbc" ->
+      """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
+        |FROM events ORDER BY event_id""".stripMargin,
     "st04_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |  c.ts AS c_ts, p.ts AS p_ts
@@ -273,6 +305,7 @@ object EventStreams {
     "st02_stream_state" -> (st02StreamState _),
     "st03_stream_sink" -> (st03StreamSink _),
     "st04_stream_join" -> (st04StreamJoin _),
-    "st05_rocksdb_state" -> (st05RocksdbState _)
+    "st05_rocksdb_state" -> (st05RocksdbState _),
+    "st06_stream_jdbc" -> (st06StreamJdbc _)
   )
 }
