@@ -52,9 +52,18 @@ object Writers {
     * Spark's own classpath) — same writer path, same options, different
     * URL; against the reference's ClickHouse only the URL/driver change.
     */
+  /** Derby tuning for the embedded scratch databases k02/st06 run
+    * against: durability=test skips the per-commit log sync (5–10×
+    * insert throughput). Must be set BEFORE the Derby engine boots, so
+    * every JdbcSink entry point touches this first; fine for a
+    * throwaway test DB, never for real data. */
+  private lazy val derbyScratchTuning: Unit =
+    System.setProperty("derby.system.durability", "test"): Unit
+
   final case class JdbcSink(url: String, table: String,
       user: String = "default", password: String = "",
       batchSize: Int = 100000, numPartitions: Int = 8) {
+    derbyScratchTuning
     def options: Map[String, String] = Map(
       "url" -> url, "dbtable" -> table,
       "user" -> user, "password" -> password,
