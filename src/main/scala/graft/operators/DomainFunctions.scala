@@ -95,15 +95,21 @@ object DomainFunctions {
     */
   def f07U256Ratio(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{u256_mul, u256_div, u256_ratio_decimal}
+    // sort the narrow filtered scan FIRST: the u256 math is an order-
+    // preserving projection, so the range exchange (whose sampling pass
+    // re-executes its child) moves four scan columns and the BigInteger
+    // kernels run exactly once, after the sort
     val t = Tables(spark, dir).lineitem
       .filter(col("l_quantity") > lit(0.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
     val a = u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
     val b = u256_from_long(floor(col("l_quantity")).cast("long"))
     t.select(col("l_orderkey"), col("l_linenumber"),
         u256_to_decimal(u256_mul(a, b)).cast("string").as("product"),
         u256_to_decimal(u256_div(a, b)).cast("string").as("quotient"),
         u256_ratio_decimal(a, b, 9).cast("string").as("price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** f08 — SIGNED 256-bit codec round trip (int256 event params, e.g.

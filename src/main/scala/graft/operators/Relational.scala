@@ -221,14 +221,18 @@ object Relational {
     * significant digits) so the result is engine-portable.
     */
   def q14DecimalRatio(spark: SparkSession, dir: String): DataFrame = {
+    // sort first, project after (order-preserving): the range exchange
+    // samples the raw scan columns, and the decimal casts run once
     Tables(spark, dir).lineitem
       .filter(col("l_quantity") > lit(0.0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") / col("l_quantity"))
           .cast(DecimalType(38, 9)).cast("double").as("unit_price"),
         col("l_extendedprice").cast(DecimalType(18, 6)).cast("double")
           .as("price_dec"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** q15 — EXISTS / semi-join filtering (program-id membership filters in
