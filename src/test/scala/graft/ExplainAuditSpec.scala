@@ -129,6 +129,32 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected exactly one range exchange (the final ORDER BY):\n$p")
   }
 
+  test("d06 LSH dedup: candidate generation is an equi-join, no cross join") {
+    val p = plan(Dedup.d06DedupEmbeddingLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must come from an equi-join on (band, bucket):\n$p")
+  }
+
+  test("s04 quantized ANN: corpus never shuffles, query side broadcasts") {
+    val p = plan(Similarity.s04AnnQuantized(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "quantized ANN should broadcast the bounded query side")
+  }
+
+  test("p09 dynamic decode: pure projection, range exchange over the scan") {
+    val p = plan(graft.operators.Pipelines.p09DynamicDecode(spark, sfDir))
+    // match join OPERATORS, not the substring — the projection itself
+    // legitimately contains array_join
+    assert(!"(?i)(SortMergeJoin|HashJoin|NestedLoopJoin|CartesianProduct)".r
+      .findFirstIn(p).isDefined, s"decode must not join:\n$p")
+    assert(countOf(p, "Arguments: rangepartitioning") === 1, p)
+    assert(countOf(p, "Arguments: hashpartitioning") === 0,
+      s"no hash exchange belongs in a pure decode:\n$p")
+  }
+
   test("p03: Catalyst constant-folds through the custom keccak expression") {
     val p = plan(graft.operators.Pipelines.p03Erc20Pipeline(spark, sfDir))
     // topic0 = keccak256(<literal>) compared to a literal hex — foldable
