@@ -84,6 +84,42 @@ object Writers {
         .option("user", user).option("password", password).load()
   }
 
+  /** Compact a parquet directory into ~targetBytes-sized files: one
+    * file-listing metadata pass sizes the input, then a single coalesce
+    * (no shuffle — compaction must not pay a network pass over data it
+    * only re-groups) rewrites it. The small-file problem is a first-class
+    * 100 TB concern: a streaming sink (st03/st06) or over-parallel
+    * upstream leaves thousands of KB-files per partition, and every
+    * downstream scan then pays per-file open/footer/scheduling overhead.
+    * Returns the output file count. */
+  def compactParquet(spark: SparkSession, in: String, out: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(in)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(path).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(in).coalesce(nOut)
+      .write.mode("overwrite").parquet(out)
+    nOut
+  }
+
+  /** k08 — small-file compaction as a round-trip query: events are first
+    * written deliberately fragmented (64 splinter files — the shape a
+    * micro-batching sink leaves behind), compacted with compactParquet,
+    * and read back. The oracle is the identity projection (compaction
+    * must move bytes, never change rows); SinksSpec pins the file-count
+    * contract. */
+  def k08Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k08_")
+    val src = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    src.repartition(64).write.parquet(s"$root/frag")
+    compactParquet(spark, s"$root/frag", s"$root/compact")
+    spark.read.parquet(s"$root/compact").orderBy(col("event_id"))
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -258,6 +294,9 @@ object Writers {
     "k07_format_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+    "k08_compaction" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
     "k02_jdbc_sink" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -287,6 +326,7 @@ object Writers {
     "k02_jdbc_sink" -> (k02JdbcSink _),
     "k04_bucketed_join" -> (k04BucketedJoin _),
     "k05_static_dict" -> (k05StaticDict _),
-    "k07_format_roundtrip" -> (k07FormatRoundtrip _)
+    "k07_format_roundtrip" -> (k07FormatRoundtrip _),
+    "k08_compaction" -> (k08Compaction _)
   )
 }

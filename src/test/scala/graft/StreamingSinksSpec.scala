@@ -125,6 +125,28 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === orders.count())
   }
 
+  test("k08 compaction: many splinter files → size-targeted few, same rows") {
+    val root = Files.createTempDirectory("k08_spec_").toString
+    val src = graft.sources.Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    src.repartition(32).write.parquet(s"$root/frag")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/frag").length === 32)
+    val nOut = Writers.compactParquet(spark, s"$root/frag", s"$root/out",
+      targetBytes = 256L << 10)
+    val outFiles = parquetFiles(s"$root/out")
+    assert(outFiles.length === nOut)
+    assert(outFiles.length < 32, "compaction must reduce the file count")
+    // never changes rows
+    assert(spark.read.parquet(s"$root/out").count() === src.count())
+    // a tiny target forces multiple output files (bin packing responds
+    // to the target, not a fixed count)
+    val nSmall = Writers.compactParquet(spark, s"$root/frag", s"$root/out2",
+      targetBytes = 8L << 10)
+    assert(nSmall > nOut)
+  }
+
   test("k01 bloom option lands in footers for non-dictionary columns") {
     // parquet only writes a bloom when the chunk is NOT fully
     // dictionary-encoded (the dictionary already gives exact skipping) —
