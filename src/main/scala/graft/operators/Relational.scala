@@ -367,6 +367,29 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q26 — as-of join with a TOLERANCE bound (pandas merge_asof
+    * `tolerance` / kdb window-join semantics): an order only matches an
+    * event if it is at most 30 days old at event time, else the event
+    * joins null. Exercises the native operator's staleness bound — the
+    * retained candidate is already the closest one, so tolerance is an
+    * O(1) check in the merge scan, not a second pass.
+    */
+  def q26AsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_id"), col("ts"),
+      unix_micros(col("ts")).as("ts_us"))
+    val ord = t.orders.select(col("o_custkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+      col("o_orderkey"))
+    graft.plans.AsOf.join(ev, ord,
+        leftKey = "user_id", leftTime = "ts_us",
+        rightKey = "o_custkey", rightTime = "o_us", rightTie = "o_orderkey",
+        tolerance = 30L * 86400L * 1000000L) // 30 days in µs
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("o_orderkey").as("asof_orderkey"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -558,6 +581,14 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q26_asof_tolerance" ->
+      """SELECT e.user_id, e.event_id, e.ts,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |     AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+        |    AS asof_orderkey
+        |FROM events e ORDER BY user_id, event_id""".stripMargin,
     "q24_grouping_sets" ->
       """SELECT COALESCE(r_name, 'ALL') AS region,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
@@ -596,6 +627,7 @@ object Relational {
     "q21_asof_join" -> (q21AsofJoin _),
     "q23_asof_native" -> (q23AsofNative _),
     "q24_grouping_sets" -> (q24GroupingSets _),
-    "q25_pivot" -> (q25Pivot _)
+    "q25_pivot" -> (q25Pivot _),
+    "q26_asof_tolerance" -> (q26AsofTolerance _)
   )
 }

@@ -38,7 +38,8 @@ import org.apache.spark.sql.graft.Interop
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression, rightTie: Expression)
+    rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    tolerance: Long = -1L)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +50,8 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(lk, lt, rk, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, tie, tol) =>
+      AsOfJoinExec(lk, lt, rk, rt, tie, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -73,6 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
     rightKey: Expression, rightTime: Expression, rightTie: Expression,
+    tolerance: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -115,6 +117,7 @@ final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       val lktProj = UnsafeProjection.create(Seq(lkB, ltB))
       val rktProj = UnsafeProjection.create(Seq(rkB, rtB))
       var candKey = 0L
+      var candTime = 0L
       var cand: InternalRow = null
       // single mutable copy buffer: rIter reuses its row object (and any
       // peek via the buffered iterator invalidates it), so the surviving
@@ -142,11 +145,16 @@ final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
                 case other => cand = other.copy()
               }
               candKey = k
+              candTime = ht
             }
           } else scanning = false
         }
         numOutputRows += 1
-        val matched = cand != null && candKey == k
+        // tolerance bounds staleness: the retained candidate is the
+        // CLOSEST right row at or before t, so if it is out of tolerance
+        // no other row can be in — null, not a further scan
+        val matched = cand != null && candKey == k &&
+          (tolerance < 0L || t - candTime <= tolerance)
         if (matched) numMatched += 1
         proj(joined(lRow, if (matched) cand else nullRow))
       }
@@ -164,9 +172,14 @@ final case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
   * filtered (v1 contract).
   */
 object AsOf {
+  /** tolerance (same unit as the time columns, -1 = unbounded) bounds
+    * how stale a match may be: a left row whose closest candidate is
+    * older than `leftTime - tolerance` joins null instead — pandas
+    * merge_asof's `tolerance` / kdb wj-window semantics. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+      rightKey: String, rightTime: String, rightTie: String,
+      tolerance: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     import org.apache.spark.sql.functions.col
@@ -179,7 +192,8 @@ object AsOf {
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))
     Interop.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
-      attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTie)))
+      attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTie),
+      tolerance))
   }
 
   /** Idempotent strategy registration for sessions not built with

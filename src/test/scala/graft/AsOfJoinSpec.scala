@@ -64,6 +64,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows.length === 1 && rows.head.getLong(4) === 42L)
   }
 
+  test("tolerance bounds staleness: stale candidates join null, boundary in") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 200L), (1L, 300L)).toDF("k", "t")
+    val r = Seq((1L, 95L, 10L), (1L, 150L, 20L)).toDF("rk", "rt", "payload")
+    val got = AsOf.join(l, r, "k", "t", "rk", "rt", "payload",
+        tolerance = 50L)
+      .collect()
+      .map(row => row.getLong(1) ->
+        (if (row.isNullAt(4)) None else Some(row.getLong(4))))
+      .toMap
+    assert(got === Map(
+      100L -> Some(10L), // 100-95=5 ≤ 50
+      200L -> Some(20L), // 200-150=50 — boundary is inclusive
+      300L -> None))     // 300-150=150 > 50 → stale, null
+    // tolerance -1 (default) stays unbounded
+    val unb = AsOf.join(l, r, "k", "t", "rk", "rt", "payload")
+      .collect().map(row => row.getLong(1) -> row.isNullAt(4)).toMap
+    assert(unb === Map(100L -> false, 200L -> false, 300L -> false))
+  }
+
   test("hot-key stress: one key with 50% of rows stays within ~2x uniform") {
     // A single hot key lands on one partition of the merge scan. Because
     // the scan is linear with O(1) state, the worst-case skew cost is
