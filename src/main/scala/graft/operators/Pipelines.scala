@@ -220,7 +220,44 @@ object Pipelines {
           .as("vals_csv"))
   }
 
+  /** p10 — the pure-SQL user path: the same decode/join/ratio pipeline
+    * shape, written entirely as SQL TEXT against temp views, with graft's
+    * custom expressions called by name (u256_from_long / u256_mul /
+    * u256_to_decimal are FunctionRegistry entries via registerSql /
+    * GraftExtensions, not Scala-only helpers). A reference user driving
+    * everything from SQL strings — the ClickHouse habit — needs this
+    * surface to be first-class, so it gets its own oracle-checked entry,
+    * not just a unit test.
+    */
+  def p10SqlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerSql(spark)
+    Tables(spark, dir).lineitem.createOrReplaceTempView("graft_sql_li")
+    Tables(spark, dir).orders.createOrReplaceTempView("graft_sql_ord")
+    spark.sql(
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  lower(hex(u256_from_long(l.l_partkey))) AS part_u256,
+        |  CAST(u256_to_decimal(u256_mul(
+        |    u256_from_long(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)),
+        |    u256_from_long(CAST(FLOOR(l.l_quantity) AS BIGINT))))
+        |    AS STRING) AS product,
+        |  o.o_orderdate
+        |FROM graft_sql_li l
+        |LEFT JOIN graft_sql_ord o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_quantity > 0
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)
+  }
+
   val oracle: Map[String, String] = Map(
+    "p10_sql_pipeline" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  printf('%064x', l.l_partkey) AS part_u256,
+        |  CAST(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+        |    * CAST(FLOOR(l.l_quantity) AS BIGINT) AS VARCHAR) AS product,
+        |  o.o_orderdate
+        |FROM lineitem l
+        |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_quantity > 0
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     "p09_dynamic_decode" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 13 <> 0 THEN printf('%040x', doc_id) END
@@ -307,6 +344,7 @@ object Pipelines {
     "p02_vwap_pipeline" -> (p02VwapPipeline _),
     "p03_erc20_pipeline" -> (p03Erc20Pipeline _),
     "p06_event_decode" -> (p06EventDecode _),
-    "p09_dynamic_decode" -> (p09DynamicDecode _)
+    "p09_dynamic_decode" -> (p09DynamicDecode _),
+    "p10_sql_pipeline" -> (p10SqlPipeline _)
   )
 }

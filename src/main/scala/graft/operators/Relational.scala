@@ -390,6 +390,38 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q27 — SCD2 temporal dimension join: a time-VERSIONED dimension
+    * (three validity intervals per nation, synthesized deterministically)
+    * joined to facts at event time — equi-join on the key with the
+    * validity range as a residual condition, so Catalyst still plans a
+    * broadcast HASH join on the key (25×3 rows broadcast), never a range
+    * nested-loop. This is how a 100 TB fact stream picks up
+    * slowly-changing metadata (token listings, pool parameters) without
+    * an as-of sort.
+    */
+  def q27Scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.nation.select(col("n_nationkey"))
+      .withColumn("v", explode(array(lit(0), lit(1), lit(2))))
+      .select(col("n_nationkey"), col("v"),
+        make_date(lit(1992) + col("v") * 3, lit(1), lit(1)).as("valid_from"),
+        when(col("v") < 2,
+          make_date(lit(1992) + (col("v") + 1) * 3, lit(1), lit(1)))
+          .otherwise(make_date(lit(9999), lit(12), lit(31))).as("valid_to"),
+        pmod(col("n_nationkey") * 7 + col("v"), lit(5)).as("tier"))
+    val facts = t.orders.select(col("o_orderkey"),
+      pmod(col("o_custkey"), lit(25)).as("nk"),
+      col("o_orderdate").cast("date").as("od"))
+    facts
+      .join(broadcast(dim),
+        col("nk") === col("n_nationkey") &&
+          col("od") >= col("valid_from") && col("od") < col("valid_to"),
+        "left")
+      .select(col("o_orderkey"), col("nk"), col("v").as("dim_version"),
+        col("tier"), col("od").cast("timestamp").as("od"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -581,6 +613,21 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q27_scd2_join" ->
+      """WITH dim AS (
+        |  SELECT n_nationkey, v.v,
+        |    make_date(1992 + v.v * 3, 1, 1) AS valid_from,
+        |    CASE WHEN v.v < 2 THEN make_date(1992 + (v.v + 1) * 3, 1, 1)
+        |         ELSE make_date(9999, 12, 31) END AS valid_to,
+        |    (n_nationkey * 7 + v.v) % 5 AS tier
+        |  FROM nation CROSS JOIN (VALUES (0), (1), (2)) AS v(v))
+        |SELECT o.o_orderkey, o.o_custkey % 25 AS nk, d.v AS dim_version,
+        |  d.tier, CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP) AS od
+        |FROM orders o
+        |LEFT JOIN dim d ON o.o_custkey % 25 = d.n_nationkey
+        |  AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+        |  AND CAST(o.o_orderdate AS DATE) < d.valid_to
+        |ORDER BY o_orderkey""".stripMargin,
     "q26_asof_tolerance" ->
       """SELECT e.user_id, e.event_id, e.ts,
         |  (SELECT o.o_orderkey FROM orders o
@@ -628,6 +675,7 @@ object Relational {
     "q23_asof_native" -> (q23AsofNative _),
     "q24_grouping_sets" -> (q24GroupingSets _),
     "q25_pivot" -> (q25Pivot _),
-    "q26_asof_tolerance" -> (q26AsofTolerance _)
+    "q26_asof_tolerance" -> (q26AsofTolerance _),
+    "q27_scd2_join" -> (q27Scd2Join _)
   )
 }

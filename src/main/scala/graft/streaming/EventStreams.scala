@@ -270,6 +270,39 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  /** st07 — the EVM decode pipeline under streaming: synthesized Transfer
+    * logs flow through `EvmAbi.decodeEvent` applied DIRECTLY to the
+    * streaming DataFrame (the decode is a pure projection, so the same
+    * plan runs batch or stream — the architectural claim of §3, proven
+    * here), malformed rows (every 11th, empty data) null out under
+    * allow_decode_fail mid-stream, and foreachBatch folds the decoded
+    * batches into parquet. Oracle = the batch answer.
+    */
+  def st07StreamDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{EvmAbi, u256_from_long}
+    val sig =
+      "Transfer(address indexed from, address indexed to, uint256 amount)"
+    val sink = graft.Scratch.dir("st07_") + "/sink"
+    val logs = eventsStream(spark, dir)
+      .select(col("event_id"),
+        unhex(lit(EvmAbi.signatureTopic0Hex(sig))).as("topic0"),
+        u256_from_long(col("user_id")).as("topic1"),
+        u256_from_long(col("user_id") + 1000).as("topic2"),
+        when(pmod(col("event_id"), lit(11)) === 0, lit(Array.emptyByteArray))
+          .otherwise(u256_from_long(floor(col("value") * 100).cast("long")))
+          .as("data"))
+    val decoded = EvmAbi.decodeEvent(logs, sig)
+      .select(col("event_id"), col("from").as("from_addr"),
+        col("to").as("to_addr"), col("amount").cast("string").as("amount"))
+    val q = decoded.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink).orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -294,6 +327,16 @@ object EventStreams {
     "st06_stream_jdbc" ->
       """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
         |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+    "st07_stream_decode" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 11 <> 0 THEN printf('%040x', user_id) END
+        |    AS from_addr,
+        |  CASE WHEN event_id % 11 <> 0 THEN printf('%040x', user_id + 1000)
+        |    END AS to_addr,
+        |  CASE WHEN event_id % 11 <> 0 THEN
+        |    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+        |  END AS amount
+        |FROM events ORDER BY event_id""".stripMargin,
     "st04_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |  c.ts AS c_ts, p.ts AS p_ts
@@ -310,6 +353,7 @@ object EventStreams {
     "st03_stream_sink" -> (st03StreamSink _),
     "st04_stream_join" -> (st04StreamJoin _),
     "st05_rocksdb_state" -> (st05RocksdbState _),
-    "st06_stream_jdbc" -> (st06StreamJdbc _)
+    "st06_stream_jdbc" -> (st06StreamJdbc _),
+    "st07_stream_decode" -> (st07StreamDecode _)
   )
 }
