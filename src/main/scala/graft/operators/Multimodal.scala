@@ -129,7 +129,44 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m04 — media payload dedup, the layered strategy a 100 TB blob lake
+    * uses: a CHEAP content fingerprint (md5 of 192 sampled bytes —
+    * head/mid/tail 64 each) buckets candidates without reading whole
+    * blobs, and the exact full-payload hash confirms within buckets.
+    * Here both levels compute in one pass and the output proves they
+    * agree (same payload ⇒ same fingerprint); at scale the fingerprint
+    * comes from byte-range reads and only fingerprint-collisions pay a
+    * full-blob hash. Oracle mirrors both hashes over the all-ASCII
+    * corpus.
+    */
+  def m04PayloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val len = length(p)
+    val mid = (floor(len / 2) + 1).cast("int")
+    val tail = when(len > 64, len - 63).otherwise(lit(1)).cast("int")
+    val fp = md5(concat(substring(p, 1, 64),
+      substr(p, mid, lit(64)), substr(p, tail, lit(64))))
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), md5(p).as("h"), fp.as("fp"), len.as("n_bytes"))
+      .groupBy(col("h"))
+      .agg(min(col("fp")).as("fp"), min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .select(col("h"), col("fp"), col("keeper"), col("n_copies"),
+        col("total_bytes"))
+      .orderBy(col("h"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "m04_payload_dedup" ->
+      """SELECT md5(text) AS h,
+        |  MIN(md5(substring(text, 1, 64)
+        |    || substring(text, CAST(FLOOR(length(text) / 2) AS BIGINT) + 1, 64)
+        |    || substring(text, CASE WHEN length(text) > 64
+        |         THEN length(text) - 63 ELSE 1 END, 64))) AS fp,
+        |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
     // m01/m03 oracles recompute the stub decode in SQL — possible because
     // the synthetic corpus is all-ASCII (bytes == chars, verified: zero
     // rows where octet_length <> len), so byte stats and stride sampling
@@ -175,6 +212,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
-    "m03_resize" -> (m03Resize _)
+    "m03_resize" -> (m03Resize _),
+    "m04_payload_dedup" -> (m04PayloadDedup _)
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Multimodal, Skew}
@@ -27,6 +27,41 @@ class SkewMultimodalSpec extends AnyFunSuite {
       .select("id", "k", "payload").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(saltedRows.toSet === plain && plain.size === 1000)
+  }
+
+  test("AQE splits a planted skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50% of 100k rows land on key 7 → that shuffle partition is far
+      // past factor×median AND the threshold, so AQE must rewrite the
+      // sort-merge join with a skew-split shuffle read. The pad must be
+      // INCOMPRESSIBLE (per-row md5) — skew detection reads compressed
+      // map-output sizes, and a constant pad deflates below threshold.
+      import org.apache.spark.sql.functions.md5
+      val left = spark.range(100000)
+        .select(when($"id" % 2 === 0, 7L).otherwise($"id").as("k"),
+          md5($"id".cast("string")).as("pad"))
+      val right = spark.range(20000)
+        .select($"id".as("rk"), md5(($"id" * 31).cast("string")).as("rpad"))
+      val joined = left.join(right, $"k" === $"rk")
+      // execute THIS DataFrame's own QueryExecution (a write action plans
+      // a separate one, leaving this plan isFinalPlan=false)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("m03 resize stub: ceil stride spans the payload, dims scale") {
