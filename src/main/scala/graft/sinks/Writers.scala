@@ -120,6 +120,58 @@ object Writers {
     spark.read.parquet(s"$root/compact").orderBy(col("event_id"))
   }
 
+  /** Keyed upsert-merge into a parquet table (the ReplacingMergeTree
+    * analog): existing rows union the updates, a per-key window keeps the
+    * highest-version row, and the result rewrites the table. Latest-wins
+    * is deterministic as long as callers write at most one row per
+    * (key, version) — the contract a version column exists to provide.
+    * At 100 TB the rewrite narrows to the key-range-affected partitions
+    * of a partitioned table (dynamic partition overwrite) — the merge
+    * PLAN (union + one keyed window) is unchanged; here the table is
+    * rewritten whole. Reference twin: ClickHouse dedups by sort key at
+    * merge time; this is that contract made explicit at write time.
+    */
+  def mergeUpsert(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String], versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val existing = spark.read.parquet(table)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val merged = existing.unionByName(updates.select(existing.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // write-then-swap: never rewrite in place over open input files
+    val tmp = table + "__staged"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(table))
+  }
+
+  /** k09 — upsert-merge round trip: batch 1 seeds the table with every
+    * event at version 1; batch 2 updates every third event (value+1000)
+    * at version 2. After the merge the table holds exactly one row per
+    * event_id with latest-wins values — the oracle recomputes that
+    * end-state directly from the source. */
+  def k09UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.Scratch.dir("k09_") + "/table"
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    ev.withColumn("version", lit(1L)).write.parquet(table)
+    val updates = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("version", lit(2L))
+    mergeUpsert(spark, table, updates,
+      keyCols = Seq("event_id"), versionCol = "version")
+    spark.read.parquet(table)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("version"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -297,6 +349,12 @@ object Writers {
     "k08_compaction" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+    "k09_upsert_merge" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END
+        |    AS value,
+        |  CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS version
+        |FROM events ORDER BY event_id""".stripMargin,
     "k02_jdbc_sink" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -327,6 +385,7 @@ object Writers {
     "k04_bucketed_join" -> (k04BucketedJoin _),
     "k05_static_dict" -> (k05StaticDict _),
     "k07_format_roundtrip" -> (k07FormatRoundtrip _),
-    "k08_compaction" -> (k08Compaction _)
+    "k08_compaction" -> (k08Compaction _),
+    "k09_upsert_merge" -> (k09UpsertMerge _)
   )
 }
