@@ -422,6 +422,31 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q28 — the analytic-window function surface in one pass: rank family
+    * (rank/dense_rank), distribution (percent_rank/cume_dist — exact
+    * ratios of row counts, engine-portable doubles), ntile bucketing, and
+    * lag/lead offsets, all over ONE (user_id) window ordering — a single
+    * hash exchange + sort serves every function (Spark collapses same-
+    * spec window operators), which is the property that matters at
+    * 100 TB: analytics breadth must not multiply shuffles.
+    */
+  def q28WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -613,6 +638,18 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q28_window_analytics" ->
+      """SELECT user_id, event_id,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q27_scd2_join" ->
       """WITH dim AS (
         |  SELECT n_nationkey, v.v,
@@ -676,6 +713,7 @@ object Relational {
     "q24_grouping_sets" -> (q24GroupingSets _),
     "q25_pivot" -> (q25Pivot _),
     "q26_asof_tolerance" -> (q26AsofTolerance _),
-    "q27_scd2_join" -> (q27Scd2Join _)
+    "q27_scd2_join" -> (q27Scd2Join _),
+    "q28_window_analytics" -> (q28WindowAnalytics _)
   )
 }

@@ -87,10 +87,49 @@ object Similarity {
     * bounds the scanned fraction to ~nprobe/K. Rows-only (SimilaritySpec
     * measures recall vs s01, like s02).
     */
+  /** Lloyd refinement for the IVF coarse quantizer, DETERMINISTIC at any
+    * parallelism: per-(cell, dim) means accumulate in DECIMAL(38,12) —
+    * float addition is order-dependent across shuffle arrivals, decimal
+    * isn't — so the trained centroids (and therefore every downstream
+    * bucket) are bit-stable run to run. One assign pass + one two-level
+    * agg per iteration; empty cells drop (standard k-means dropout).
+    */
+  private def trainCentroids(e: DataFrame, seed: DataFrame,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = seed
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          cosine_similarity(col("embedding"), col("cemb")).as("ccos"),
+          col("cid"))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") === 1)
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x").cast(DecimalType(38, 12))).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          (col("sx") / col("n")).cast("float").as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+    }
+    cents
+  }
+
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // seed with the first 16 vectors, then actually TRAIN the quantizer —
+    // two deterministic Lloyd iterations (see trainCentroids)
+    val cents = trainCentroids(e,
+      e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
+      iters = 2)
     def assign(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
       df.join(broadcast(cents))

@@ -155,6 +155,12 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"no hash exchange belongs in a pure decode:\n$p")
   }
 
+  test("q28: seven window functions share ONE exchange + sort") {
+    val p = plan(Relational.q28WindowAnalytics(spark, sfDir))
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"same-spec window functions must collapse into one exchange:\n$p")
+  }
+
   test("p03: Catalyst constant-folds through the custom keccak expression") {
     val p = plan(graft.operators.Pipelines.p03Erc20Pipeline(spark, sfDir))
     // topic0 = keccak256(<literal>) compared to a literal hex — foldable
