@@ -447,6 +447,49 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q29 — the set-operation surface: INTERSECT, EXCEPT and EXCEPT ALL
+    * over two deterministic projections of orders (urgent vs high-value
+    * customers). Spark plans these as aggregate/anti-join shapes — one
+    * labeled union output keeps the oracle a single comparison.
+    */
+  def q29SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val pricey = t.orders.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey"))
+    val both = urgent.intersect(pricey)
+      .select(lit("both").as("bucket"), col("o_custkey"))
+    val onlyUrgent = urgent.except(pricey)
+      .select(lit("only_urgent").as("bucket"), col("o_custkey"))
+    // EXCEPT ALL keeps multiplicity: count(urgent) - count(pricey) copies
+    val exceptAll = urgent.exceptAll(pricey)
+      .select(lit("urgent_multiset").as("bucket"), col("o_custkey"))
+    both.unionByName(onlyUrgent).unionByName(exceptAll)
+      .groupBy(col("bucket"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("o_custkey"))
+  }
+
+  /** q30 — FULL OUTER join: the reconciliation shape (rows on either
+    * side only, or both) the reference's found_input/found_output
+    * contracts approximate. Null-side flags cast to BIGINT for
+    * engine-portable output.
+    */
+  def q30FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byCust = t.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val cust = t.customer.select(col("c_custkey"), col("c_name"))
+    cust.join(byCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"),
+        col("c_custkey").isNotNull.cast("long").as("has_customer"),
+        col("o_custkey").isNotNull.cast("long").as("has_orders"))
+      .orderBy(col("custkey"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -638,6 +681,36 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q29_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |pricey AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        |labeled AS (
+        |  SELECT 'both' AS bucket, o_custkey
+        |  FROM (SELECT o_custkey FROM urgent
+        |        INTERSECT SELECT o_custkey FROM pricey)
+        |  UNION ALL
+        |  SELECT 'only_urgent' AS bucket, o_custkey
+        |  FROM (SELECT o_custkey FROM urgent
+        |        EXCEPT SELECT o_custkey FROM pricey)
+        |  UNION ALL
+        |  SELECT 'urgent_multiset' AS bucket, o_custkey
+        |  FROM (SELECT o_custkey FROM urgent
+        |        EXCEPT ALL SELECT o_custkey FROM pricey))
+        |SELECT bucket, o_custkey, COUNT(*) AS n
+        |FROM labeled GROUP BY bucket, o_custkey
+        |ORDER BY bucket, o_custkey""".stripMargin,
+    "q30_full_outer" ->
+      """WITH byc AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(c.c_custkey, b.o_custkey) AS custkey,
+        |  c.c_name, b.n_orders,
+        |  CAST(c.c_custkey IS NOT NULL AS BIGINT) AS has_customer,
+        |  CAST(b.o_custkey IS NOT NULL AS BIGINT) AS has_orders
+        |FROM customer c FULL OUTER JOIN byc b ON c.c_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q28_window_analytics" ->
       """SELECT user_id, event_id,
         |  rank() OVER w AS rnk,
@@ -714,6 +787,8 @@ object Relational {
     "q25_pivot" -> (q25Pivot _),
     "q26_asof_tolerance" -> (q26AsofTolerance _),
     "q27_scd2_join" -> (q27Scd2Join _),
-    "q28_window_analytics" -> (q28WindowAnalytics _)
+    "q28_window_analytics" -> (q28WindowAnalytics _),
+    "q29_set_ops" -> (q29SetOps _),
+    "q30_full_outer" -> (q30FullOuter _)
   )
 }

@@ -172,6 +172,35 @@ object Writers {
       .orderBy(col("event_id"))
   }
 
+  /** k10 — malformed-input tolerance at the ingest boundary: a CSV with
+    * planted bad rows (every 13th carries a non-numeric value field)
+    * reads back under PERMISSIVE mode — parseable fields survive, the
+    * malformed field nulls, and the whole raw record lands in the
+    * corrupt-record column for quarantine. This is the allow_decode_fail
+    * contract applied to the FILE boundary (external data is messy; a
+    * 100 TB ingest cannot abort on row 3 of file 80000), and the oracle
+    * pins the exact per-field salvage semantics.
+    */
+  def k10MalformedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = graft.Scratch.dir("k10_")
+    val lines = graft.sources.Tables(spark, dir).events
+      .select(concat_ws(",", col("event_id"), col("user_id"),
+        when(pmod(col("event_id"), lit(13)) === 0, lit("oops"))
+          .otherwise(floor(col("value") * 100).cast("long").cast("string")))
+        .as("value"))
+    lines.write.text(s"$root/csv")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$root/csv")
+      .orderBy(col("event_id"))
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -349,6 +378,15 @@ object Writers {
     "k08_compaction" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+    "k10_malformed_ingest" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 13 <> 0
+        |    THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DOUBLE) END
+        |    AS value,
+        |  CASE WHEN event_id % 13 = 0
+        |    THEN CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)
+        |      || ',oops' END AS _corrupt
+        |FROM events ORDER BY event_id""".stripMargin,
     "k09_upsert_merge" ->
       """SELECT event_id, user_id, event_type,
         |  CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END
@@ -386,6 +424,7 @@ object Writers {
     "k05_static_dict" -> (k05StaticDict _),
     "k07_format_roundtrip" -> (k07FormatRoundtrip _),
     "k08_compaction" -> (k08Compaction _),
-    "k09_upsert_merge" -> (k09UpsertMerge _)
+    "k09_upsert_merge" -> (k09UpsertMerge _),
+    "k10_malformed_ingest" -> (k10MalformedIngest _)
   )
 }

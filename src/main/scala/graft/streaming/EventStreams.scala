@@ -303,6 +303,55 @@ object EventStreams {
     spark.read.parquet(sink).orderBy(col("event_id"))
   }
 
+  /** st08 — watermarked streaming deduplication: every event arrives
+    * TWICE (explode-duplicated mid-stream) and
+    * `dropDuplicatesWithinWatermark` must emit each exactly once while
+    * the watermark bounds the dedup state — the unbounded-state trap a
+    * naive streaming distinct falls into at 100 TB rates. Oracle = the
+    * batch distinct.
+    */
+  def st08StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sink = graft.Scratch.dir("st08_") + "/sink"
+    val doubled = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"),
+        explode(array(lit(1), lit(2))).as("copy"))
+      .drop("copy")
+    val q = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** st09 — built-in session windows: gap-based sessionization through
+    * `session_window` (the declarative twin of st02's hand-rolled
+    * mapGroupsWithState sessions — both exist in the reference's world:
+    * provider buffering vs SQL-level sessionization). Complete mode over
+    * the finite source; session end = last event + gap by definition,
+    * mirrored in the oracle's lag/gap cumulative-sum session assignment.
+    */
+  def st09SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(sessions, "complete")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -327,6 +376,26 @@ object EventStreams {
     "st06_stream_jdbc" ->
       """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
         |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+    "st08_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "st09_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |assigned AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM assigned GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "st07_stream_decode" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 11 <> 0 THEN printf('%040x', user_id) END
@@ -354,6 +423,8 @@ object EventStreams {
     "st04_stream_join" -> (st04StreamJoin _),
     "st05_rocksdb_state" -> (st05RocksdbState _),
     "st06_stream_jdbc" -> (st06StreamJdbc _),
-    "st07_stream_decode" -> (st07StreamDecode _)
+    "st07_stream_decode" -> (st07StreamDecode _),
+    "st08_stream_dedup" -> (st08StreamDedup _),
+    "st09_session_window" -> (st09SessionWindow _)
   )
 }
