@@ -490,6 +490,27 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** q31 — the JSON surface: semi-structured `props` parsed BOTH ways a
+    * real pipeline uses — `from_json` with an explicit schema (typed
+    * struct, the plan-friendly path: one parse, pruned fields) and
+    * `get_json_object` path extraction (the ad-hoc path). Both must
+    * agree, and the typed path feeds a numeric aggregate — proving the
+    * value survives as an INT, not a string.
+    */
+  def q31JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k_typed"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+      .filter(col("k_typed") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k_typed")).as("sum_k"),
+        sum((col("k_typed") === col("k_path")).cast("long")).as("n_agree"))
+      .orderBy(col("event_type"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -681,6 +702,14 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q31_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n_agree
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q29_set_ops" ->
       """WITH urgent AS (
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
@@ -789,6 +818,7 @@ object Relational {
     "q27_scd2_join" -> (q27Scd2Join _),
     "q28_window_analytics" -> (q28WindowAnalytics _),
     "q29_set_ops" -> (q29SetOps _),
-    "q30_full_outer" -> (q30FullOuter _)
+    "q30_full_outer" -> (q30FullOuter _),
+    "q31_json_extract" -> (q31JsonExtract _)
   )
 }

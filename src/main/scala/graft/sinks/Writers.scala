@@ -201,6 +201,30 @@ object Writers {
       .orderBy(col("event_id"))
   }
 
+  /** k11 — schema evolution at the sink: a table written over two
+    * epochs, the second adding a column (the append-only widening every
+    * long-lived pipeline performs when the upstream adds a field).
+    * `mergeSchema` unifies the footers at read time — old files surface
+    * the new column as null, no rewrite of historical data. The oracle
+    * recomputes the widened end-state from the source.
+    */
+  def k11SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.Scratch.dir("k11_") + "/table"
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    // epoch 1: original schema, first half of the keyspace
+    ev.filter(pmod(col("event_id"), lit(2)) === 0).write.parquet(table)
+    // epoch 2: upstream added a column; appended without touching epoch 1
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("source_tag", concat(lit("ingest-"),
+        pmod(col("event_id"), lit(3)).cast("string")))
+      .write.mode("append").parquet(table)
+    spark.read.option("mergeSchema", "true").parquet(table)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("source_tag"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -378,6 +402,12 @@ object Writers {
     "k08_compaction" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+    "k11_schema_evolution" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN event_id % 2 = 1
+        |    THEN 'ingest-' || CAST(event_id % 3 AS VARCHAR) END
+        |    AS source_tag
+        |FROM events ORDER BY event_id""".stripMargin,
     "k10_malformed_ingest" ->
       """SELECT event_id, user_id,
         |  CASE WHEN event_id % 13 <> 0
@@ -425,6 +455,7 @@ object Writers {
     "k07_format_roundtrip" -> (k07FormatRoundtrip _),
     "k08_compaction" -> (k08Compaction _),
     "k09_upsert_merge" -> (k09UpsertMerge _),
-    "k10_malformed_ingest" -> (k10MalformedIngest _)
+    "k10_malformed_ingest" -> (k10MalformedIngest _),
+    "k11_schema_evolution" -> (k11SchemaEvolution _)
   )
 }
