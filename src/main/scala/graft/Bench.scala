@@ -41,6 +41,10 @@ object Bench {
     // optional args = query-name filter for fast local iteration; the
     // driver invokes with no args and benches everything
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise bench nothing and report a vacuous total")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = selected.map { case (name, fn) =>

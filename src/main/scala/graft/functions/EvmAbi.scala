@@ -226,9 +226,17 @@ object EvmAbi {
     // overflows under ANSI, so they only ever feed pure comparisons, and
     // the comparisons pin offV === off, nV === n wherever validity holds
     val paddedV = shiftleft(shiftright(nV + lit(31L), 5), 5)
+    // tail size is TYPE-dependent: string/bytes hold n BYTES padded to a
+    // word boundary; an array holds n WORDS (32·n bytes). Using the byte
+    // formula for arrays would accept truncated blobs and fabricate
+    // zero elements.
+    val tailBytesV = typ match {
+      case TArray(_) => shiftleft(nV, 5)
+      case _         => paddedV
+    }
     val boundsOk = off.isNotNull && pmod(off, lit(32L)) === 0 &&
       off >= lit(headBytes.toLong) && off <= len &&
-      n.isNotNull && n >= 0 && n <= len && offV + lit(32L) + paddedV <= len
+      n.isNotNull && n >= 0 && n <= len && offV + lit(32L) + tailBytesV <= len
     typ match {
       case TDynBytes(isString) =>
         val payload = substr(data, clampPos(offV + lit(33L)), nV)

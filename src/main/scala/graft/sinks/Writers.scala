@@ -98,9 +98,13 @@ object Writers {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.listStatus(path).filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(in).coalesce(nOut)
-      .write.mode("overwrite").parquet(out)
+    val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(in)
+    // coalesce can only MERGE partitions (splitting would be repartition's
+    // shuffle — not compaction's job), so the achievable and REPORTED
+    // count is capped by the read's partition count
+    val nOut = math.min(target, df.rdd.getNumPartitions).max(1)
+    df.coalesce(nOut).write.mode("overwrite").parquet(out)
     nOut
   }
 

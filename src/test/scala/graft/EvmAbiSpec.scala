@@ -110,7 +110,13 @@ class EvmAbiSpec extends AnyFunSuite {
         (u256(2) ++ ("hi".getBytes("UTF-8") ++ Array.fill[Byte](30)(0))) ++
         (u256(1) ++ Array.fill[Byte](32)(0x7f))),
       // blob not word-aligned
-      ("ragged", good ++ Array[Byte](1)))
+      ("ragged", good ++ Array[Byte](1)),
+      // TRUNCATED ARRAY: length word claims 2 elements, blob holds 1 —
+      // an array tail is 32·n bytes, NOT the string padding formula
+      // ceil(n/32)·32, which would accept this and fabricate a 0 element
+      ("short_array", u256(64) ++ u256(128) ++
+        (u256(2) ++ ("hi".getBytes("UTF-8") ++ Array.fill[Byte](30)(0))) ++
+        (u256(2) ++ u256(5))))
     val df = rows.toDF("label", "data")
       .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
     val out = EvmAbi.decodeEvent(df, sig)
@@ -118,7 +124,7 @@ class EvmAbiSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
     assert(out("good") === ((false, false)))
     for (bad <- Seq("unaligned", "into_head", "overlong", "dirty_pad",
-        "fat_elem", "ragged"))
+        "fat_elem", "ragged", "short_array"))
       assert(out(bad) === ((true, true)), bad)
   }
 
