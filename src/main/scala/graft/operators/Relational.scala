@@ -511,6 +511,22 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q32 — UNPIVOT/melt, the inverse reshape of q25: wide per-part
+    * columns fold into (measure, value) rows via the stack-style unpivot
+    * (Dataset.unpivot — one generate pass, no shuffle until the final
+    * sort). Wide→long is how a columnar metrics table feeds a generic
+    * (key, metric, value) sink.
+    */
+  def q32Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).part
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")),
+        "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -702,6 +718,12 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q32_unpivot" ->
+      """SELECT p_partkey, m.measure, m.value
+        |FROM part, LATERAL (VALUES
+        |  ('p_retailprice', p_retailprice),
+        |  ('p_size', CAST(p_size AS DOUBLE))) AS m(measure, value)
+        |ORDER BY p_partkey, measure""".stripMargin,
     "q31_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -819,6 +841,7 @@ object Relational {
     "q28_window_analytics" -> (q28WindowAnalytics _),
     "q29_set_ops" -> (q29SetOps _),
     "q30_full_outer" -> (q30FullOuter _),
-    "q31_json_extract" -> (q31JsonExtract _)
+    "q31_json_extract" -> (q31JsonExtract _),
+    "q32_unpivot" -> (q32Unpivot _)
   )
 }
