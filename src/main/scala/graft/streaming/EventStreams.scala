@@ -237,6 +237,70 @@ object EventStreams {
     }
   }
 
+  /** The sessionization fold as a Spark-4 `StatefulProcessor`: typed
+    * ValueState replaces GroupState, init wires the state handle, and
+    * the per-batch fold is IDENTICAL to updateSessions — one contract,
+    * three state APIs (st02 mapGroupsWithState, st05 RocksDB store,
+    * st10 transformWithState), one oracle. */
+  final class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, UserSessions] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessions] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var s =
+        if (st.exists()) st.get()
+        else SessionState(Long.MinValue, 0L, 0L)
+      sorted.foreach { e =>
+        val fresh = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
+        s = SessionState(e.ts_us, s.nSessions + (if (fresh) 1L else 0L),
+          s.nEvents + 1L)
+      }
+      st.update(s)
+      Iterator.single(UserSessions(key, s.nEvents, s.nSessions))
+    }
+  }
+
+  /** st10 — the current-generation arbitrary-state API:
+    * `transformWithState` (Spark 4's successor to mapGroupsWithState,
+    * RocksDB-backed by requirement) running the same sessionization.
+    */
+  def st10TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = eventsStream(spark, dir)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[Ev]
+      val out = evs.groupByKey(_.user_id)
+        .transformWithState(new SessionProcessor(1800L * 1000000L),
+          TimeMode.None(), OutputMode.Update())
+      runToTable(out.toDF(), "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.n_sessions").as("n_sessions"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** st06 — the reference's ACTUAL sink topology end-to-end: stream in,
     * transform per micro-batch, batched JDBC insert into a live database
     * (cherry's provider loop → transform → ClickHouse insert;
@@ -365,6 +429,7 @@ object EventStreams {
 
   val oracle: Map[String, String] = Map(
     "st05_rocksdb_state" -> sessionizeOracle,
+    "st10_transform_state" -> sessionizeOracle,
     "st01_stream_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
@@ -425,6 +490,7 @@ object EventStreams {
     "st06_stream_jdbc" -> (st06StreamJdbc _),
     "st07_stream_decode" -> (st07StreamDecode _),
     "st08_stream_dedup" -> (st08StreamDedup _),
-    "st09_session_window" -> (st09SessionWindow _)
+    "st09_session_window" -> (st09SessionWindow _),
+    "st10_transform_state" -> (st10TransformWithState _)
   )
 }
