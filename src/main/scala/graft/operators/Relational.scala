@@ -527,6 +527,24 @@ object Relational {
       .orderBy(col("p_partkey"), col("measure"))
   }
 
+  /** q33 — correlated scalar subquery, written as SQL text the way an
+    * analyst writes it: Catalyst DECORRELATES it (rewrites to an
+    * aggregate + left outer join) instead of executing per-row — the
+    * difference between O(n) and O(n·m) at 100 TB, and the reason the
+    * declarative form is safe to expose to users.
+    */
+  def q33CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("graft_q33_c")
+    t.orders.createOrReplaceTempView("graft_q33_o")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(o.o_totalprice) FROM graft_q33_o o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM graft_q33_c c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -718,6 +736,12 @@ object Relational {
         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
         |    AS asof_orderkey
         |FROM events e ORDER BY user_id, event_id""".stripMargin,
+    "q33_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT MAX(o.o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q32_unpivot" ->
       """SELECT p_partkey, m.measure, m.value
         |FROM part, LATERAL (VALUES
@@ -842,6 +866,7 @@ object Relational {
     "q29_set_ops" -> (q29SetOps _),
     "q30_full_outer" -> (q30FullOuter _),
     "q31_json_extract" -> (q31JsonExtract _),
-    "q32_unpivot" -> (q32Unpivot _)
+    "q32_unpivot" -> (q32Unpivot _),
+    "q33_correlated_subquery" -> (q33CorrelatedSubquery _)
   )
 }

@@ -226,6 +226,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t09 — CROSS-document boilerplate detection (the corpus-level
+    * complement of t06's intra-document dedup): 8-word segments that
+    * recur across ≥2 distinct documents are the header/footer/template
+    * text a crawl-cleaning pipeline strips globally. One explode + one
+    * segment-keyed aggregation — at 100 TB the shuffle carries
+    * (segment, doc_id) pairs and the HAVING prunes the unique tail,
+    * which is the overwhelming majority of segments.
+    */
+  def t09Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val ws = col("ws")
+    val nSeg = floor((size(ws) - 1) / 8).cast("int")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nSeg),
+          i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))).as("seg"))
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("seg"))
+  }
+
   /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
     * hit counts as (score, lang) structs, `list_max` picking the same
     * (max score, then lexicographically-greatest lang) winner as Spark's
@@ -288,6 +311,22 @@ object TextAnalysis {
       """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t09_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(range(0,
+        |    CAST(floor((len(ws)-1)/8) AS BIGINT) + 1)) AS pos
+        |  FROM base),
+        |seg AS (
+        |  SELECT doc_id,
+        |    array_to_string(ws[CAST(pos*8+1 AS BIGINT)
+        |      : CAST(pos*8+8 AS BIGINT)], ' ') AS seg
+        |  FROM idx)
+        |SELECT seg, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occurrences
+        |FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY seg""".stripMargin,
     "t07_repetition_filter" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -351,6 +390,7 @@ object TextAnalysis {
     "t05_corpus_stats" -> (t05CorpusStats _),
     "t06_segment_dedup" -> (t06SegmentDedup _),
     "t07_repetition_filter" -> (t07RepetitionFilter _),
-    "t08_pii_scrub" -> (t08PiiScrub _)
+    "t08_pii_scrub" -> (t08PiiScrub _),
+    "t09_boilerplate" -> (t09Boilerplate _)
   )
 }

@@ -184,6 +184,14 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"pruning did not reduce files read: $read of $total")
   }
 
+  test("q33: correlated scalar subquery decorrelates to a join") {
+    val p = plan(Relational.q33CorrelatedSubquery(spark, sfDir))
+    assert(!p.contains("Subquery"),
+      s"subquery survived optimization — per-row execution at scale:\n$p")
+    assert(p.contains("Join") && p.contains("Aggregate"),
+      s"expected the decorrelated aggregate + outer join shape:\n$p")
+  }
+
   test("q28: seven window functions share ONE exchange + sort") {
     val p = plan(Relational.q28WindowAnalytics(spark, sfDir))
     assert(countOf(p, "Arguments: hashpartitioning") === 1,
