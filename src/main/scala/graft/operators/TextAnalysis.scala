@@ -134,14 +134,28 @@ object TextAnalysis {
     * shuffle, scales linearly. DuckDB oracle mirrors it with window
     * functions over the same segmentation.
     */
+  /** 8-word segmentation shared by t06/t07/t09. includeTail=true appends
+    * the sub-8-word tail so segments cover every word (the intra-doc
+    * reassembly/repetition contract); includeTail=false keeps only FULL
+    * windows — a cross-document boilerplate list must not count short
+    * tail fragments ("the", "a") as recurring segments. */
+  private def segments8(ws: Column, includeTail: Boolean): Column =
+    if (includeTail)
+      transform(sequence(lit(0), floor((size(ws) - 1) / 8).cast("int")),
+        i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))
+    else {
+      val n = floor(size(ws) / 8).cast("int")
+      when(n > 0, transform(sequence(lit(0), n - 1),
+        i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8)))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   def t06SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
-    val nSeg = floor((size(ws) - 1) / 8).cast("int")
     Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nSeg),
-          i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8)))))
+        posexplode(segments8(ws, includeTail = true))
           .as(Seq("pos", "seg")))
       .groupBy(col("doc_id"), col("seg"))
       .agg(min(col("pos")).as("pos"))
@@ -167,9 +181,7 @@ object TextAnalysis {
     val base = Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val ws = col("ws")
-    val segs = transform(
-      sequence(lit(0), floor((size(ws) - 1) / 8).cast("int")),
-      i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))
+    val segs = segments8(ws, includeTail = true)
     val segStats = base.select(col("doc_id"), size(segs).as("n_segs"),
       size(array_distinct(segs)).as("n_distinct_segs"))
     // explode_outer keeps <2-word docs as a null-gram row so the join
@@ -236,12 +248,11 @@ object TextAnalysis {
     */
   def t09Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
-    val nSeg = floor((size(ws) - 1) / 8).cast("int")
     Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // FULL windows only: tail fragments must not enter the strip list
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), nSeg),
-          i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))).as("seg"))
+        explode(segments8(ws, includeTail = false)).as("seg"))
       .groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
@@ -316,7 +327,7 @@ object TextAnalysis {
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |idx AS (
         |  SELECT doc_id, ws, unnest(range(0,
-        |    CAST(floor((len(ws)-1)/8) AS BIGINT) + 1)) AS pos
+        |    CAST(floor(len(ws)/8) AS BIGINT))) AS pos
         |  FROM base),
         |seg AS (
         |  SELECT doc_id,

@@ -45,21 +45,27 @@ object EventStreams {
   final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
-  /** Session fold: events sorted by (event time, id); a gap > gapUs opens a
-    * new session. State is one row per user — at cluster scale this is the
-    * canonical mapGroupsWithState shape: shuffle once on user_id, state
-    * store holds O(active users), not O(events).
-    */
-  def updateSessions(gapUs: Long)(
-      userId: Long, evs: Iterator[Ev],
-      state: GroupState[SessionState]): UserSessions = {
-    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-    sorted.foreach { e =>
+  /** The ONE session fold every state API runs (st02/st05/st10): events
+    * sorted by (event time, id); a gap > gapUs opens a new session.
+    * State is one row per user — at cluster scale this is the canonical
+    * arbitrary-state shape: shuffle once on user_id, state store holds
+    * O(active users), not O(events). */
+  def foldSession(gapUs: Long, init: SessionState,
+      evs: Iterator[Ev]): SessionState = {
+    var st = init
+    evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       val fresh = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
       st = SessionState(e.ts_us, st.nSessions + (if (fresh) 1L else 0L),
         st.nEvents + 1L)
     }
+    st
+  }
+
+  def updateSessions(gapUs: Long)(
+      userId: Long, evs: Iterator[Ev],
+      state: GroupState[SessionState]): UserSessions = {
+    val st = foldSession(gapUs,
+      state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L)), evs)
     state.update(st)
     UserSessions(userId, st.nEvents, st.nSessions)
   }
@@ -164,23 +170,9 @@ object EventStreams {
     spark.read.parquet(sink).orderBy(col("event_id"))
   }
 
-  def st02StreamState(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val evs = eventsStream(spark, dir)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("event_id").cast("long").as("event_id"),
-        unix_micros(col("ts")).as("ts_us"))
-      .as[Ev]
-    // Update-mode memory sink APPENDS one row per user per micro-batch;
-    // keep each user's FINAL state (counts are monotone) so a multi-batch
-    // source yields the same one-row-per-user shape as the oracle
-    runToTable(sessionize(evs).toDF(), "update")
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
-      .select(col("user_id"), col("s.n_events").as("n_events"),
-        col("s.n_sessions").as("n_sessions"))
-      .orderBy(col("user_id"))
-  }
+  def st02StreamState(spark: SparkSession, dir: String): DataFrame =
+    finalSessions(
+      runToTable(sessionize(typedEvents(spark, dir)).toDF(), "update"))
 
   /** st04 — stream-stream interval join: the streaming form of the swap→
     * transfer match (orca_swaps adjacency): each click pairs with the same
@@ -225,17 +217,42 @@ object EventStreams {
     * from "fits in heap" to "fits on disk". Identical answer contract:
     * verified against the SAME oracle as st02.
     */
-  def st05RocksdbState(spark: SparkSession, dir: String): DataFrame = {
+  /** Run body with the RocksDB state store provider, restoring after
+    * (st05 by choice; st10 because transformWithState requires it). */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try st02StreamState(spark, dir)
+    try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  /** events stream as the typed Ev dataset st02/st10 fold over. */
+  private def typedEvents(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Ev] = {
+    import spark.implicits._
+    eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+  }
+
+  /** Update-mode memory sink appends one row per user per micro-batch;
+    * keep each user's FINAL state (counts are monotone). */
+  private def finalSessions(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_sessions").as("n_sessions"))
+      .orderBy(col("user_id"))
+
+  def st05RocksdbState(spark: SparkSession, dir: String): DataFrame =
+    withRocksDb(spark) { st02StreamState(spark, dir) }
 
   /** The sessionization fold as a Spark-4 `StatefulProcessor`: typed
     * ValueState replaces GroupState, init wires the state handle, and
@@ -255,15 +272,9 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[UserSessions] = {
-      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-      var s =
-        if (st.exists()) st.get()
-        else SessionState(Long.MinValue, 0L, 0L)
-      sorted.foreach { e =>
-        val fresh = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
-        s = SessionState(e.ts_us, s.nSessions + (if (fresh) 1L else 0L),
-          s.nEvents + 1L)
-      }
+      val s = foldSession(gapUs,
+        if (st.exists()) st.get() else SessionState(Long.MinValue, 0L, 0L),
+        rows)
       st.update(s)
       Iterator.single(UserSessions(key, s.nEvents, s.nSessions))
     }
@@ -276,28 +287,11 @@ object EventStreams {
   def st10TransformWithState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val evs = eventsStream(spark, dir)
-        .select(col("user_id").cast("long").as("user_id"),
-          col("event_id").cast("long").as("event_id"),
-          unix_micros(col("ts")).as("ts_us"))
-        .as[Ev]
-      val out = evs.groupByKey(_.user_id)
+    withRocksDb(spark) {
+      val out = typedEvents(spark, dir).groupByKey(_.user_id)
         .transformWithState(new SessionProcessor(1800L * 1000000L),
           TimeMode.None(), OutputMode.Update())
-      runToTable(out.toDF(), "update")
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
-        .select(col("user_id"), col("s.n_events").as("n_events"),
-          col("s.n_sessions").as("n_sessions"))
-        .orderBy(col("user_id"))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      finalSessions(runToTable(out.toDF(), "update"))
     }
   }
 

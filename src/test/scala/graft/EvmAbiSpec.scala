@@ -128,6 +128,23 @@ class EvmAbiSpec extends AnyFunSuite {
       assert(out(bad) === ((true, true)), bad)
   }
 
+  test("truncated uint256[] nulls: the tail bound is 32·n, not padded-n") {
+    // uint256 elements have NO per-word padding check (wordOk = true), so
+    // ONLY the 32·n tail bound rejects a truncated array — with the
+    // string-padding formula ceil(n/32)·32 this blob (n=2, one element
+    // present) passed and fabricated a zero element
+    val sig = "LogCall(uint256[] vals)"
+    val truncated = u256(32) ++ u256(2) ++ u256(7) // claims 2, holds 1
+    val whole = u256(32) ++ u256(2) ++ u256(7) ++ u256(9)
+    val df = Seq(("truncated", truncated), ("whole", whole))
+      .toDF("label", "data")
+      .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    val out = EvmAbi.decodeEvent(df, sig).select("label", "vals").collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out("truncated") === true, "truncated array must decode-fail")
+    assert(out("whole") === false)
+  }
+
   test("dynamic decode on the trusted path never throws on garbage") {
     val sig = "LogCall(string note, uint256[] vals)"
     val rows = Seq(
