@@ -54,16 +54,21 @@ object Writers {
     */
   /** Derby tuning for the embedded scratch databases k02/st06 run
     * against: durability=test skips the per-commit log sync (5–10×
-    * insert throughput). Must be set BEFORE the Derby engine boots, so
-    * every JdbcSink entry point touches this first; fine for a
-    * throwaway test DB, never for real data. */
+    * insert throughput). Must be set BEFORE the Derby engine boots.
+    * JVM-global and unsafe for real data, so it is opt-in per sink
+    * (scratchDurability) AND guarded to embedded-Derby URLs — a
+    * ClickHouse/Postgres sink can never flip it, and a real embedded
+    * Derby opened in the same JVM keeps its per-commit sync unless the
+    * caller explicitly declared the database a throwaway. */
   private lazy val derbyScratchTuning: Unit =
     System.setProperty("derby.system.durability", "test"): Unit
 
   final case class JdbcSink(url: String, table: String,
       user: String = "default", password: String = "",
-      batchSize: Int = 100000, numPartitions: Int = 8) {
-    derbyScratchTuning
+      batchSize: Int = 100000, numPartitions: Int = 8,
+      scratchDurability: Boolean = false) {
+    if (scratchDurability && url.startsWith("jdbc:derby:"))
+      derbyScratchTuning
     def options: Map[String, String] = Map(
       "url" -> url, "dbtable" -> table,
       "user" -> user, "password" -> password,
@@ -96,8 +101,15 @@ object Writers {
       targetBytes: Long = 128L << 20): Int = {
     val path = new org.apache.hadoop.fs.Path(in)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(path).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // recursive: a Hive-partitioned layout keeps its files in subdirs —
+    // a flat listStatus would size those inputs at 0 bytes and coalesce
+    // the whole dataset into one giant single-task file
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(in)
     // coalesce can only MERGE partitions (splitting would be repartition's
@@ -144,14 +156,27 @@ object Writers {
     val merged = existing.unionByName(updates.select(existing.columns.map(col): _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    // write-then-swap: never rewrite in place over open input files
-    val tmp = table + "__staged"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(table), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(table))
+    // write-then-swap: never rewrite in place over open input files.
+    // The swap renames live→backup, staged→live, then drops the backup —
+    // so the only non-atomic window leaves BOTH copies on disk, and a
+    // false return (HDFS-style filesystems signal failure instead of
+    // throwing) aborts with the data intact rather than silently leaving
+    // the table deleted and the merge stranded in __staged.
+    val tmp = new org.apache.hadoop.fs.Path(table + "__staged")
+    val bak = new org.apache.hadoop.fs.Path(table + "__backup")
+    val live = new org.apache.hadoop.fs.Path(table)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak))
+      throw new java.io.IOException(
+        s"mergeUpsert: rename $live -> $bak failed; table unchanged")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live) // best-effort restore of the pre-merge table
+      throw new java.io.IOException(
+        s"mergeUpsert: rename $tmp -> $live failed; original restored")
+    }
+    fs.delete(bak, true): Unit
   }
 
   /** k09 — upsert-merge round trip: batch 1 seeds the table with every
@@ -293,7 +318,7 @@ object Writers {
     // uppercase: Derby folds unquoted lookups to upper case while the
     // writer creates the table with a quoted identifier
     val sink = JdbcSink(s"jdbc:derby:$db;create=true", "NATION_ENRICHED",
-      numPartitions = 1)
+      numPartitions = 1, scratchDurability = true)
     val nation = spark.read.parquet(s"$dir/nation.parquet")
     val region = spark.read.parquet(s"$dir/region.parquet")
     sink.write(nation
@@ -323,21 +348,26 @@ object Writers {
 
   def k04BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val key = System.identityHashCode(spark) + "|" + dir
-    // memoize only AFTER both writes succeed: a failed/partial build must
-    // be retried on the next call, not skipped (a getAndSet up front would
-    // memoize the failure and silently join missing or mixed tables)
-    if (bucketedFor.get() != key) {
-      val li = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select("l_orderkey", "l_quantity")
-      val ord = spark.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_orderpriority")
-      bucketedFor.set(null)
-      Seq("graft_li_b", "graft_ord_b").foreach(t => dropManaged(spark, t))
-      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("graft_li_b")
-      ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("graft_ord_b")
-      bucketedFor.set(key)
+    // the whole check-and-rebuild is one critical section: two concurrent
+    // callers must not interleave dropManaged/saveAsTable against the same
+    // table names (the check-then-act alone would let both pass the test)
+    bucketedFor.synchronized {
+      // memoize only AFTER both writes succeed: a failed/partial build must
+      // be retried on the next call, not skipped (a getAndSet up front would
+      // memoize the failure and silently join missing or mixed tables)
+      if (bucketedFor.get() != key) {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity")
+        val ord = spark.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderpriority")
+        bucketedFor.set(null)
+        Seq("graft_li_b", "graft_ord_b").foreach(t => dropManaged(spark, t))
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_li_b")
+        ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_ord_b")
+        bucketedFor.set(key)
+      }
     }
     bucketedJoinPlan(spark)
   }

@@ -308,7 +308,8 @@ object EventStreams {
   def st06StreamJdbc(spark: SparkSession, dir: String): DataFrame = {
     val db = graft.Scratch.dir("st06_") + "/db"
     val sink = graft.sinks.Writers.JdbcSink(
-      s"jdbc:derby:$db;create=true", "EVENTS_BOOSTED", numPartitions = 1)
+      s"jdbc:derby:$db;create=true", "EVENTS_BOOSTED", numPartitions = 1,
+      scratchDurability = true)
     // a deterministic 10% slice: the operator under test is the streaming
     // fold into a DB, and the DB's single-threaded insert path would
     // otherwise dominate the bench with time that isn't Spark's
