@@ -545,6 +545,53 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q34 — recursive CTE (Spark 4's WITH RECURSIVE, executed as
+    * UnionLoopExec): each customer key walks its halving chain
+    * k → k/2 → … → 0 and aggregates depth + chain sum. The recursion is
+    * set-at-a-time — EVERY key advances one level per loop iteration, so
+    * the loop count is the MAX depth (~log₂ maxkey ≈ 20 even at 100 TB
+    * keyspaces), not the row count; each iteration is one distributed
+    * step over the frontier, and the engine's row/level limits
+    * (spark.sql.cteRecursionLevelLimit) bound runaway definitions.
+    * ClickHouse exposes the same surface; the reference's block-range
+    * walks are the degenerate linear case.
+    */
+  def q34RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).customer.createOrReplaceTempView("graft_q34_c")
+    spark.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+        |  FROM graft_q34_c
+        |  UNION ALL
+        |  SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT start_key AS c_custkey, MAX(depth) AS depth,
+        |  SUM(cur) AS chain_sum
+        |FROM walk GROUP BY start_key ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q35 — LATERAL correlated table subquery: the top-2 highest-price
+    * lineitems per order, written the way an analyst writes it. Catalyst
+    * DECORRELATES the LIMIT'd lateral into a row_number window over ONE
+    * shuffle of lineitem — not a per-order re-execution — so the
+    * declarative form is O(n log k)-per-partition at 100 TB. The same
+    * shape covers the reference's "latest N per key" enrichments.
+    */
+  def q35LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("graft_q35_o")
+    t.lineitem.createOrReplaceTempView("graft_q35_l")
+    spark.sql(
+      """SELECT o.o_orderkey, top.l_linenumber, top.l_extendedprice
+        |FROM graft_q35_o o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM graft_q35_l l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber
+        |         LIMIT 2) AS top
+        |ORDER BY o.o_orderkey, top.l_linenumber""".stripMargin)
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -742,6 +789,25 @@ object Relational {
         |   WHERE o.o_custkey = c.c_custkey) AS max_price
         |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
+    "q34_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT start_key AS c_custkey, MAX(depth) AS depth,
+        |  CAST(SUM(cur) AS BIGINT) AS chain_sum
+        |FROM walk GROUP BY start_key ORDER BY c_custkey""".stripMargin,
+    "q35_lateral_topk" ->
+      """SELECT o.o_orderkey, top.l_linenumber, top.l_extendedprice
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice
+        |         FROM lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber
+        |         LIMIT 2) AS top
+        |ORDER BY o.o_orderkey, top.l_linenumber""".stripMargin,
     "q32_unpivot" ->
       """SELECT p_partkey, m.measure, m.value
         |FROM part, LATERAL (VALUES
@@ -867,6 +933,8 @@ object Relational {
     "q30_full_outer" -> (q30FullOuter _),
     "q31_json_extract" -> (q31JsonExtract _),
     "q32_unpivot" -> (q32Unpivot _),
-    "q33_correlated_subquery" -> (q33CorrelatedSubquery _)
+    "q33_correlated_subquery" -> (q33CorrelatedSubquery _),
+    "q34_recursive_cte" -> (q34RecursiveCte _),
+    "q35_lateral_topk" -> (q35LateralTopk _)
   )
 }

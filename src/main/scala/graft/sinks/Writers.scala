@@ -254,6 +254,33 @@ object Writers {
       .orderBy(col("event_id"))
   }
 
+  /** k12 — dynamic partition overwrite: a correction batch rewrites ONLY
+    * the partitions it carries rows for (here the 'click' slice of an
+    * event_type-partitioned table), leaving every other partition's files
+    * untouched. This is THE idempotent-reprocessing primitive at 100 TB —
+    * re-running one day/one type replaces exactly that directory instead
+    * of `overwrite` nuking the whole table or `append` duplicating rows —
+    * and the ClickHouse analog is ALTER TABLE ... REPLACE PARTITION. The
+    * mode is set per-write (option, not session conf) so callers can't
+    * inherit whole-table-overwrite semantics by accident.
+    */
+  def k12PartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.Scratch.dir("k12_") + "/table"
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    ev.write.partitionBy("event_type").parquet(table)
+    ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") * 2.0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(table)
+    spark.read.parquet(table)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -478,7 +505,13 @@ object Writers {
     "k01_parquet_sink" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
         |  o_orderdate
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k12_partition_overwrite" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_type = 'click' THEN value * 2.0 ELSE value END
+        |    AS value,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -490,6 +523,7 @@ object Writers {
     "k08_compaction" -> (k08Compaction _),
     "k09_upsert_merge" -> (k09UpsertMerge _),
     "k10_malformed_ingest" -> (k10MalformedIngest _),
-    "k11_schema_evolution" -> (k11SchemaEvolution _)
+    "k11_schema_evolution" -> (k11SchemaEvolution _),
+    "k12_partition_overwrite" -> (k12PartitionOverwrite _)
   )
 }

@@ -192,6 +192,27 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected the decorrelated aggregate + outer join shape:\n$p")
   }
 
+  test("q35: LIMIT'd lateral decorrelates to a window, not a loop") {
+    val p = plan(Relational.q35LateralTopk(spark, sfDir))
+    assert(!p.contains("Subquery") && !p.contains("LateralJoin"),
+      s"lateral survived decorrelation — per-order re-execution at scale:\n$p")
+    // the top-2-per-key shape: a row_number window feeding the join
+    assert(p.contains("Window"), s"expected the row_number rewrite:\n$p")
+  }
+
+  test("q34: recursive CTE terminates and agrees with the closed form") {
+    val rows = Relational.q34RecursiveCte(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      // depth = halvings to reach 0; chain_sum = sum of the halving chain
+      var (cur, d, s) = (k, 0, k)
+      while (cur > 0) { cur /= 2; d += 1; s += cur }
+      assert(r.getInt(1) === d, s"depth mismatch for $k")
+      assert(r.getLong(2) === s, s"chain_sum mismatch for $k")
+    }
+  }
+
   test("q28: seven window functions share ONE exchange + sort") {
     val p = plan(Relational.q28WindowAnalytics(spark, sfDir))
     assert(countOf(p, "Arguments: hashpartitioning") === 1,

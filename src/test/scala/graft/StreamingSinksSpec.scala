@@ -180,6 +180,27 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(o("dbtable") === "t")
   }
 
+  test("k12 dynamic overwrite replaces ONLY the carried partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("k12_spec_").toString + "/t"
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "pt", "v")
+    df.write.partitionBy("pt").parquet(root)
+    def files(p: String): Set[(String, Long)] =
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSet
+    val untouchedBefore = files(s"$root/pt=b")
+    df.filter($"pt" === "a").withColumn("v", $"v" * 10)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt").parquet(root)
+    // partition b: same files, same mtimes — no rewrite happened there
+    assert(files(s"$root/pt=b") === untouchedBefore)
+    val got = spark.read.parquet(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("v"))))
+    assert(got === Array((1L, 10.0), (2L, 2.0), (3L, 30.0)))
+  }
+
   test("k02 live JDBC round trip (embedded Derby) is lossless") {
     val out = Writers.k02JdbcSink(spark, sfDir).collect()
     assert(out.length === 25)
