@@ -175,7 +175,70 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d07 — URL canonicalization dedup (the crawl-frontier dedup every
+    * web-scale corpus runs before fetching or keeping a page twice):
+    * scheme/host case-folding, default-port stripping (:80/:443), www.
+    * prefix removal, utm_* tracking-param removal, trailing-slash
+    * normalization — then exact dedup on the canonical form. URLs are
+    * synthesized deterministically from (doc_id, source) with planted
+    * variant noise (mirrored in the oracle), so every rule has a
+    * measurable target. At 100 TB this is a narrow projection feeding ONE
+    * map-side-combined groupBy on the canonical string — d01's shape with
+    * a normalization front end; no joins, no quadratic anywhere.
+    */
+  def d07UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("https"))
+        .otherwise(lit("HTTP")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW."))
+        .otherwise(lit("www.")),
+      col("source"), lit(".example.com"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(":443"))
+        .otherwise(lit(":80")),
+      lit("/articles/"), pmod(col("doc_id"), lit(400)).cast("string"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("?utm_source=feed"))
+        .otherwise(lit("")))
+    val canonical =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        lower(url),
+        "\\?utm_[a-z_]+=[a-z0-9]*", ""),
+        ":(443|80)/", "/"),
+        "://www\\.", "://"),
+        "/$", "")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), canonical.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"))
+      .orderBy(col("canonical_url"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "d07_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+        |    || source || '.example.com'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |    || '/articles/' || CAST(doc_id % 400 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '\?utm_[a-z_]+=[a-z0-9]*', '', 'g'),
+        |      ':(443|80)/', '/'),
+        |      '://www\.', '://'),
+        |      '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_variants
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
@@ -211,6 +274,7 @@ object Dedup {
     "d03_dedup_simhash" -> (d03DedupSimhash _),
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
     "d05_dedup_embedding" -> (d05DedupEmbedding _),
-    "d06_dedup_embedding_lsh" -> (d06DedupEmbeddingLsh _)
+    "d06_dedup_embedding_lsh" -> (d06DedupEmbeddingLsh _),
+    "d07_url_dedup" -> (d07UrlDedup _)
   )
 }

@@ -260,6 +260,67 @@ object TextAnalysis {
       .orderBy(col("seg"))
   }
 
+  /** t10 — benchmark-contamination detection (the decontamination pass
+    * run before any training corpus ships: Brown et al. 2020 §C strips
+    * training docs sharing 13-grams with eval sets). Eval set = every
+    * 50th document; a corpus document is contaminated if ANY of its
+    * 13-word grams appears in any eval document. Candidate generation is
+    * an equi-join on the gram STRING — grams are deduped per document
+    * before the shuffle, and the eval side is globally distinct, so at
+    * 100 TB the shuffle carries (gram, doc_id) pairs once per distinct
+    * gram and the eval side broadcasts when the benchmark is
+    * benchmark-sized. A fixed probe phrase is planted on every 37th
+    * document (mirrored in the oracle) so the detector has a measurable
+    * target on the synthetic corpus — exactly t08's planted-PII pattern.
+    */
+  def t10Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val k = 13
+    val aug = when(pmod(col("doc_id"), lit(37)) === 0,
+      concat(col("text"), lit(" " + probePhrase))).otherwise(col("text"))
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), split(aug, " ").as("ws"))
+    val grams = when(size(col("ws")) >= k,
+      array_distinct(transform(sequence(lit(0), size(col("ws")) - k),
+        i => concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val evalGrams = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(grams).as("gram")).distinct()
+    val corpusGrams = base.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    corpusGrams.join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 20 words → 8 shared full 13-grams per planted pair; boundary grams
+    * (spanning the doc's own tail) stay doc-specific by construction. */
+  private val probePhrase =
+    "held out benchmark question answer pairs must never leak into the " +
+      "training corpus so detection sweeps run before every release"
+
+  /** t11 — deterministic stratified sampling (the mixture-weighting step
+    * that follows quality scoring: down-sample over-represented
+    * languages, keep the low-resource tail whole). The sampling decision
+    * is a pure hash of the KEY — substr(md5(doc_id),1,2) compared to a
+    * per-stratum hex threshold — so it is reproducible run-to-run,
+    * engine-portable (the oracle computes the identical md5), needs no
+    * RNG state, and at 100 TB it's a narrow scan→filter with NO shuffle:
+    * every executor decides its own rows. Thresholds are 1/256-granular:
+    * en 12.5%, de 25%, es 50%, fr 75%, zh 100%.
+    */
+  def t11StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val thr = typedLit(sampleThresholds)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+      .filter(col("bucket") <= coalesce(thr(col("lang")), lit("00")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleThresholds: Map[String, String] =
+    Map("en" -> "1f", "de" -> "3f", "es" -> "7f", "fr" -> "bf", "zh" -> "ff")
+
   /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
     * hit counts as (score, lang) structs, `list_max` picking the same
     * (max score, then lexicographically-greatest lang) winner as Spark's
@@ -282,7 +343,44 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** t10/t11 oracles are generated from the SAME probe phrase / threshold
+    * map the operators use, so heuristic and oracle cannot drift. */
+  private def t10OracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(
+       |    CASE WHEN doc_id % 37 = 0 THEN text || ' $probePhrase'
+       |         ELSE text END, ' ') AS ws
+       |  FROM documents),
+       |cg AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(ws[CAST(i AS BIGINT) : CAST(i+12 AS BIGINT)],
+       |      ' ') AS gram
+       |  FROM base, LATERAL (SELECT unnest(range(1, len(ws)-11)) AS i) t
+       |  WHERE doc_id % 50 <> 0 AND len(ws) >= 13),
+       |eg AS (
+       |  SELECT DISTINCT
+       |    array_to_string(ws[CAST(i AS BIGINT) : CAST(i+12 AS BIGINT)],
+       |      ' ') AS gram
+       |  FROM base, LATERAL (SELECT unnest(range(1, len(ws)-11)) AS i) t
+       |  WHERE doc_id % 50 = 0 AND len(ws) >= 13)
+       |SELECT cg.doc_id, COUNT(*) AS n_contaminated_grams
+       |FROM cg JOIN eg USING (gram)
+       |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
+  private def t11OracleSql: String = {
+    val cases = sampleThresholds.toSeq.sorted
+      .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       |FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+       |  CASE lang $cases ELSE '00' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t10_contamination" -> t10OracleSql,
+    "t11_stratified_sample" -> t11OracleSql,
     "t01_lang_id" -> t01OracleSql,
     "t06_segment_dedup" ->
       """WITH base AS (
@@ -402,6 +500,8 @@ object TextAnalysis {
     "t06_segment_dedup" -> (t06SegmentDedup _),
     "t07_repetition_filter" -> (t07RepetitionFilter _),
     "t08_pii_scrub" -> (t08PiiScrub _),
-    "t09_boilerplate" -> (t09Boilerplate _)
+    "t09_boilerplate" -> (t09Boilerplate _),
+    "t10_contamination" -> (t10Contamination _),
+    "t11_stratified_sample" -> (t11StratifiedSample _)
   )
 }

@@ -41,6 +41,56 @@ class LlmOpsSpec extends AnyFunSuite {
   private val nearDup = (vocabA.updated(14, "CHANGED")).mkString(" ")
   private val unrelated = (1 to 30).map(i => s"w$i").mkString(" ")
 
+  test("t10 contamination flags every planted doc, nothing boundary-only") {
+    val out = graft.operators.TextAnalysis
+      .t10Contamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every corpus doc carrying the probe phrase (37 | doc_id, not an
+    // eval doc) must be flagged with AT LEAST the 8 in-phrase 13-grams
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val planted = (0L until nDocs).filter(d => d % 37 == 0 && d % 50 != 0)
+    planted.foreach { d =>
+      assert(out.contains(d), s"planted doc $d not flagged")
+      assert(out(d) >= 8, s"doc $d: expected >=8 shared grams, got ${out(d)}")
+    }
+  }
+
+  test("t11 stratified sample hits per-stratum rates and is deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.operators.TextAnalysis
+      .t11StratifiedSample(spark, sfDir).collect()
+    val kept = sampled.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // zh keeps everything ('ff' threshold); en keeps ~12.5% (binomial
+    // slack at n≈200: accept 4%..25%)
+    assert(kept("zh") === totals("zh").toInt)
+    val enRate = kept.getOrElse("en", 0).toDouble / totals("en")
+    assert(enRate > 0.04 && enRate < 0.25, s"en rate $enRate")
+    // determinism: a second run returns the identical id set
+    val again = graft.operators.TextAnalysis
+      .t11StratifiedSample(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(again === sampled.map(_.getLong(0)).toSet)
+  }
+
+  test("d07 url dedup: variants collapse, keeper is min, rules verified") {
+    val rows = graft.operators.Dedup.d07UrlDedup(spark, sfDir).collect()
+    // every canonical url is fully normalized: no case, ports, www, utm
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u === u.toLowerCase && !u.contains("www.") &&
+        !u.contains(":443") && !u.contains(":80") && !u.contains("utm_") &&
+        !u.endsWith("/"), s"un-normalized canonical: $u")
+    }
+    // doc d and d+400 share (source, item) → exactly the n_variants=2 rows
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val expectedPairs = math.max(0L, nDocs - 400L)
+    assert(rows.count(_.getLong(2) === 2L) === expectedPairs)
+    rows.filter(_.getLong(2) === 2L).foreach { r =>
+      assert(r.getLong(1) < 400L, s"keeper must be the lower doc_id: $r")
+    }
+  }
+
   test("d02 minhash-LSH finds exact and near duplicates, skips unrelated") {
     val dir = docsDir(Seq(
       0L -> baseText, 1L -> baseText, 2L -> nearDup, 3L -> unrelated))
