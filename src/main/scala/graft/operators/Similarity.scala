@@ -201,6 +201,105 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s05 — product-quantization ANN with exact re-rank (IVFADC+R, Jégou
+    * et al. 2011): each 64-dim vector splits into m=16 subvectors; a
+    * per-subspace codebook (k=16 centroids, seeded from the first vectors
+    * then refined with one DECIMAL-deterministic Lloyd pass — s03's trick
+    * per subspace) encodes the corpus as 16 four-bit codes, a 32×
+    * compression of the float payload. Queries stay exact and score by
+    * ASYMMETRIC distance: a per-query lookup table of (subspace, centroid)
+    * partial dot/norm products — Q·m·k entries, broadcast — turns scoring
+    * into code lookups + one (qid, nid) sum; then ONLY the ADC top-30
+    * shortlist is fetched at full precision for an exact cosine re-rank.
+    * At 100 TB the index IS the code table (8 B/vec here vs 256 B raw),
+    * the LUT join is a broadcast equi-join on (sub, code), the only wide
+    * shuffle carries (qid, nid, partial) ids, and full vectors move for
+    * Q·shortlist rows total. Rows-only (quantization is engine-specific);
+    * the spec measures recall@5 vs s01 exactly like s02/s03/s04.
+    */
+  def s05AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16; val subDim = 4; val k = 16; val shortlist = 30
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    def subs(df: DataFrame, id: String): DataFrame =
+      df.select(col("vec_id").as(id),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("embedding"), s * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "sv")))
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    // --- codebook: seed + one deterministic Lloyd refinement ---
+    val sv = subs(e, "vid")
+    var cb = subs(e.filter(col("vec_id") < k), "cid")
+      .select(col("sub"), col("cid"), col("sv").as("cemb"))
+    val aw = Window.partitionBy(col("vid"), col("sub"))
+      .orderBy(col("d2"), col("cid"))
+    locally {
+      import org.apache.spark.sql.types.DecimalType
+      val assigned = sv.join(broadcast(cb), Seq("sub"))
+        .select(col("vid"), col("sub"), col("sv"), col("cid"),
+          l2(col("sv"), col("cemb")).as("d2"))
+        .withColumn("crnk", row_number().over(aw))
+        .filter(col("crnk") === 1)
+      cb = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(sum(col("x").cast(DecimalType(38, 12))).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("dim"),
+          (col("sx") / col("n")).cast("float").as("cx"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cx")))),
+          s => s.getField("cx")).as("cemb"))
+    }
+    // --- encode the corpus: m 4-bit codes per vector ---
+    val codes = sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vid").as("nid"), col("sub"), col("cid"),
+        l2(col("sv"), col("cemb")).as("d2"))
+      .withColumn("crnk", row_number().over(Window
+        .partitionBy(col("nid"), col("sub")).orderBy(col("d2"), col("cid"))))
+      .filter(col("crnk") === 1)
+      .select(col("nid"), col("sub"), col("cid"))
+    // --- per-query LUT (asymmetric: exact query side) + query norms ---
+    val qs = e.filter(col("vec_id") < 10)
+    val lut = subs(qs, "qid").join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        dot(col("sv"), col("cemb")).as("pdot"),
+        dot(col("cemb"), col("cemb")).as("pnorm"))
+    val qnorm = qs.select(col("vec_id").as("qid"),
+      dot(col("embedding"), col("embedding")).as("qn2"))
+    // --- ADC scoring: code lookups + one (qid, nid) reduce ---
+    val adcW = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
+    val adcTop = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("pdot")).as("sdot"), sum(col("pnorm")).as("sn2"))
+      .join(broadcast(qnorm), Seq("qid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("sdot") / (sqrt(col("qn2")) * sqrt(col("sn2")))).as("acos"))
+      .select(col("qid"), col("nid"), row_number().over(adcW).as("arnk"))
+      .filter(col("arnk") <= shortlist)
+      .select(col("qid"), col("nid"))
+    // --- exact re-rank of the ADC shortlist (IVFADC+R): only Q×shortlist
+    // vectors are ever fetched at full precision ---
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    adcTop
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        Seq("nid"))
+      .join(broadcast(qs.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .select(col("qid"), col("nid"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val oracle: Map[String, String] = Map(
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -221,6 +320,7 @@ object Similarity {
     "s01_ann_bruteforce" -> (s01AnnBruteforce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
-    "s04_ann_quantized" -> (s04AnnQuantized _)
+    "s04_ann_quantized" -> (s04AnnQuantized _),
+    "s05_ann_pq" -> (s05AnnPq _)
   )
 }

@@ -166,6 +166,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(0L) !== rows(2L), "disjoint content → different fingerprint")
   }
 
+  test("s05 PQ ANN: ADC over 4-bit codes keeps usable recall vs s01") {
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.s05AnnPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet === (0L until 10L).toSet)
+    approx.values.foreach(s => assert(s.size === 5))
+    val hits = exact.keys.toSeq.map(q =>
+      (exact(q) intersect approx.getOrElse(q, Set.empty)).size).sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall >= 0.4, s"PQ recall@5 too low: $recall")
+  }
+
   test("s02 LSH ANN returns well-formed top-k with usable recall vs s01") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
