@@ -175,6 +175,47 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d08 — near-dup CLUSTERS from the pair graph (the step every dedup
+    * pipeline needs after candidate pairs: pairs → connected components →
+    * keep one representative per component; pairwise keep-the-lower-id
+    * alone mishandles chains A~B~C where A,C aren't directly similar).
+    * Min-label
+    * propagation: each node repeatedly adopts the smallest id reachable
+    * through one more hop, converging in O(graph diameter) rounds — the
+    * Pregel/GraphX connected-components algorithm expressed as a driver
+    * loop of join+agg steps, each one distributed and linear in edges.
+    * localCheckpoint after every round cuts the growing lineage (the
+    * classic iterative-Spark failure mode). The edge set is d04's exact
+    * Jaccard pairs, so the DuckDB oracle can rebuild the same graph and
+    * close it with a recursive CTE.
+    */
+  def d08DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = d04NgramJaccard(spark, dir).select(col("a"), col("b"))
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true) // the loop re-reads this every round
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("root", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("root")).as("nroot"))
+      val next = labels.join(prop, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("node"), col("root").as("oroot")), Seq("node"))
+        .filter(col("root") < col("oroot")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("root").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d07 — URL canonicalization dedup (the crawl-frontier dedup every
     * web-scale corpus runs before fetching or keeping a page twice):
     * scheme/host case-folding, default-port stripping (:80/:443), www.
@@ -215,6 +256,28 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "d08_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ')
+        |      for i in range(1, len(ws)-1)]) AS s
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(string_split(text,' ')) >= 3
+        |               THEN string_split(text,' ') ELSE [text] END AS ws
+        |        FROM documents WHERE doc_id < 200)),
+        |e AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.01),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS node FROM sym),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node)
+        |SELECT node AS doc_id, MIN(r) AS cluster
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "d07_url_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -275,6 +338,7 @@ object Dedup {
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
     "d05_dedup_embedding" -> (d05DedupEmbedding _),
     "d06_dedup_embedding_lsh" -> (d06DedupEmbeddingLsh _),
-    "d07_url_dedup" -> (d07UrlDedup _)
+    "d07_url_dedup" -> (d07UrlDedup _),
+    "d08_dedup_clusters" -> (d08DedupClusters _)
   )
 }

@@ -343,6 +343,29 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** t12 — per-language vocabulary heavy hitters (the corpus-frequency
+    * pass tokenizer/BPE training and stopword-list induction start from):
+    * top-20 tokens per language by exact count. Two-level aggregation —
+    * the (lang, token) groupBy combines map-side, so the shuffle carries
+    * one row per distinct token per partition, not one per occurrence;
+    * the per-lang top-k window then runs over the already-reduced
+    * distinct-token set (vocabulary-sized, not corpus-sized). Exact
+    * integer counts → exact oracle.
+    */
+  def t12HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
+    Tables(spark, dir).documents
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** t10/t11 oracles are generated from the SAME probe phrase / threshold
     * map the operators use, so heuristic and oracle cannot drift. */
   private def t10OracleSql: String =
@@ -381,6 +404,18 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t10_contamination" -> t10OracleSql,
     "t11_stratified_sample" -> t11OracleSql,
+    "t12_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, token, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, token) AS rnk
+        |  FROM cnt)
+        |SELECT lang, token, cnt, rnk FROM rk WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
     "t01_lang_id" -> t01OracleSql,
     "t06_segment_dedup" ->
       """WITH base AS (
@@ -502,6 +537,7 @@ object TextAnalysis {
     "t08_pii_scrub" -> (t08PiiScrub _),
     "t09_boilerplate" -> (t09Boilerplate _),
     "t10_contamination" -> (t10Contamination _),
-    "t11_stratified_sample" -> (t11StratifiedSample _)
+    "t11_stratified_sample" -> (t11StratifiedSample _),
+    "t12_heavy_hitters" -> (t12HeavyHitters _)
   )
 }

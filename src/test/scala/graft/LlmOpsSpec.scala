@@ -91,6 +91,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d08 clusters close transitive chains a~b~c into one component") {
+    val words = (1 to 60).map(i => f"tok$i%02d")
+    val dir = docsDir(Seq(
+      (0L, words.slice(0, 30).mkString(" ")),   // overlaps doc 1 only
+      (1L, words.slice(15, 45).mkString(" ")),  // bridges 0 and 2
+      (2L, words.slice(30, 60).mkString(" ")),  // overlaps doc 1 only
+      (3L, (1 to 30).map(i => s"zz$i").mkString(" ")))) // isolated
+    val out = graft.operators.Dedup.d08DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 and 2 share NO shingles, yet belong to one component via 1 —
+    // the case pairwise keep-lowest handles wrong and clustering fixes
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("d02 minhash-LSH finds exact and near duplicates, skips unrelated") {
     val dir = docsDir(Seq(
       0L -> baseText, 1L -> baseText, 2L -> nearDup, 3L -> unrelated))
