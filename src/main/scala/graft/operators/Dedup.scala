@@ -191,6 +191,19 @@ object Dedup {
     */
   def d08DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = d04NgramJaccard(spark, dir).select(col("a"), col("b"))
+    // the label/edge tables are bounded by the candidate-PAIR node set —
+    // orders of magnitude smaller than the corpus — so the loop's shuffles
+    // are sized to the graph, not to the corpus-wide default (at 100 TB
+    // you'd scale this with |V|; 32 corpus-sized partitions of a tiny
+    // frame just pays per-round scheduling for empty tasks)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      clusterLoop(edges)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def clusterLoop(edges: DataFrame): DataFrame = {
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true) // the loop re-reads this every round
