@@ -157,7 +157,75 @@ object Multimodal {
       .orderBy(col("h"))
   }
 
+  /** m05 — contrastive training-pair construction (the CLIP-style data
+    * prep that turns an aligned multimodal corpus into (anchor, positive,
+    * negative) triples): each text document joins its media embedding on
+    * id, the positive is the next same-label neighbor (one window over
+    * label), and the negative is the rank-aligned member of the NEXT
+    * label — deterministic rank pairing instead of RNG, so runs are
+    * reproducible and the oracle can rebuild the exact triple set. Scoring
+    * margins ride along via the codegen'd cosine kernel. At 100 TB:
+    * one narrow join on id, two window exchanges, one equi-join on
+    * (label, rank) — all hash-partitionable; note a 10-value label key is
+    * deliberately coarse here, a real corpus partitions by (label-shard)
+    * the way q22 salts hot keys.
+    */
+  def m05ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), md5(col("text")).as("txt_md5"))
+    val anchors = t.embeddings
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("txt_md5"))
+    val wLab = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val ranked = anchors.select(col("vec_id"), col("label"),
+      col("embedding"), col("txt_md5"),
+      row_number().over(wLab).as("r"),
+      lead(col("vec_id"), 1).over(wLab).as("pos_id"),
+      lead(col("embedding"), 1).over(wLab).as("pos_emb"))
+    val negSrc = anchors
+      .select(col("label").as("nlabel"), col("vec_id").as("neg_id"),
+        col("embedding").as("neg_emb"))
+      .withColumn("nr", row_number().over(
+        Window.partitionBy(col("nlabel")).orderBy(col("neg_id"))))
+    ranked.filter(col("pos_id").isNotNull)
+      .join(negSrc,
+        pmod(col("label") + 1, lit(10)) === col("nlabel") &&
+          col("r") === col("nr"))
+      .select(col("vec_id").as("anchor"), col("label"), col("txt_md5"),
+        col("pos_id"), col("neg_id"),
+        round(graft.functions.cosine_similarity(
+          col("embedding"), col("pos_emb")), 6).as("pos_cos"),
+        round(graft.functions.cosine_similarity(
+          col("embedding"), col("neg_emb")), 6).as("neg_cos"))
+      .orderBy(col("anchor"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "m05_contrastive_pairs" ->
+      """WITH a AS (
+        |  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb,
+        |    md5(d.text) AS txt_md5
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |rk AS (
+        |  SELECT vec_id, label, emb, txt_md5,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r,
+        |    LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id)
+        |      AS pos_id,
+        |    LEAD(emb) OVER (PARTITION BY label ORDER BY vec_id) AS pos_emb
+        |  FROM a),
+        |neg AS (
+        |  SELECT label AS nlabel, vec_id AS neg_id, emb AS neg_emb,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS nr
+        |  FROM a)
+        |SELECT rk.vec_id AS anchor, rk.label, rk.txt_md5, rk.pos_id,
+        |  neg.neg_id,
+        |  round(list_cosine_similarity(rk.emb, rk.pos_emb), 6) AS pos_cos,
+        |  round(list_cosine_similarity(rk.emb, neg.neg_emb), 6) AS neg_cos
+        |FROM rk JOIN neg ON (rk.label + 1) % 10 = neg.nlabel
+        |  AND rk.r = neg.nr
+        |WHERE rk.pos_id IS NOT NULL
+        |ORDER BY anchor""".stripMargin,
     "m04_payload_dedup" ->
       """SELECT md5(text) AS h,
         |  MIN(md5(substring(text, 1, 64)
@@ -213,6 +281,7 @@ object Multimodal {
     "m01_multimodal_meta" -> (m01MultimodalMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_resize" -> (m03Resize _),
-    "m04_payload_dedup" -> (m04PayloadDedup _)
+    "m04_payload_dedup" -> (m04PayloadDedup _),
+    "m05_contrastive_pairs" -> (m05ContrastivePairs _)
   )
 }

@@ -254,6 +254,79 @@ object Writers {
       .orderBy(col("event_id"))
   }
 
+  /** Snapshot-publish support for k13: a table version is a data
+    * directory + a manifest listing its exact files; CURRENT is a one-line
+    * pointer file naming the live version, swapped by rename AFTER the
+    * version is completely written. Readers resolve CURRENT → manifest →
+    * explicit file list, so a torn or in-flight write (files on disk, no
+    * manifest) is invisible — the Iceberg/Delta snapshot-isolation
+    * contract in its minimal form, and the property object stores make
+    * mandatory at 100 TB (directory listings see partial uploads;
+    * manifests don't).
+    */
+  def publishVersion(spark: SparkSession, root: String, version: Int,
+      df: DataFrame): Unit = {
+    val dataDir = s"$root/data_v$version"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    def put(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // manifest first (unreferenced until CURRENT moves), then the pointer
+    // swap: write-to-temp + rename so no reader ever sees a partial file
+    put(new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
+      files.mkString("\n"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$root/CURRENT")
+    put(tmp, version.toString)
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"publish: CURRENT swap failed for v$version")
+  }
+
+  /** Resolve CURRENT and read exactly the manifested files. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      slurpFile(spark, s"$root/CURRENT").trim.toInt)
+
+  /** Time travel: any still-manifested version stays readable — old
+    * manifests are immutable, so a reader pinned to v1 is unaffected by
+    * later publishes (the snapshot-isolation dividend). */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame =
+    spark.read.parquet(
+      slurpFile(spark, s"$root/manifest_v$version.txt").split("\n").toSeq: _*)
+
+  private def slurpFile(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** k13 — manifest-atomic snapshot publish as a round-trip query: v1
+    * holds half the events, v2 supersedes it with the full set, and a
+    * deliberately UNPUBLISHED v3 write (files on disk, no manifest entry)
+    * must stay invisible. The oracle is the full-events identity — it can
+    * only match if the reader saw exactly v2: globbing the root would
+    * double-count v1+v3, and reading before the swap would miss half. */
+  def k13ManifestPublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k13_")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    publishVersion(spark, root, 1,
+      ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    publishVersion(spark, root, 2, ev)
+    // torn write: present in the directory, absent from any manifest
+    ev.limit(10).write.parquet(s"$root/data_v3")
+    readCurrent(spark, root).orderBy(col("event_id"))
+  }
+
   /** k12 — dynamic partition overwrite: a correction batch rewrites ONLY
     * the partitions it carries rows for (here the 'click' slice of an
     * event_type-partitioned table), leaving every other partition's files
@@ -511,6 +584,9 @@ object Writers {
         |  CASE WHEN event_type = 'click' THEN value * 2.0 ELSE value END
         |    AS value,
         |  event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k13_manifest_publish" ->
+      """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin
   )
 
@@ -524,6 +600,7 @@ object Writers {
     "k09_upsert_merge" -> (k09UpsertMerge _),
     "k10_malformed_ingest" -> (k10MalformedIngest _),
     "k11_schema_evolution" -> (k11SchemaEvolution _),
-    "k12_partition_overwrite" -> (k12PartitionOverwrite _)
+    "k12_partition_overwrite" -> (k12PartitionOverwrite _),
+    "k13_manifest_publish" -> (k13ManifestPublish _)
   )
 }

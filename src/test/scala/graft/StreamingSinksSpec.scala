@@ -201,6 +201,23 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got === Array((1L, 10.0), (2L, 2.0), (3L, 30.0)))
   }
 
+  test("k13 snapshot publish: torn writes invisible, old versions travel") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("k13_spec_").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val v2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    Writers.publishVersion(spark, root, 1, v1)
+    Writers.publishVersion(spark, root, 2, v2)
+    // torn write: parquet present, never manifested
+    Seq((99L, "zz")).toDF("id", "s").write.parquet(s"$root/data_v3")
+    assert(Writers.readCurrent(spark, root).count() === 3)
+    assert(Writers.readCurrent(spark, root)
+      .filter($"id" === 99L).count() === 0)
+    // time travel: v1's manifest still resolves to exactly v1's rows
+    assert(Writers.readVersion(spark, root, 1)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("k02 live JDBC round trip (embedded Derby) is lossless") {
     val out = Writers.k02JdbcSink(spark, sfDir).collect()
     assert(out.length === 25)
