@@ -247,7 +247,91 @@ object Pipelines {
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)
   }
 
+  /** p11 — the END-TO-END corpus curation pipeline, fused into ONE plan:
+    * stratified sampling (t11's predicate) → quality filter (t02's
+    * formula) → benchmark-contamination strip (t10's 13-gram anti-join) →
+    * exact dedup keeping the lowest surviving doc_id (d01 as a window).
+    * The filter Columns are LITERALLY the shared objects the standalone
+    * queries use, so the composition cannot drift from its parts — and
+    * because every stage is declarative, Catalyst fuses sample+quality
+    * into the scan (narrow, no shuffle), the contamination stage adds one
+    * gram equi-join, and dedup adds one keyed window: three shuffles
+    * total for a four-stage pipeline. This is the reference's
+    * Pipeline-of-Steps architecture (k03) applied to the LLM data prep
+    * domain, which is exactly how a 100 TB crawl gets curated.
+    */
+  def p11CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val filtered = docs
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0) // eval docs never train
+      .select(col("doc_id"), col("text"), col("lang"),
+        TA.sampleBucket.as("bucket"),
+        TA.qualityOf(col("text")).as("quality"))
+      .filter(col("bucket") <= TA.sampleThreshold &&
+        col("quality") >= 0.5)
+    val evalGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+      .distinct()
+    val contaminated = filtered
+      .select(col("doc_id"),
+        explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val clean = filtered.join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    clean
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def p11OracleSql: String = {
+    import graft.operators.{TextAnalysis => TA}
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, lang,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       |    ${TA.qualitySqlExpr} AS quality
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       |filtered AS (
+       |  SELECT * FROM scored
+       |  WHERE bucket <= ${TA.thresholdCaseSql} AND quality >= 0.5),
+       |aug AS (
+       |  SELECT doc_id, string_split(
+       |    CASE WHEN doc_id % 37 = 0 THEN text || ' ${TA.probePhrase}'
+       |         ELSE text END, ' ') AS ws
+       |  FROM documents),
+       |eg AS (
+       |  SELECT DISTINCT
+       |    array_to_string(ws[CAST(i AS BIGINT) : CAST(i+12 AS BIGINT)],
+       |      ' ') AS gram
+       |  FROM aug, LATERAL (SELECT unnest(range(1, len(ws)-11)) AS i) t
+       |  WHERE doc_id % 50 = 0 AND len(ws) >= 13),
+       |cg AS (
+       |  SELECT DISTINCT f.doc_id,
+       |    array_to_string(a.ws[CAST(i AS BIGINT) : CAST(i+12 AS BIGINT)],
+       |      ' ') AS gram
+       |  FROM filtered f JOIN aug a USING (doc_id),
+       |    LATERAL (SELECT unnest(range(1, len(a.ws)-11)) AS i) t
+       |  WHERE len(a.ws) >= 13),
+       |contaminated AS (
+       |  SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram)),
+       |clean AS (
+       |  SELECT * FROM filtered
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |dedup AS (
+       |  SELECT doc_id, lang, bucket, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+       |      AS rn
+       |  FROM clean)
+       |SELECT doc_id, lang, bucket, quality FROM dedup WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "p11_curation_pipeline" -> p11OracleSql,
     "p10_sql_pipeline" ->
       """SELECT l.l_orderkey, l.l_linenumber,
         |  printf('%064x', l.l_partkey) AS part_u256,
@@ -345,6 +429,7 @@ object Pipelines {
     "p03_erc20_pipeline" -> (p03Erc20Pipeline _),
     "p06_event_decode" -> (p06EventDecode _),
     "p09_dynamic_decode" -> (p09DynamicDecode _),
-    "p10_sql_pipeline" -> (p10SqlPipeline _)
+    "p10_sql_pipeline" -> (p10SqlPipeline _),
+    "p11_curation_pipeline" -> (p11CurationPipeline _)
   )
 }

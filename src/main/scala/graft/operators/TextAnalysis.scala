@@ -273,16 +273,24 @@ object TextAnalysis {
     * document (mirrored in the oracle) so the detector has a measurable
     * target on the synthetic corpus — exactly t08's planted-PII pattern.
     */
-  def t10Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val k = 13
-    val aug = when(pmod(col("doc_id"), lit(37)) === 0,
+  /** Probe-phrase augmentation + distinct 13-grams, shared by t10 and the
+    * p11 curation pipeline so detector and pipeline cannot drift. */
+  private[graft] def augmentedText: Column =
+    when(pmod(col("doc_id"), lit(37)) === 0,
       concat(col("text"), lit(" " + probePhrase))).otherwise(col("text"))
-    val base = Tables(spark, dir).documents
-      .select(col("doc_id"), split(aug, " ").as("ws"))
-    val grams = when(size(col("ws")) >= k,
-      array_distinct(transform(sequence(lit(0), size(col("ws")) - k),
-        i => concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+
+  private[graft] def grams13(ws: Column): Column = {
+    val k = 13
+    when(size(ws) >= k,
+      array_distinct(transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  def t10Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), split(augmentedText, " ").as("ws"))
+    val grams = grams13(col("ws"))
     val evalGrams = base.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(explode(grams).as("gram")).distinct()
     val corpusGrams = base.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -295,7 +303,7 @@ object TextAnalysis {
 
   /** 20 words → 8 shared full 13-grams per planted pair; boundary grams
     * (spanning the doc's own tail) stay doc-specific by construction. */
-  private val probePhrase =
+  private[graft] val probePhrase =
     "held out benchmark question answer pairs must never leak into the " +
       "training corpus so detection sweeps run before every release"
 
@@ -309,16 +317,24 @@ object TextAnalysis {
     * every executor decides its own rows. Thresholds are 1/256-granular:
     * en 12.5%, de 25%, es 50%, fr 75%, zh 100%.
     */
-  def t11StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The t11 sampling decision as reusable Columns — a pure projection,
+    * so the IDENTICAL expression runs batch (t11), streaming (st11), and
+    * inside the fused curation pipeline (p11). */
+  private[graft] def sampleBucket: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2)
+
+  private[graft] def sampleThreshold: Column = {
     val thr = typedLit(sampleThresholds)
-    Tables(spark, dir).documents
-      .select(col("doc_id"), col("lang"),
-        substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
-      .filter(col("bucket") <= coalesce(thr(col("lang")), lit("00")))
-      .orderBy(col("doc_id"))
+    coalesce(thr(col("lang")), lit("00"))
   }
 
-  private val sampleThresholds: Map[String, String] =
+  def t11StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), sampleBucket.as("bucket"))
+      .filter(col("bucket") <= sampleThreshold)
+      .orderBy(col("doc_id"))
+
+  private[graft] val sampleThresholds: Map[String, String] =
     Map("en" -> "1f", "de" -> "3f", "es" -> "7f", "fr" -> "bf", "zh" -> "ff")
 
   /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
@@ -390,16 +406,43 @@ object TextAnalysis {
        |FROM cg JOIN eg USING (gram)
        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
 
-  private def t11OracleSql: String = {
+  /** The t11 threshold as DuckDB SQL — shared by the t11/st11/p11
+    * oracles. */
+  private[graft] def thresholdCaseSql: String = {
     val cases = sampleThresholds.toSeq.sorted
       .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    s"CASE lang $cases ELSE '00' END"
+  }
+
+  private[graft] def t11OracleSql: String =
     s"""SELECT doc_id, lang,
        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
        |FROM documents
        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
-       |  CASE lang $cases ELSE '00' END
+       |  $thresholdCaseSql
        |ORDER BY doc_id""".stripMargin
+
+  /** t02's quality formula as a reusable Column (the p11 filter) — kept
+    * textually in sync with t02/its oracle; each user query is still
+    * pinned by its own DuckDB oracle. */
+  private[graft] def qualityOf(c: Column): Column = {
+    val ws = words(c)
+    val awl = length(c).cast("double") / size(ws)
+    lit(0.4) * least(lit(1.0), size(ws).cast("double") / 120.0) +
+      lit(0.3) * when(awl >= 3.0 && awl <= 8.0, 1.0).otherwise(0.0) +
+      lit(0.3) * least(lit(1.0),
+        stopHits(ws, "en").cast("double") / size(ws) * 5.0)
   }
+
+  /** The same formula as DuckDB SQL over a `text` column. */
+  private[graft] val qualitySqlExpr: String =
+    """0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 120.0)
+      |  + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split(text,' '))
+      |      BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+      |  + 0.3 * least(1.0,
+      |      CAST(len(list_filter(string_split(lower(text),' '),
+      |        w -> w IN ('the','a','of','and','to','is','in','it','you','that')))
+      |        AS DOUBLE) / len(string_split(text,' ')) * 5.0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t10_contamination" -> t10OracleSql,

@@ -411,6 +411,28 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** st11 — the t11 stratified sampler running DIRECTLY on a streaming
+    * documents source (the st07 architectural claim applied to the LLM
+    * ops): the sampling decision is a pure hash projection, so the SAME
+    * Column expressions — literally shared objects with batch t11 — run
+    * under a stream with no state store, no watermark, no rewrite. A
+    * curation pipeline at 100 TB samples its crawl AS IT ARRIVES instead
+    * of staging it. The oracle IS t11's oracle: stream and batch must
+    * produce the identical sample.
+    */
+  def st11StreamSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = schemaCache.computeIfAbsent(s"$dir/documents.parquet",
+      p => spark.read.parquet(p).schema)
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val sampled = docs
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.sampleBucket.as("bucket"))
+      .filter(col("bucket") <= TextAnalysis.sampleThreshold)
+    runToTable(sampled, "append").orderBy(col("doc_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -425,6 +447,7 @@ object EventStreams {
   val oracle: Map[String, String] = Map(
     "st05_rocksdb_state" -> sessionizeOracle,
     "st10_transform_state" -> sessionizeOracle,
+    "st11_stream_sample" -> graft.operators.TextAnalysis.t11OracleSql,
     "st01_stream_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
@@ -486,6 +509,7 @@ object EventStreams {
     "st07_stream_decode" -> (st07StreamDecode _),
     "st08_stream_dedup" -> (st08StreamDedup _),
     "st09_session_window" -> (st09SessionWindow _),
-    "st10_transform_state" -> (st10TransformWithState _)
+    "st10_transform_state" -> (st10TransformWithState _),
+    "st11_stream_sample" -> (st11StreamSample _)
   )
 }
