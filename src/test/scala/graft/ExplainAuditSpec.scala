@@ -213,6 +213,25 @@ class ExplainAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p11: sample+quality fuse into the scan; no quadratic joins") {
+    val p = plan(graft.operators.Pipelines.p11CurationPipeline(spark, sfDir))
+    // the sampling + quality stage must be a filter over ONE documents
+    // scan branch, not a join of per-stage subplans
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"curation pipeline grew a quadratic join:\n$p")
+    // contamination is an equi-join on the gram column
+    assert(p.contains("hashpartitioning(gram") ||
+      p.contains("BroadcastHashJoin"), s"gram join not hash/broadcast:\n$p")
+  }
+
+  test("s05: LUT and query sides broadcast; corpus codes never re-shuffle vectors") {
+    val p = plan(graft.operators.Similarity.s05AnnPq(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for LUT/query sides:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ scoring must never be all-pairs:\n$p")
+  }
+
   test("q28: seven window functions share ONE exchange + sort") {
     val p = plan(Relational.q28WindowAnalytics(spark, sfDir))
     assert(countOf(p, "Arguments: hashpartitioning") === 1,
