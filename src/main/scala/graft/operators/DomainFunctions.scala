@@ -126,6 +126,36 @@ object DomainFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** EIP-55 checksum encoding of a 40-char lowercase hex address: a hex
+    * LETTER uppercases exactly when the corresponding nibble of
+    * keccak256(ascii(lowercase_address)) is ≥ 8. Pure Columns over the
+    * keccak expression — per-character via one transform over a constant
+    * 40-step sequence, no UDF. */
+  private[graft] def eip55(addr40: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = lower(hex(keccak256(addr40.cast("binary"))))
+    concat_ws("", transform(sequence(lit(0), lit(39)), i => {
+      val c = addr40.substr(i + 1, lit(1))
+      val nibble = conv(h.substr(i + 1, lit(1)), 16, 10).cast("int")
+      when(c.rlike("[a-f]") && nibble >= 8, upper(c)).otherwise(c)
+    }))
+  }
+
+  /** f09 — EIP-55 checksummed addresses (the display/API form every EVM
+    * tool round-trips; the reference's hex address columns are one
+    * `checksum()` away from user-facing). Addresses synthesized from
+    * doc_id; rows-only (no keccak in DuckDB) — FunctionsSpec pins the
+    * four official EIP-55 test vectors. */
+  def f09Eip55Checksum(spark: SparkSession, dir: String): DataFrame = {
+    val addr = lpad(lower(hex(
+      col("doc_id") * lit(7919L) + col("n_chars"))), 40, "0")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), addr.as("addr_lower"))
+      .select(col("doc_id"), col("addr_lower"),
+        eip55(col("addr_lower")).as("addr_checksummed"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "f08_s256_decode" ->
       """SELECT doc_id,
@@ -171,6 +201,7 @@ object DomainFunctions {
     "f05_u256_decode" -> (f05U256Roundtrip _),
     "f06_u256_sum" -> (f06U256Sum _),
     "f07_u256_ratio" -> (f07U256Ratio _),
-    "f08_s256_decode" -> (f08S256Roundtrip _)
+    "f08_s256_decode" -> (f08S256Roundtrip _),
+    "f09_eip55_checksum" -> (f09Eip55Checksum _)
   )
 }

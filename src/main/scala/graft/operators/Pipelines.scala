@@ -260,26 +260,39 @@ object Pipelines {
     * Pipeline-of-Steps architecture (k03) applied to the LLM data prep
     * domain, which is exactly how a 100 TB crawl gets curated.
     */
-  def p11CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The eval-set gram table (the STATIC side of the contamination
+    * strip) and the sample→quality→contamination stages as a reusable
+    * batch transform — p11 applies them to the whole corpus, st12 applies
+    * the SAME function to each streaming micro-batch. */
+  private[graft] def evalGramsOf(docs: DataFrame): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir).documents
-    val filtered = docs
+    docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+      .distinct()
+  }
+
+  private[graft] def curateBatch(batch: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val filtered = batch
       .filter(pmod(col("doc_id"), lit(50)) =!= 0) // eval docs never train
       .select(col("doc_id"), col("text"), col("lang"),
         TA.sampleBucket.as("bucket"),
         TA.qualityOf(col("text")).as("quality"))
       .filter(col("bucket") <= TA.sampleThreshold &&
         col("quality") >= 0.5)
-    val evalGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-      .select(explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
-      .distinct()
     val contaminated = filtered
       .select(col("doc_id"),
         explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
       .join(evalGrams, Seq("gram"))
       .select(col("doc_id")).distinct()
-    val clean = filtered.join(contaminated, Seq("doc_id"), "left_anti")
+    filtered.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  def p11CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val clean = curateBatch(docs, evalGramsOf(docs))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     clean
       .withColumn("rn", row_number().over(w))
@@ -288,8 +301,24 @@ object Pipelines {
       .orderBy(col("doc_id"))
   }
 
-  private def p11OracleSql: String = {
+  /** Curation oracle, shared by p11 (with the dedup stage) and st12 (the
+    * streaming form, which stops at the contamination strip). */
+  private[graft] def curationOracleSql(withDedup: Boolean): String = {
     import graft.operators.{TextAnalysis => TA}
+    val tail =
+      if (withDedup)
+        """,
+          |dedup AS (
+          |  SELECT doc_id, lang, bucket, quality,
+          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+          |      AS rn
+          |  FROM clean)
+          |SELECT doc_id, lang, bucket, quality FROM dedup WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin
+      else
+        """
+          |SELECT doc_id, lang, bucket, quality FROM clean
+          |ORDER BY doc_id""".stripMargin
     s"""WITH scored AS (
        |  SELECT doc_id, text, lang,
        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
@@ -320,18 +349,11 @@ object Pipelines {
        |  SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram)),
        |clean AS (
        |  SELECT * FROM filtered
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |dedup AS (
-       |  SELECT doc_id, lang, bucket, quality,
-       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
-       |      AS rn
-       |  FROM clean)
-       |SELECT doc_id, lang, bucket, quality FROM dedup WHERE rn = 1
-       |ORDER BY doc_id""".stripMargin
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))$tail""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
-    "p11_curation_pipeline" -> p11OracleSql,
+    "p11_curation_pipeline" -> curationOracleSql(withDedup = true),
     "p10_sql_pipeline" ->
       """SELECT l.l_orderkey, l.l_linenumber,
         |  printf('%064x', l.l_partkey) AS part_u256,

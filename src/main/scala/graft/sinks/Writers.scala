@@ -308,6 +308,67 @@ object Writers {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
+  /** Incremental publish: the new version's manifest = the PRIOR
+    * version's files + the freshly-written files, so history is never
+    * rewritten (Iceberg append semantics) and the file-set DIFFERENCE
+    * between two manifests is exactly the rows added between them. */
+  def publishAppend(spark: SparkSession, root: String, version: Int,
+      df: DataFrame): Unit = {
+    val dataDir = s"$root/data_v$version"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val prior = slurpFile(spark, s"$root/manifest_v${version - 1}.txt")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    def put(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    put(new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
+      (prior ++ fresh).mkString("\n"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$root/CURRENT")
+    put(tmp, version.toString)
+    fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"publish: CURRENT swap failed for v$version")
+  }
+
+  /** CDC-style incremental read: the files manifested in `toV` but not in
+    * `fromV` — an incremental consumer processes only what a snapshot
+    * added, never re-reading history. At 100 TB this is the difference
+    * between a downstream job reading a day's increment and re-scanning
+    * the table. */
+  def readChanges(spark: SparkSession, root: String, fromV: Int,
+      toV: Int): DataFrame = {
+    val before = slurpFile(spark, s"$root/manifest_v$fromV.txt")
+      .split("\n").filter(_.nonEmpty).toSet
+    val after = slurpFile(spark, s"$root/manifest_v$toV.txt")
+      .split("\n").filter(_.nonEmpty).toSeq
+    spark.read.parquet(after.filterNot(before): _*)
+  }
+
+  /** k14 — manifest-delta incremental consumption: v1 publishes the even
+    * events, v2 APPENDS the odd ones (history untouched — v1's files are
+    * byte-identical members of v2's manifest), and the query reads ONLY
+    * the v1→v2 delta. The oracle is the odd-event set: it matches only if
+    * the delta contains exactly the appended rows — no history re-read,
+    * no missed rows. */
+  def k14ManifestDelta(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k14_")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    publishVersion(spark, root, 1,
+      ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    publishAppend(spark, root, 2,
+      ev.filter(pmod(col("event_id"), lit(2)) === 1))
+    readChanges(spark, root, 1, 2).orderBy(col("event_id"))
+  }
+
   /** k13 — manifest-atomic snapshot publish as a round-trip query: v1
     * holds half the events, v2 supersedes it with the full set, and a
     * deliberately UNPUBLISHED v3 write (files on disk, no manifest entry)
@@ -587,7 +648,10 @@ object Writers {
         |FROM events ORDER BY event_id""".stripMargin,
     "k13_manifest_publish" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k14_manifest_delta" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 2 = 1 ORDER BY event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -601,6 +665,7 @@ object Writers {
     "k10_malformed_ingest" -> (k10MalformedIngest _),
     "k11_schema_evolution" -> (k11SchemaEvolution _),
     "k12_partition_overwrite" -> (k12PartitionOverwrite _),
-    "k13_manifest_publish" -> (k13ManifestPublish _)
+    "k13_manifest_publish" -> (k13ManifestPublish _),
+    "k14_manifest_delta" -> (k14ManifestDelta _)
   )
 }

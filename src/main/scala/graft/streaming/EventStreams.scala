@@ -433,6 +433,40 @@ object EventStreams {
     runToTable(sampled, "append").orderBy(col("doc_id"))
   }
 
+  /** st12 — the curation pipeline under streaming: each micro-batch of
+    * arriving documents runs the SAME curateBatch transform p11 uses
+    * (sample → quality → contamination anti-join against the STATIC
+    * eval-gram table, computed once and reused across batches) and
+    * appends survivors to the sink. Contamination is a per-document
+    * decision, so batch-local evaluation is EXACT under streaming — no
+    * cross-batch state needed; only the corpus-wide dedup stage stays
+    * batch-side (it needs global state: st08's watermarked
+    * dropDuplicates is the streaming form of that stage). The oracle is
+    * the batch pipeline's own SQL minus dedup.
+    */
+  def st12StreamCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipelines
+    val sink = graft.Scratch.dir("st12_") + "/sink"
+    val evalGrams = Pipelines
+      .evalGramsOf(graft.sources.Tables(spark, dir).documents)
+      .localCheckpoint(true) // computed ONCE, reused every micro-batch
+    val schema = schemaCache.computeIfAbsent(s"$dir/documents.parquet",
+      p => spark.read.parquet(p).schema)
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Pipelines.curateBatch(batch, evalGrams)
+          .drop("text")
+          .write.mode("append").parquet(sink): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -448,6 +482,8 @@ object EventStreams {
     "st05_rocksdb_state" -> sessionizeOracle,
     "st10_transform_state" -> sessionizeOracle,
     "st11_stream_sample" -> graft.operators.TextAnalysis.t11OracleSql,
+    "st12_stream_curation" ->
+      graft.operators.Pipelines.curationOracleSql(withDedup = false),
     "st01_stream_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
@@ -510,6 +546,7 @@ object EventStreams {
     "st08_stream_dedup" -> (st08StreamDedup _),
     "st09_session_window" -> (st09SessionWindow _),
     "st10_transform_state" -> (st10TransformWithState _),
-    "st11_stream_sample" -> (st11StreamSample _)
+    "st11_stream_sample" -> (st11StreamSample _),
+    "st12_stream_curation" -> (st12StreamCuration _)
   )
 }

@@ -42,6 +42,21 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("eip55 checksum matches the four official EIP-55 test vectors") {
+    val spark = SparkSessionFixture.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vectors = Seq(
+      "5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+      "fB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+      "dbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+      "D1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb")
+    val got = vectors.map(_.toLowerCase).toDF("lower")
+      .select(graft.operators.DomainFunctions.eip55(col("lower")).as("cs"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === vectors)
+  }
+
   test("base58 bitcoin reference vectors") {
     assert(Base58.encode("Hello World!".getBytes("UTF-8")) ===
       "2NEpo7TZRRrLZSi2U")
