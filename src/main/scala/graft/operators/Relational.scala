@@ -592,6 +592,37 @@ object Relational {
         |ORDER BY o.o_orderkey, top.l_linenumber""".stripMargin)
   }
 
+  /** q36 — time-series gap fill + forward fill (the resample/LOCF pass a
+    * price/VWAP consumer runs before charting or joining against a dense
+    * grid; ClickHouse spells it WITH FILL, pandas resample().ffill()).
+    * Per user: hourly max-value buckets, a dense hour grid spanning
+    * [min(h), max(h)] generated DISTRIBUTED via sequence()+explode on the
+    * per-key span row (no driver loop, no cross join against a global
+    * calendar), left join back, then last(v, ignoreNulls) over one
+    * user-partitioned window. Every shuffle after the first operates on
+    * bucket rows (keys × hours), never raw events — at 100 TB the raw
+    * scan reduces map-side and the grid stays keys×span sized. Grid rows
+    * start at each key's first real bucket, so the fill never emits a
+    * leading null.
+    */
+  def q36GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .where(col("user_id") < 40)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(col("value")).as("v"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -633,6 +664,25 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    // q36: max() buckets (order-independent double), one window fill;
+    // generate_series is inclusive on both ends, matching sequence()
+    "q36_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, MAX(value) AS v
+        |  FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM span)
+        |SELECT g.user_id, g.h AS hour,
+        |  last_value(e.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM grid g LEFT JOIN e ON e.user_id = g.user_id AND e.h = g.h
+        |ORDER BY g.user_id, hour""".stripMargin,
     "q25_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click'
@@ -935,6 +985,7 @@ object Relational {
     "q32_unpivot" -> (q32Unpivot _),
     "q33_correlated_subquery" -> (q33CorrelatedSubquery _),
     "q34_recursive_cte" -> (q34RecursiveCte _),
-    "q35_lateral_topk" -> (q35LateralTopk _)
+    "q35_lateral_topk" -> (q35LateralTopk _),
+    "q36_gap_fill" -> (q36GapFill _)
   )
 }

@@ -337,6 +337,38 @@ object TextAnalysis {
   private[graft] val sampleThresholds: Map[String, String] =
     Map("en" -> "1f", "de" -> "3f", "es" -> "7f", "fr" -> "bf", "zh" -> "ff")
 
+  /** t13 — hashed-bag-of-words linear quality classifier (the fastText /
+    * DSIR-style model-based filter every curation pipeline runs after the
+    * heuristic passes; reference users score docs the same way before the
+    * ClickHouse sink). Each token hashes to a weight in [-1, 1] — here the
+    * weight table is DERIVED from the hash (first 4 hex chars of md5 →
+    * 0..65535 → %2001-1000) so both engines share it without shipping a
+    * model file; a trained model would broadcast its weight array into the
+    * same lambda. Score = mean token weight; sums stay integer until ONE
+    * final double division, so the oracle is exact. Row-local
+    * (split → transform → aggregate, no explode): zero shuffle, fully
+    * codegen'd, embarrassingly parallel at 100 TB — model-based filtering
+    * costs one corpus pass regardless of scale.
+    */
+  def t13QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // ws materialized as a real column BEFORE the lambda: an expression
+    // referenced inside transform() re-evaluates per element
+    val tokWeight = (w: Column) =>
+      conv(substring(md5(w), 1, 4), 16, 10).cast("long") % 2001L - 1000L
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + tokWeight(w))
+          .as("wsum"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("wsum").cast("double") / (col("n_tokens") * 1000.0))
+          .as("clf_score"))
+      .withColumn("keep", col("clf_score") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
     * hit counts as (score, lang) structs, `list_max` picking the same
     * (max score, then lexicographically-greatest lang) winner as Spark's
@@ -459,6 +491,27 @@ object TextAnalysis {
         |  FROM cnt)
         |SELECT lang, token, cnt, rnk FROM rk WHERE rnk <= 20
         |ORDER BY lang, rnk""".stripMargin,
+    // t13: the hex→int step is spelled digit-by-digit (DuckDB has no
+    // conv()); mathematically identical to Spark's conv(md5[0:4],16,10)
+    "t13_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, len(ws) AS n_tokens,
+        |    CAST(list_sum(list_transform(ws, w ->
+        |      ( (strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substring(md5(w), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(md5(w), 4, 1)) - 1)
+        |      ) % 2001 - 1000)) AS BIGINT) AS wsum
+        |  FROM tok)
+        |SELECT doc_id, n_tokens,
+        |  CAST(wsum AS DOUBLE) / (n_tokens * 1000.0) AS clf_score,
+        |  CAST(wsum AS DOUBLE) / (n_tokens * 1000.0) > 0.0 AS keep
+        |FROM sc WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     "t01_lang_id" -> t01OracleSql,
     "t06_segment_dedup" ->
       """WITH base AS (
@@ -581,6 +634,7 @@ object TextAnalysis {
     "t09_boilerplate" -> (t09Boilerplate _),
     "t10_contamination" -> (t10Contamination _),
     "t11_stratified_sample" -> (t11StratifiedSample _),
-    "t12_heavy_hitters" -> (t12HeavyHitters _)
+    "t12_heavy_hitters" -> (t12HeavyHitters _),
+    "t13_quality_classifier" -> (t13QualityClassifier _)
   )
 }

@@ -249,6 +249,27 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q36: dense hourly grid, forward fill leaves no nulls, no quadratic") {
+    val df = Relational.q36GapFill(spark, sfDir)
+    val p = plan(df)
+    // the grid comes from sequence()+explode on per-key span rows, never
+    // a cross join against a calendar table
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"gap fill grew a quadratic join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      // consecutive hours (dense grid), non-null from the first row on
+      // (grid starts at each key's first real bucket)
+      rs.map(_.getTimestamp(1).getTime).sliding(2).foreach {
+        case Array(a, b) => assert(b - a === 3600000L,
+          s"user $u grid not hourly-dense")
+        case _ =>
+      }
+      assert(rs.forall(!_.isNullAt(2)), s"user $u has unfilled rows")
+    }
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")

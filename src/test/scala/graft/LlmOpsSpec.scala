@@ -305,4 +305,30 @@ class LlmOpsSpec extends AnyFunSuite {
     val far = mh((1000L to 1100L).toArray)
     assert(mh(s1).zip(far).count { case (a, b) => a == b } <= 4)
   }
+
+  test("t13: classifier score equals an independent md5-weight recompute") {
+    // pin the hash→weight contract (first 4 md5 hex chars → %2001-1000)
+    // against java.security MessageDigest, independent of both engines
+    def weight(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex4 = d.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex4, 16) % 2001L - 1000L
+    }
+    val got = TextAnalysis
+      .t13QualityClassifier(spark, sfDir)
+      .limit(20).collect()
+    assert(got.nonEmpty)
+    val texts = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ").filter(_.nonEmpty)
+      assert(r.getInt(1) === toks.length)
+      val want = toks.map(weight).sum.toDouble / (toks.length * 1000.0)
+      assert(r.getDouble(2) === want, s"doc ${r.getLong(0)} score drift")
+      assert(r.getBoolean(3) === (want > 0.0))
+    }
+  }
 }
