@@ -175,6 +175,51 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d09 — SemDeDup (Abbas et al. 2023): semantic dedup at corpus scale
+    * by clustering embeddings FIRST, then near-dup-ing only WITHIN each
+    * cluster — the quadratic becomes K local quadratics of size ~N/K,
+    * and at 100 TB you raise K with N so the per-cluster candidate count
+    * stays bounded (the paper runs K≈100k on LAION). Reuses s03's
+    * decimal-deterministic Lloyd quantizer (bit-stable centroids at any
+    * parallelism ⇒ stable clusters ⇒ reproducible dedup decisions).
+    * Within a cluster, a vector is dropped iff an earlier (lower-id)
+    * member sits at cosine ≥ τ — the keep-first contract the spec
+    * re-verifies exhaustively. The intra-cluster join is an equi-join on
+    * cid (hash-partitionable); cross-cluster near-dups are the quantizer
+    * miss rate, which is the SemDeDup trade by design. Rows-only (the
+    * trained quantizer has no DuckDB twin); LlmOpsSpec brute-force
+    * re-checks every keep/drop decision.
+    */
+  def d09SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.trainCentroids(e,
+      e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
+      iters = 2)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.cosine_similarity(col("embedding"), col("cemb"))
+          .as("ccos"),
+        col("cid"))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions
+        .cosine_similarity(col("a.embedding"), col("b.embedding")) >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** d08 — near-dup CLUSTERS from the pair graph (the step every dedup
     * pipeline needs after candidate pairs: pairs → connected components →
     * keep one representative per component; pairwise keep-the-lower-id
@@ -352,6 +397,7 @@ object Dedup {
     "d05_dedup_embedding" -> (d05DedupEmbedding _),
     "d06_dedup_embedding_lsh" -> (d06DedupEmbeddingLsh _),
     "d07_url_dedup" -> (d07UrlDedup _),
-    "d08_dedup_clusters" -> (d08DedupClusters _)
+    "d08_dedup_clusters" -> (d08DedupClusters _),
+    "d09_semdedup" -> (d09SemDedup _)
   )
 }

@@ -94,7 +94,7 @@ object Similarity {
     * bucket) are bit-stable run to run. One assign pass + one two-level
     * agg per iteration; empty cells drop (standard k-means dropout).
     */
-  private def trainCentroids(e: DataFrame, seed: DataFrame,
+  private[operators] def trainCentroids(e: DataFrame, seed: DataFrame,
       iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     var cents = seed

@@ -306,6 +306,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mh(s1).zip(far).count { case (a, b) => a == b } <= 4)
   }
 
+  test("d09: every SemDeDup keep/drop decision verified brute-force") {
+    // the operator's contract: within a cluster, drop iff an EARLIER
+    // member sits at cosine >= tau; re-check every decision exhaustively
+    // from the raw embeddings (small N at sf0.001)
+    val out = Dedup.d09SemDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === embs.size, "output must cover every vector")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.size > 1, "quantizer collapsed to one cluster")
+    byCluster.values.foreach { members =>
+      members.sortBy(_._1).foreach { case (id, _, kept) =>
+        val hasEarlierDup = members.exists { case (o, _, _) =>
+          o < id && cos(embs(o), embs(id)) >= 0.45 + 1e-9 }
+        val noEarlierDup = !members.exists { case (o, _, _) =>
+          o < id && cos(embs(o), embs(id)) >= 0.45 - 1e-9 }
+        // epsilon band: only flag decisions that are wrong beyond float
+        // rounding of the tau comparison
+        if (hasEarlierDup) assert(!kept, s"vec $id kept despite earlier dup")
+        if (noEarlierDup) assert(kept, s"vec $id dropped with no earlier dup")
+      }
+    }
+    // the operator must actually deduplicate something at corpus scale
+    assert(out.exists(!_._3), "no drops — planted near-dups missed")
+  }
+
   test("t13: classifier score equals an independent md5-weight recompute") {
     // pin the hash→weight contract (first 4 md5 hex chars → %2001-1000)
     // against java.security MessageDigest, independent of both engines
