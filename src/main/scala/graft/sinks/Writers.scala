@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink operators k01–k02 (SURVEY.md §2): the ClickHouse writer contract
@@ -415,6 +415,67 @@ object Writers {
       .orderBy(col("event_id"))
   }
 
+  /** Morton z-value: bit-interleave two non-negative integer keys so
+    * that points close in BOTH dimensions are close in the one-dimensional
+    * sort order. Pure Column composition (shift/mask/or unrolled `bits`
+    * times) — codegen-friendly, no UDF. Keys wider than `bits` bits keep
+    * only their low bits interleaved (ordering degrades gracefully;
+    * correctness never depends on z). */
+  private[sinks] def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(
+          shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(
+          shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** k15 — z-order clustering rewrite (Delta OPTIMIZE ZORDER BY / the
+    * multi-column generalization of MergeTree's ORDER BY): rewrite a
+    * table range-partitioned and sorted by the Morton interleave of two
+    * filter columns, so a 2-D box predicate touches FEW files instead of
+    * all of them. A single sort key clusters one dimension and shreds
+    * the other; z-order gives both dimensions ~sqrt locality, which is
+    * what makes parquet footer minmax stats (and the k01 bloom filters)
+    * actually skip IO for multi-column point/box lookups at 100 TB.
+    * One range shuffle + local sort to write; the oracle proves the box
+    * query over the rewritten table is lossless vs the source; SinksSpec
+    * proves the clustering (box rows concentrate in 1-2 of 8 files while
+    * a single-key layout spreads them over ~all).
+    */
+  def k15ZorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("k15_") + "/table"
+    zorderedWrite(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+      out, "l_partkey", "l_suppkey", files = 8)
+    spark.read.parquet(out)
+      .filter(col("l_partkey").between(100, 120) &&
+        col("l_suppkey").between(10, 20))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** Both dims are first normalized to the SAME 16-bit range (from one
+    * tiny min/max stats aggregate — the same pre-pass repartitionByRange's
+    * sampler does): interleaving raw keys of unequal width degenerates to
+    * a 1-D sort on the wider key's high bits. Any monotone per-dim map
+    * preserves z-order semantics, so the truncating division is fine. */
+  private[graft] def zorderedWrite(df: DataFrame, path: String,
+      dimA: String, dimB: String, files: Int): Unit = {
+    val s = df.agg(
+      min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
+      min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c.cast("long") - lit(lo)) * lit(65535L) /
+        lit(math.max(1L, hi - lo))).cast("long")
+    df.withColumn("__z", zValue(
+        norm(col(dimA), s.getLong(0), s.getLong(1)),
+        norm(col(dimB), s.getLong(2), s.getLong(3)), 16))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -591,6 +652,12 @@ object Writers {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // k15: the rewrite must be lossless for the box the layout optimizes
+    "k15_zorder_write" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 10 AND 20
+        |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin,
     "k07_format_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
@@ -655,6 +722,7 @@ object Writers {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k15_zorder_write" -> (k15ZorderWrite _),
     "k01_parquet_sink" -> (k01ParquetSink _),
     "k02_jdbc_sink" -> (k02JdbcSink _),
     "k04_bucketed_join" -> (k04BucketedJoin _),

@@ -254,6 +254,42 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(a2 === a, "returning to the first dataset must rebuild, not reuse")
   }
 
+  test("k15 z-order concentrates a 2-D box into fewer files than 1-D sort") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val root = graft.Scratch.dir("k15spec_")
+    val li = spark.read
+      .parquet(s"${SparkSessionFixture.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    sinks.Writers.zorderedWrite(li, s"$root/z", "l_partkey", "l_suppkey",
+      files = 8)
+    // 1-D competitor: range-sorted by partkey alone, same file count
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.parquet(s"$root/flat")
+    def spread(path: String, lo: Int, hi: Int): (Long, Long) = {
+      val d = spark.read.parquet(path)
+      // project the non-deterministic input_file_name BEFORE aggregating
+      val all = d.select(input_file_name().as("f")).distinct().count()
+      val hit = d
+        .filter(col("l_partkey").between(lo, hi) &&
+          col("l_suppkey").between(1, 2))
+        .select(input_file_name().as("f")).distinct().count()
+      (hit, all)
+    }
+    // a box selective in BOTH dims: the partkey slice alone spans several
+    // 1-D files' worth of rows only when wide — use a WIDE partkey range
+    // so the 1-D layout must touch many files while z keeps both dims local
+    val (zHit, zAll) = spread(s"$root/z", 0, 1999)
+    val (fHit, fAll) = spread(s"$root/flat", 0, 1999)
+
+    assert(zAll === 8L && fAll === 8L, s"layouts wrote $zAll/$fAll files")
+    // suppkey 1..2 is ~20% of rows: the 1-D partkey sort scatters them
+    // over every file; z-order confines them to the sub-squares that
+    // minmax stats (on a z column or on both dims) can skip
+    assert(fHit === 8L, s"1-D layout unexpectedly clustered: $fHit")
+    assert(zHit <= 4L, s"z-order spread the box over $zHit of 8 files")
+  }
+
   test("k03 incremental ∘ resume equals one-shot batch") {
     import spark.implicits._
     val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
