@@ -467,6 +467,61 @@ object EventStreams {
       .orderBy(col("doc_id"))
   }
 
+  /** Idempotent per-batch committer — the standard Structured-Streaming
+    * exactly-once recipe for non-transactional sinks: foreachBatch is
+    * AT-LEAST-once (a batch replays after any failure between its
+    * delivery and the checkpoint commit), so the sink must make replays
+    * no-ops. Data lands in an overwrite-mode batch directory (a partial
+    * write from a crashed attempt is simply replaced), and a per-batchId
+    * marker file is created strictly AFTER the data — the commit point.
+    * A batchId whose marker exists is skipped entirely; readers union
+    * only committed directories. Same shape against a ClickHouse sink:
+    * the marker becomes a committed-batch-ids table row.
+    */
+  final case class IdempotentSink(root: String) {
+    private def fs(spark: SparkSession) = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def marker(id: Long) =
+      new org.apache.hadoop.fs.Path(s"$root/_commits/$id")
+
+    def writeBatch(batch: DataFrame, id: Long): Unit = {
+      val f = fs(batch.sparkSession)
+      if (!f.exists(marker(id))) {
+        batch.write.mode("overwrite").parquet(s"$root/batch_$id")
+        f.create(marker(id), true).close()
+      }
+    }
+
+    def read(spark: SparkSession): DataFrame = {
+      val f = fs(spark)
+      val ids = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/_commits"))
+        .map(_.getPath.getName.toLong).sorted
+      spark.read.parquet(ids.map(id => s"$root/batch_$id").toSeq: _*)
+    }
+  }
+
+  /** st13 — exactly-once under at-least-once delivery: every micro-batch
+    * is deliberately delivered TWICE to the sink (the replay foreachBatch
+    * produces after a mid-commit failure), and the batch oracle still
+    * matches — duplicates would double every row. Complements st03
+    * (which relies on each event living in one batch) with the machinery
+    * that survives the batch itself being re-delivered.
+    */
+  def st13IdempotentSink(spark: SparkSession, dir: String): DataFrame = {
+    val sink = IdempotentSink(graft.Scratch.dir("st13_"))
+    val q = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink.writeBatch(batch, id)
+        sink.writeBatch(batch, id) // simulated post-failure replay
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    sink.read(spark).orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -479,6 +534,11 @@ object EventStreams {
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // st13: double-delivered batches must still equal the plain batch
+    // projection — any non-idempotence doubles rows and fails the compare
+    "st13_idempotent_sink" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "st05_rocksdb_state" -> sessionizeOracle,
     "st10_transform_state" -> sessionizeOracle,
     "st11_stream_sample" -> graft.operators.TextAnalysis.t11OracleSql,
@@ -547,6 +607,7 @@ object EventStreams {
     "st09_session_window" -> (st09SessionWindow _),
     "st10_transform_state" -> (st10TransformWithState _),
     "st11_stream_sample" -> (st11StreamSample _),
-    "st12_stream_curation" -> (st12StreamCuration _)
+    "st12_stream_curation" -> (st12StreamCuration _),
+    "st13_idempotent_sink" -> (st13IdempotentSink _)
   )
 }

@@ -290,6 +290,26 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(zHit <= 4L, s"z-order spread the box over $zHit of 8 files")
   }
 
+  test("st13 idempotent sink: replays skipped, crashed partials replaced") {
+    import spark.implicits._
+    val sink = EventStreams.IdempotentSink(graft.Scratch.dir("st13spec_"))
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink.writeBatch(b0, 0L)
+    // a replay of batch 0 — even one carrying DIFFERENT data (a buggy
+    // non-deterministic upstream) — must not change the committed state
+    sink.writeBatch(Seq((9L, "x")).toDF("id", "v"), 0L)
+    assert(sink.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    // crash between data write and marker: partial batch_1 exists,
+    // uncommitted — invisible to readers, then cleanly replaced on retry
+    Seq((7L, "partial")).toDF("id", "v")
+      .write.parquet(sink.root + "/batch_1")
+    assert(sink.read(spark).count() === 2)
+    sink.writeBatch(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(sink.read(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L), "retry must replace the partial, not append")
+  }
+
   test("k03 incremental ∘ resume equals one-shot batch") {
     import spark.implicits._
     val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
