@@ -369,6 +369,72 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** One whitespace token count as a Column (t13/t14/t15 share it so the
+    * three mixture/classifier ops can't drift from each other). */
+  private def tokCount(c: Column): Column =
+    size(filter(split(lower(c), " "), w => length(w) > 0))
+
+  /** t14 — domain-mixture report: exact per-(source, lang) doc and token
+    * counts plus each cell's share of the corpus' tokens — the mixture
+    * table every training run is configured from (and the input to t15's
+    * rebalancing). Integer counts all the way; ONE double division per
+    * row against the global total, which comes from a window over the
+    * already-aggregated (sources × langs) rows — the single-partition
+    * exchange moves ~KB at any corpus size.
+    */
+  def t14DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir).documents
+      .select(col("source"), col("lang"), tokCount(col("text")).as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+          .as("token_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** t15's target token mixture; the oracle CASE is generated from this
+    * map so engine and oracle cannot drift. */
+  private[graft] val mixtureTargets: Map[String, Double] = Map(
+    "en" -> 0.40, "de" -> 0.20, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.10)
+
+  /** t15 — mixture resampling (the DoReMi/Pile-style rebalancing pass):
+    * downsample languages so retained token shares track a target mixture.
+    * Per-language keep rate r_l = (w_l/s_l) / max_k(w_k/s_k) — the most
+    * upweighted language keeps everything (rate 1), every other is
+    * down-sampled proportionally; rates derive ONLY from exact token
+    * counts + the literal target map, so both engines compute them
+    * bit-identically (double ops in one fixed order). The keep decision
+    * reuses t11's deterministic md5 fraction — RNG-free, reproducible,
+    * and a 5-row broadcast join + narrow filter at any scale.
+    */
+  def t15MixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val target = mixtureTargets.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast("double")) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        tokCount(col("text")).as("toks"))
+    val rates = toks.groupBy(col("lang"))
+      .agg(sum(col("toks")).as("lang_tokens"))
+      .select(col("lang"),
+        (target * sum(col("lang_tokens")).over(w).cast("double") /
+          col("lang_tokens").cast("double")).as("ratio"))
+      .select(col("lang"), (col("ratio") / max(col("ratio")).over(w))
+        .as("keep_rate"))
+    val hashFrac = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("double") / 65536.0
+    toks.join(broadcast(rates), Seq("lang"))
+      .filter(hashFrac < col("keep_rate"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The t01 oracle mirrors the argmax in DuckDB: per-language stopword
     * hit counts as (score, lang) structs, `list_max` picking the same
     * (max score, then lexicographically-greatest lang) winner as Spark's
@@ -446,6 +512,39 @@ object TextAnalysis {
     s"CASE lang $cases ELSE '00' END"
   }
 
+  /** t15's oracle — the CASE is generated from mixtureTargets and the
+    * md5-fraction is t13's digit-by-digit hex parse, so every constant
+    * and every double operation matches the engine's order exactly. */
+  private[graft] def t15OracleSql: String = {
+    val cases = mixtureTargets.toSeq.sortBy(_._1)
+      .map { case (l, t) => s"WHEN '$l' THEN CAST($t AS DOUBLE)" }
+      .mkString(" ")
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5(CAST(t.doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |      w -> length(w) > 0)) AS toks
+       |  FROM documents),
+       |l AS (
+       |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS lang_tokens
+       |  FROM t GROUP BY 1),
+       |r0 AS (
+       |  SELECT lang,
+       |    (CASE lang $cases END)
+       |      * CAST(SUM(lang_tokens) OVER () AS DOUBLE)
+       |      / CAST(lang_tokens AS DOUBLE) AS ratio
+       |  FROM l),
+       |r AS (SELECT lang, ratio / MAX(ratio) OVER () AS keep_rate FROM r0)
+       |SELECT t.doc_id, t.source, t.lang
+       |FROM t JOIN r ON t.lang = r.lang
+       |WHERE (${hexDigit(1)} * 4096
+       |     + ${hexDigit(2)} * 256
+       |     + ${hexDigit(3)} * 16
+       |     + ${hexDigit(4)}) / 65536.0 < r.keep_rate
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   private[graft] def t11OracleSql: String =
     s"""SELECT doc_id, lang,
        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
@@ -491,6 +590,17 @@ object TextAnalysis {
         |  FROM cnt)
         |SELECT lang, token, cnt, rnk FROM rk WHERE rnk <= 20
         |ORDER BY lang, rnk""".stripMargin,
+    "t14_domain_mix" ->
+      """WITH s AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+        |      w -> length(w) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        |    AS token_share
+        |FROM s ORDER BY source, lang""".stripMargin,
+    "t15_mixture_resample" -> t15OracleSql,
     // t13: the hex→int step is spelled digit-by-digit (DuckDB has no
     // conv()); mathematically identical to Spark's conv(md5[0:4],16,10)
     "t13_quality_classifier" ->
@@ -635,6 +745,8 @@ object TextAnalysis {
     "t10_contamination" -> (t10Contamination _),
     "t11_stratified_sample" -> (t11StratifiedSample _),
     "t12_heavy_hitters" -> (t12HeavyHitters _),
-    "t13_quality_classifier" -> (t13QualityClassifier _)
+    "t13_quality_classifier" -> (t13QualityClassifier _),
+    "t14_domain_mix" -> (t14DomainMix _),
+    "t15_mixture_resample" -> (t15MixtureResample _)
   )
 }

@@ -343,6 +343,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.exists(!_._3), "no drops — planted near-dups missed")
   }
 
+  test("t15: resample keeps the most-upweighted lang whole, trims the rest") {
+    def toks(t: String) = t.toLowerCase.split(" ").count(_.nonEmpty).toLong
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
+    val share = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = share.values.sum.toDouble
+    val targets = TextAnalysis.mixtureTargets
+    // the lang with max target/share ratio gets keep_rate 1 by contract
+    val whole = targets.keys.maxBy(l =>
+      targets(l) / (share.getOrElse(l, 0L) / total))
+    val kept = TextAnalysis.t15MixtureResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val keptIds = kept.map(_._1).toSet
+    docs.filter(_._2 == whole).foreach { case (id, _, _) =>
+      assert(keptIds.contains(id), s"rate-1 lang $whole lost doc $id") }
+    assert(kept.length < docs.length, "resampling must drop something")
+    // deterministic: the second run returns the identical id set
+    val again = TextAnalysis.t15MixtureResample(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(again === keptIds)
+  }
+
   test("t13: classifier score equals an independent md5-weight recompute") {
     // pin the hash→weight contract (first 4 md5 hex chars → %2001-1000)
     // against java.security MessageDigest, independent of both engines
