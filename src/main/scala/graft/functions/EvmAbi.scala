@@ -367,4 +367,60 @@ object EvmAbi {
     * the reference's `evm_signature_to_topic0`, erc20_transfers.py:94). */
   def signatureTopic0Hex(signature: String): String =
     parseEvent(signature).topic0Hex
+
+  /** 4-byte function selector: the first 4 bytes of keccak256 of the
+    * canonical signature — the calldata analog of topic0. */
+  def selectorHex(signature: String): String = {
+    val sig = parseEvent(signature)
+    require(sig.indexedParams.isEmpty,
+      s"function params cannot be indexed: $signature")
+    sig.topic0Hex.take(8)
+  }
+
+  /** Function-CALLDATA twin of decodeEvent: tx input = 4-byte selector ++
+    * the SAME head+tail word encoding events use for their non-indexed
+    * data section (ABI §function-selector-and-argument-encoding). Every
+    * helper — word decode, padding validity, dynamic-tail bounds — is
+    * shared with the event path; the args blob is re-based past the
+    * selector so tail offsets (ABI-relative to the args section) line up
+    * unchanged. Same allow_decode_fail contract: a wrong selector, bad
+    * length, or any type violation nulls the row's decoded columns.
+    */
+  def decodeFunction(df: DataFrame, signature: String,
+      allowDecodeFail: Boolean = true,
+      calldataCol: String = "input"): DataFrame = {
+    val sig = parseEvent(signature)
+    require(sig.indexedParams.isEmpty,
+      s"function params cannot be indexed: $signature")
+    val present = df.columns.toSet
+    val clash = sig.params.map(_.name).filter(present.contains)
+    require(clash.isEmpty, "function param name(s) " +
+      clash.mkString("'", "', '", "'") +
+      s" collide with input columns; rename the params in: $signature")
+    require(present.contains(calldataCol), s"missing $calldataCol")
+    val cd = col(calldataCol)
+    val headBytes = 32 * sig.params.size
+    val hasDynamic = sig.params.exists(p => isDynamic(p.typ))
+    val argsLen = length(cd) - 4
+    val selOk = cd.isNotNull && length(cd) >= 4 &&
+      lower(hex(substring(cd, 1, 4))) === lit(sig.topic0Hex.take(8))
+    val lenOk =
+      if (!hasDynamic) Seq(argsLen === lit(headBytes))
+      else Seq(argsLen >= lit(headBytes), pmod(argsLen, lit(32)) === 0)
+    val args = cd.substr(lit(5), greatest(argsLen, lit(0)))
+    val words = sig.params.indices.map(i => substring(args, i * 32 + 1, 32))
+    val perParam = sig.params.zip(words).map { case (p, w) =>
+      if (isDynamic(p.typ)) decodeDynamic(args, w, p.typ, headBytes)
+      else (decodeWord(w, p.typ), wordOk(w, p.typ))
+    }
+    val valid = (Seq(selOk) ++ lenOk ++ perParam.map(_._2)).reduce(_ && _)
+    val decoded = sig.params.zip(perParam).map { case (p, (c, _)) =>
+      val guarded =
+        if (allowDecodeFail)
+          when(valid, c).otherwise(lit(null).cast(sparkType(p.typ)))
+        else c
+      guarded.as(p.name)
+    }
+    df.select(col("*") +: decoded: _*)
+  }
 }

@@ -156,7 +156,43 @@ object DomainFunctions {
       .orderBy(col("doc_id"))
   }
 
+  /** f10 — function-CALLDATA decode (the tx-input twin of the event
+    * decoder; reference users decode both through the same ABI config).
+    * transfer(address,uint256) calldata synthesized at the binary level
+    * (4-byte selector ++ address word ++ amount word); every 7th row is
+    * truncated mid-word and every 11th carries a foreign selector — both
+    * must null their decoded columns under allow_decode_fail while the
+    * row itself survives (the erc20_transfers.py:131-141 contract).
+    */
+  def f10CalldataDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{u256_from_long, EvmAbi}
+    val sig = "transfer(address dst, uint256 amount)"
+    def pack(selHex: String) = concat(unhex(lit(selHex)),
+      u256_from_long(col("l_partkey")),
+      u256_from_long(floor(col("l_extendedprice") * 100).cast("long")))
+    val calldata =
+      when(pmod(col("l_orderkey"), lit(7)) === 0, substring(pack(EvmAbi.selectorHex(sig)), 1, 40))
+        .when(pmod(col("l_orderkey"), lit(11)) === 0, pack("deadbeef"))
+        .otherwise(pack(EvmAbi.selectorHex(sig)))
+    EvmAbi.decodeFunction(
+        Tables(spark, dir).lineitem.filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), calldata.as("input")),
+        sig)
+      .select(col("l_orderkey"), col("dst"),
+        col("amount").cast("string").as("amount"))
+      .orderBy(col("l_orderkey"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "f10_calldata_decode" ->
+      """SELECT l_orderkey,
+        |  CASE WHEN l_orderkey % 7 != 0 AND l_orderkey % 11 != 0
+        |    THEN printf('%040x', l_partkey) END AS dst,
+        |  CASE WHEN l_orderkey % 7 != 0 AND l_orderkey % 11 != 0
+        |    THEN CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+        |      AS VARCHAR) END AS amount
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
     "f08_s256_decode" ->
       """SELECT doc_id,
         |  CAST(CAST((doc_id - 250) * 1000000 + n_chars AS BIGINT)
@@ -202,6 +238,7 @@ object DomainFunctions {
     "f06_u256_sum" -> (f06U256Sum _),
     "f07_u256_ratio" -> (f07U256Ratio _),
     "f08_s256_decode" -> (f08S256Roundtrip _),
-    "f09_eip55_checksum" -> (f09Eip55Checksum _)
+    "f09_eip55_checksum" -> (f09Eip55Checksum _),
+    "f10_calldata_decode" -> (f10CalldataDecode _)
   )
 }

@@ -280,6 +280,36 @@ class EvmAbiSpec extends AnyFunSuite {
       "bad sign extension must fail the row")
   }
 
+  test("decodeFunction: static + dynamic calldata, selector/shape guards") {
+    val sig = "submit(address src, string note, uint256[] vals)"
+    assert(EvmAbi.selectorHex(sig) ===
+      EvmAbi.signatureTopic0Hex("submit(address,string,uint256[])").take(8))
+    val sel = unhexStr(EvmAbi.selectorHex(sig))
+    // args section (offsets ABI-relative to ITS start, not the calldata):
+    // head = [address word, off(note)=96, off(vals)=160],
+    // note tail = len 5 + "hello" padded, vals tail = len 2 + two words
+    val note = "hello".getBytes("UTF-8")
+    val good = sel ++ u256(42L) ++ u256(96L) ++ u256(160L) ++
+      u256(note.length.toLong) ++ note ++ new Array[Byte](27) ++
+      u256(2L) ++ u256(7L) ++ u256(9L)
+    val truncated = good.dropRight(32) // vals promises 2 words, has 1
+    val foreign = unhexStr("deadbeef") ++ good.drop(4)
+    val df = Seq((1L, good), (2L, truncated), (3L, foreign))
+      .toDF("id", "input")
+    val out = EvmAbi.decodeFunction(df, sig)
+      .select("id", "src", "note", "vals").orderBy("id").collect()
+    assert(out(0).getString(1) === f"${42L}%040x")
+    assert(out(0).getString(2) === "hello")
+    assert(out(0).getSeq[java.math.BigDecimal](3).map(_.longValueExact)
+      === Seq(7L, 9L))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3),
+      "truncated tail must null the whole decode")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3),
+      "foreign selector must null the whole decode")
+    intercept[IllegalArgumentException](
+      EvmAbi.selectorHex("f(uint256 indexed x)"))
+  }
+
   test("decode is a pure projection — no shuffle, no UDF in the plan") {
     val df = Seq((u256(1L), u256(2L), u256(3L)))
       .toDF("topic1", "topic2", "data")
