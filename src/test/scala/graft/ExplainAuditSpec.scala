@@ -270,6 +270,91 @@ class ExplainAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB shape: a fact-fact join where one side carries a
+    // selective predicate — Spark can build a bloom filter from the
+    // selective side and push it into the other side's SCAN, so most
+    // fact rows die before the shuffle. Thresholds floor to 0 here
+    // because test inputs are KB-sized; production sizes clear the
+    // defaults on their own.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be SMALLER than this, application side LARGER
+      // than the scan threshold — relax both for KB-sized test inputs
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // bloom injection only benefits SHUFFLE joins — at fact-fact scale
+      // the join shuffles anyway; KB test inputs would broadcast instead
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = graft.sources.Tables(spark, sfDir)
+      val sel = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      val joined = t.lineitem.join(sel,
+        col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("ANALYZE column stats flip a filtered fact join to broadcast (CBO)") {
+    // file-size stats alone size a FILTERED side at the whole file, so a
+    // selective fact-fact join stays sort-merge; with ANALYZE'd column
+    // stats + CBO, the post-filter cardinality estimate shrinks below the
+    // broadcast threshold and the planner flips the join — the
+    // stats-collection workflow (ClickHouse keeps these per part) that
+    // avoids shuffling 100 TB because one side was ALWAYS going to be tiny
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    locally {
+      val t = "g16_fact"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(wh, t)
+      if (d.exists()) d.listFiles().foreach(_.delete())
+      d.delete(): Unit
+    }
+    graft.sources.Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.saveAsTable("g16_fact")
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    // fact-fact SELF join so neither raw side can broadcast: threshold
+    // sits at a quarter of the file-stat size, far above the ~2% the
+    // filter actually keeps
+    val fileSize = spark.table("g16_fact")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    def joinPlan(): String = {
+      val f = spark.table("g16_fact")
+      f.filter(col("l_quantity") < 1.02)
+        .join(f.select(col("l_orderkey").as("rk"), col("l_extendedprice")
+          .as("rp")), col("l_orderkey") === col("rk"))
+        .queryExecution.sparkPlan.toString
+    }
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (fileSize / 4).toString)
+      val before = joinPlan()
+      assert(!before.contains("BroadcastHashJoin"),
+        s"without stats the filtered side must look file-sized:\n$before")
+      spark.sql("ANALYZE TABLE g16_fact COMPUTE STATISTICS FOR COLUMNS " +
+        "l_orderkey, l_quantity, l_extendedprice")
+      val after = joinPlan()
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats must shrink the filtered estimate to broadcast:\n$after")
+    } finally {
+      saved.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                      case (k, None)    => spark.conf.unset(k) }
+      spark.sql("DROP TABLE IF EXISTS g16_fact")
+    }
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
