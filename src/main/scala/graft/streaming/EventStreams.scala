@@ -522,6 +522,47 @@ object EventStreams {
     sink.read(spark).orderBy(col("event_id"))
   }
 
+  /** st14 — the reference's FULL production topology composed end to end
+    * from parts that are each oracled on their own: provider stream →
+    * ABI decode with allow_decode_fail (st07's projection, malformed
+    * rows nulling through) → idempotent exactly-once staging under
+    * double delivery (st13's marker-after-data committer) →
+    * manifest-atomic snapshot publish (k13's CURRENT-pointer machinery)
+    * → consumers resolve the published pointer. This entry pins the
+    * COMPOSITION: the published snapshot must equal the batch decode of
+    * the same source — any duplicate from the double delivery, any torn
+    * or unpublished file, or any decode drift breaks the oracle.
+    */
+  def st14IngestPublish(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{EvmAbi, u256_from_long}
+    val sig =
+      "Transfer(address indexed from, address indexed to, uint256 amount)"
+    val root = graft.Scratch.dir("st14_")
+    val staging = IdempotentSink(s"$root/staging")
+    val logs = eventsStream(spark, dir)
+      .select(col("event_id"),
+        unhex(lit(EvmAbi.signatureTopic0Hex(sig))).as("topic0"),
+        u256_from_long(col("user_id")).as("topic1"),
+        u256_from_long(col("user_id") + 1000).as("topic2"),
+        when(pmod(col("event_id"), lit(11)) === 0, lit(Array.emptyByteArray))
+          .otherwise(u256_from_long(floor(col("value") * 100).cast("long")))
+          .as("data"))
+    val decoded = EvmAbi.decodeEvent(logs, sig)
+      .select(col("event_id"), col("from").as("from_addr"),
+        col("to").as("to_addr"), col("amount").cast("string").as("amount"))
+    val q = decoded.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        staging.writeBatch(batch, id)
+        staging.writeBatch(batch, id) // simulated at-least-once replay
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sinks.Writers.publishVersion(spark, s"$root/table", 1,
+      staging.read(spark))
+    graft.sinks.Writers.readCurrent(spark, s"$root/table")
+      .orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -575,6 +616,18 @@ object EventStreams {
         |  COUNT(*) AS n_events
         |FROM assigned GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    // st14 composes st07's decode with st13's sink and k13's publish —
+    // same decode oracle; the composition is what's under test
+    "st14_ingest_publish" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 11 <> 0 THEN printf('%040x', user_id) END
+        |    AS from_addr,
+        |  CASE WHEN event_id % 11 <> 0 THEN printf('%040x', user_id + 1000)
+        |    END AS to_addr,
+        |  CASE WHEN event_id % 11 <> 0 THEN
+        |    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+        |  END AS amount
+        |FROM events ORDER BY event_id""".stripMargin,
     "st07_stream_decode" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 11 <> 0 THEN printf('%040x', user_id) END
@@ -608,6 +661,7 @@ object EventStreams {
     "st10_transform_state" -> (st10TransformWithState _),
     "st11_stream_sample" -> (st11StreamSample _),
     "st12_stream_curation" -> (st12StreamCuration _),
-    "st13_idempotent_sink" -> (st13IdempotentSink _)
+    "st13_idempotent_sink" -> (st13IdempotentSink _),
+    "st14_ingest_publish" -> (st14IngestPublish _)
   )
 }
