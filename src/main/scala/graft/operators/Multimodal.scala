@@ -201,7 +201,50 @@ object Multimodal {
       .orderBy(col("anchor"))
   }
 
+  /** m06 — modality coverage reconciliation (the corpus-health check a
+    * multimodal pipeline runs before training: which ids have text but
+    * no embedding, which have a vector with no caption, per source).
+    * Missing modalities are SIMULATED by key filters on each side
+    * (doc_id%5, vec_id%3) so all four presence combinations exist; the
+    * full-outer join + flag aggregation is the real machinery. One
+    * equi-join shuffle + one aggregated-rows groupBy at any scale;
+    * vec-only rows have no source and report under 'none'.
+    */
+  def m06ModalityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.documents.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), col("source"))
+    val e = t.embeddings.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+      .select(col("vec_id"))
+    d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("source"), lit("none")).as("src"),
+        col("doc_id").isNotNull.as("has_text"),
+        col("vec_id").isNotNull.as("has_vec"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_ids"),
+        sum(when(col("has_text") && col("has_vec"), 1L).otherwise(0L))
+          .as("n_aligned"),
+        sum(when(col("has_text") && !col("has_vec"), 1L).otherwise(0L))
+          .as("n_text_only"),
+        sum(when(!col("has_text") && col("has_vec"), 1L).otherwise(0L))
+          .as("n_vec_only"))
+      .orderBy(col("src"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "m06_modality_coverage" ->
+      """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0),
+        |e AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0),
+        |j AS (
+        |  SELECT COALESCE(d.source, 'none') AS src,
+        |    d.doc_id IS NOT NULL AS has_text,
+        |    e.vec_id IS NOT NULL AS has_vec
+        |  FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id)
+        |SELECT src, COUNT(*) AS n_ids,
+        |  CAST(SUM(CASE WHEN has_text AND has_vec THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+        |  CAST(SUM(CASE WHEN has_text AND NOT has_vec THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+        |  CAST(SUM(CASE WHEN NOT has_text AND has_vec THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only
+        |FROM j GROUP BY src ORDER BY src""".stripMargin,
     "m05_contrastive_pairs" ->
       """WITH a AS (
         |  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb,
@@ -282,6 +325,7 @@ object Multimodal {
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_resize" -> (m03Resize _),
     "m04_payload_dedup" -> (m04PayloadDedup _),
-    "m05_contrastive_pairs" -> (m05ContrastivePairs _)
+    "m05_contrastive_pairs" -> (m05ContrastivePairs _),
+    "m06_modality_coverage" -> (m06ModalityCoverage _)
   )
 }

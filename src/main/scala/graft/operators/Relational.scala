@@ -623,6 +623,28 @@ object Relational {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** q37 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two
+    * aggregates of lineitem keyed on a NULLABLE derived key (NULLIF of
+    * the return flag) are reconciled so the NULL group matches itself —
+    * a plain `=` join silently DROPS it, the classic reconciliation bug
+    * when a dimension key has an "unknown" bucket. Spark plans `<=>` as
+    * a HASH join key (EqualNullSafe is a valid hash key), not a nested
+    * loop, so the null-safe form costs the same one shuffle as `=` at
+    * any scale.
+    */
+  def q37NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(nullif(col("l_returnflag"), lit("N")).as("flag"),
+        col("l_quantity"), col("l_extendedprice"))
+    val sums = li.groupBy(col("flag"))
+      .agg(dsum(col("l_extendedprice")).as("total_price"))
+    val counts = li.groupBy(col("flag").as("flag2"))
+      .agg(count(lit(1)).as("n"))
+    sums.join(counts, col("flag") <=> col("flag2"))
+      .select(col("flag"), col("total_price"), col("n"))
+      .orderBy(col("flag").asc_nulls_first)
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -683,6 +705,19 @@ object Relational {
         |    AS filled_value
         |FROM grid g LEFT JOIN e ON e.user_id = g.user_id AND e.h = g.h
         |ORDER BY g.user_id, hour""".stripMargin,
+    "q37_null_safe_join" ->
+      """WITH li AS (
+        |  SELECT NULLIF(l_returnflag, 'N') AS flag, l_extendedprice
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT flag,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+        |      AS total_price
+        |  FROM li GROUP BY flag),
+        |c AS (SELECT flag AS flag2, COUNT(*) AS n FROM li GROUP BY flag)
+        |SELECT s.flag, s.total_price, c.n
+        |FROM s JOIN c ON s.flag IS NOT DISTINCT FROM c.flag2
+        |ORDER BY s.flag NULLS FIRST""".stripMargin,
     "q25_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click'
@@ -986,6 +1021,7 @@ object Relational {
     "q33_correlated_subquery" -> (q33CorrelatedSubquery _),
     "q34_recursive_cte" -> (q34RecursiveCte _),
     "q35_lateral_topk" -> (q35LateralTopk _),
-    "q36_gap_fill" -> (q36GapFill _)
+    "q36_gap_fill" -> (q36GapFill _),
+    "q37_null_safe_join" -> (q37NullSafeJoin _)
   )
 }

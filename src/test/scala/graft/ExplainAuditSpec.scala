@@ -355,6 +355,14 @@ class ExplainAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q37: <=> plans as a hash join key, never a nested loop") {
+    val p = plan(Relational.q37NullSafeJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"null-safe join must hash, got:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"null-safe join degenerated to a loop:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
