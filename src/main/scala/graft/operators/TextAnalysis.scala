@@ -512,6 +512,46 @@ object TextAnalysis {
     s"CASE lang $cases ELSE '00' END"
   }
 
+  /** t16 — language-model quality filter (the CCNet/perplexity family,
+    * completing the trio: heuristic t02, classifier t13, LM t16): a
+    * bigram model is TRAINED ON THE CORPUS ITSELF (two aggregations:
+    * bigram counts, then context counts), and each document scores the
+    * mean "surprise" of its transitions — scaled inverse conditional
+    * frequency floor(1e6·count(w1)/count(w1,w2)), kept in INTEGER floor
+    * division so both engines agree exactly (log-perplexity would differ
+    * in the last ulp between libm implementations); one double division
+    * per doc at the end. High surprise = improbable continuations =
+    * boilerplate/gibberish. Shuffles: two vocabulary-sized aggs, one
+    * gram-keyed hash join back, one doc-keyed agg — all linear,
+    * no N² anywhere.
+    */
+  def t16LmSurprise(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), w => length(w) > 0).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val g = tok.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    g.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+      .select(col("doc_id"),
+        expr("(1000000 * c1) DIV c2").as("surp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ssum").cast("double") / col("n_bigrams")).as("avg_surprise"),
+        (col("ssum").cast("double") / col("n_bigrams") >
+          lit(surpriseThreshold)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Flag threshold for t16, shared with its oracle. */
+  private[graft] val surpriseThreshold: Double = 3.0e7
+
   /** t15's oracle — the CASE is generated from mixtureTargets and the
     * md5-fraction is t13's digit-by-digit hex parse, so every constant
     * and every double operation matches the engine's order exactly. */
@@ -601,6 +641,32 @@ object TextAnalysis {
         |    AS token_share
         |FROM s ORDER BY source, lang""".stripMargin,
     "t15_mixture_resample" -> t15OracleSql,
+    // t16: `//` is DuckDB's integer floor division = Spark's DIV; the
+    // scaled ratio stays integer until the one per-doc mean division
+    "t16_lm_surprise" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '),
+         |      w -> length(w) > 0) AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM tok, unnest(range(1, len(ws))) AS t(i)
+         |  WHERE len(ws) >= 2),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM g GROUP BY 1, 2),
+         |cc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |s AS (
+         |  SELECT g.doc_id, (1000000 * cc.c1) // bc.c2 AS surp
+         |  FROM g JOIN bc USING (w1, w2) JOIN cc USING (w1)),
+         |d AS (
+         |  SELECT doc_id, CAST(SUM(surp) AS BIGINT) AS ssum,
+         |    COUNT(*) AS n_bigrams
+         |  FROM s GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  CAST(ssum AS DOUBLE) / n_bigrams AS avg_surprise,
+         |  CAST(ssum AS DOUBLE) / n_bigrams > ${surpriseThreshold}
+         |    AS flagged
+         |FROM d ORDER BY doc_id""".stripMargin,
     // t13: the hex→int step is spelled digit-by-digit (DuckDB has no
     // conv()); mathematically identical to Spark's conv(md5[0:4],16,10)
     "t13_quality_classifier" ->
@@ -747,6 +813,7 @@ object TextAnalysis {
     "t12_heavy_hitters" -> (t12HeavyHitters _),
     "t13_quality_classifier" -> (t13QualityClassifier _),
     "t14_domain_mix" -> (t14DomainMix _),
-    "t15_mixture_resample" -> (t15MixtureResample _)
+    "t15_mixture_resample" -> (t15MixtureResample _),
+    "t16_lm_surprise" -> (t16LmSurprise _)
   )
 }
