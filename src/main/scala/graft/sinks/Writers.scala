@@ -476,6 +476,63 @@ object Writers {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Metadata-only table statistics from parquet FOOTERS, computed
+    * distributed: the file list parallelizes across executors and each
+    * task reads only its files' footer bytes (KB per file), never data
+    * pages. Returns one row per file (path, rows, key min/max). This is
+    * the machinery behind 100 TB maintenance decisions — resume points,
+    * compaction planning, partition pruning audits, OPTIMIZE candidate
+    * selection (ClickHouse keeps the same numbers in system.parts) — at
+    * the cost of a listing plus one footer round trip per file. */
+  def footerStats(spark: SparkSession, table: String,
+      keyCol: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.length, 32)))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala
+          var rows = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          blocks.foreach { b =>
+            rows += b.getRowCount
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == keyCol)
+              .getOrElse(throw new IllegalArgumentException(
+                s"column $keyCol not in $f"))
+            val st = cc.getStatistics
+            mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
+            mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long])
+          }
+          (f, rows, mn, mx)
+        } finally r.close()
+      }
+      .toDF("file", "n_rows", "key_min", "key_max")
+  }
+
+  /** k16 — footer-stats profiling as a round-trip query: lineitem is
+    * rewritten as an 8-file table, then counted and min/max-bounded from
+    * footers ALONE; the oracle recomputes the same numbers by scanning
+    * the data, so agreement proves the metadata pass is faithful. */
+  def k16FooterStats(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.Scratch.dir("k16_") + "/table"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(8).write.mode("overwrite").parquet(table)
+    footerStats(spark, table, "l_orderkey")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min(col("key_min")).as("min_key"), max(col("key_max")).as("max_key"))
+  }
+
   // ---- driver-verified query entries ----
 
   /** k01 as a round-trip query: write orders MergeTree-style (partition by
@@ -652,6 +709,12 @@ object Writers {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // k16: the oracle recomputes the footer numbers by scanning the data;
+    // n_files is pinned by the query's own repartition(8)
+    "k16_footer_stats" ->
+      """SELECT 8 AS n_files, COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin,
     // k15: the rewrite must be lossless for the box the layout optimizes
     "k15_zorder_write" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
@@ -723,6 +786,7 @@ object Writers {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k15_zorder_write" -> (k15ZorderWrite _),
+    "k16_footer_stats" -> (k16FooterStats _),
     "k01_parquet_sink" -> (k01ParquetSink _),
     "k02_jdbc_sink" -> (k02JdbcSink _),
     "k04_bucketed_join" -> (k04BucketedJoin _),

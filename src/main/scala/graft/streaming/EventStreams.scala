@@ -563,6 +563,28 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  /** st15 — stream-static enrichment join: each arriving event joins a
+    * STATIC dimension (here per-user lifetime totals precomputed from the
+    * batch table — the token-decimals/pool-metadata shape) and emits its
+    * share of the user's total. The static side is planned per
+    * micro-batch as a broadcast hash join — no stream state, no
+    * watermark, the cheapest join a stream can do and the right one
+    * whenever the dim fits an executor (ChainDict, mint decimals, pool
+    * registries). The denominator aggregates through DECIMAL so the
+    * oracle is exact.
+    */
+  def st15StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val userTotals = graft.sources.Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(38, 6))).as("user_total"))
+    val enriched = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(broadcast(userTotals), Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        (col("value") / col("user_total").cast("double")).as("share"))
+    runToTable(enriched, "append").orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -616,6 +638,15 @@ object EventStreams {
         |  COUNT(*) AS n_events
         |FROM assigned GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "st15_stream_enrich" ->
+      """WITH ut AS (
+        |  SELECT user_id,
+        |    SUM(CAST(value AS DECIMAL(38,6))) AS user_total
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id,
+        |  value / CAST(user_total AS DOUBLE) AS share
+        |FROM events e JOIN ut USING (user_id)
+        |ORDER BY event_id""".stripMargin,
     // st14 composes st07's decode with st13's sink and k13's publish —
     // same decode oracle; the composition is what's under test
     "st14_ingest_publish" ->
@@ -662,6 +693,7 @@ object EventStreams {
     "st11_stream_sample" -> (st11StreamSample _),
     "st12_stream_curation" -> (st12StreamCuration _),
     "st13_idempotent_sink" -> (st13IdempotentSink _),
-    "st14_ingest_publish" -> (st14IngestPublish _)
+    "st14_ingest_publish" -> (st14IngestPublish _),
+    "st15_stream_enrich" -> (st15StreamEnrich _)
   )
 }
