@@ -519,6 +519,66 @@ object Writers {
       .toDF("file", "n_rows", "key_min", "key_max")
   }
 
+  /** Version retention for the manifest store (Iceberg expire_snapshots /
+    * Delta VACUUM): drop every version older than the newest `keep`,
+    * deleting its manifest and any data file NO retained manifest still
+    * references — appended tables share files across versions (k14's
+    * publishAppend), so reference-counting against the retained set is
+    * what keeps history-sharing safe. Order matters for crash safety:
+    * expired MANIFESTS delete first (a crash mid-vacuum then strands
+    * unreferenced data files, which a re-run removes — never a manifest
+    * pointing at deleted data). Returns the expired version numbers. */
+  def vacuumVersions(spark: SparkSession, root: String,
+      keep: Int): Seq[Int] = {
+    require(keep >= 1, "must retain at least the current version")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestRe = "manifest_v(\\d+)\\.txt".r
+    val versions = fs.listStatus(p).map(_.getPath.getName).collect {
+      case manifestRe(v) => v.toInt
+    }.sorted.toSeq
+    val (expired, retained) = versions.splitAt(math.max(0, versions.size - keep))
+    val keepFiles = retained.flatMap(v =>
+      slurpFile(spark, s"$root/manifest_v$v.txt")
+        .split("\n").filter(_.nonEmpty)).toSet
+    expired.foreach { v =>
+      val files = slurpFile(spark, s"$root/manifest_v$v.txt")
+        .split("\n").filter(_.nonEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifest_v$v.txt"),
+        false)
+      files.filterNot(keepFiles).foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    }
+    expired
+  }
+
+  /** k17 — retention as a round-trip query: v1 publishes half the
+    * events, v2 supersedes it with the full set, vacuum(keep=1) expires
+    * v1 (manifest + its unshared data files actually deleted — asserted,
+    * not assumed), and CURRENT must still read the complete v2 — the
+    * oracle fails if vacuum touched a retained file. */
+  def k17Vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k17_")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    publishVersion(spark, root, 1,
+      ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    publishVersion(spark, root, 2, ev)
+    val expired = vacuumVersions(spark, root, keep = 1)
+    require(expired == Seq(1), s"expected v1 expired, got $expired")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/manifest_v1.txt")), "expired manifest must be gone")
+    require(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName == "data_v1") ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data_v1"))
+        .forall(s => !s.getPath.getName.endsWith(".parquet")),
+      "expired unshared data files must be gone")
+    readCurrent(spark, root).orderBy(col("event_id"))
+  }
+
   /** k16 — footer-stats profiling as a round-trip query: lineitem is
     * rewritten as an 8-file table, then counted and min/max-bounded from
     * footers ALONE; the oracle recomputes the same numbers by scanning
@@ -709,6 +769,10 @@ object Writers {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // k17: CURRENT must survive retention intact
+    "k17_vacuum" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // k16: the oracle recomputes the footer numbers by scanning the data;
     // n_files is pinned by the query's own repartition(8)
     "k16_footer_stats" ->
@@ -787,6 +851,7 @@ object Writers {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k15_zorder_write" -> (k15ZorderWrite _),
     "k16_footer_stats" -> (k16FooterStats _),
+    "k17_vacuum" -> (k17Vacuum _),
     "k01_parquet_sink" -> (k01ParquetSink _),
     "k02_jdbc_sink" -> (k02JdbcSink _),
     "k04_bucketed_join" -> (k04BucketedJoin _),

@@ -310,6 +310,27 @@ class StreamingSinksSpec extends AnyFunSuite {
       === Seq(1L, 2L, 3L), "retry must replace the partial, not append")
   }
 
+  test("k17 vacuum keeps files shared with retained append manifests") {
+    import spark.implicits._
+    val root = graft.Scratch.dir("k17spec_")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    Writers.publishVersion(spark, root, 1, a)
+    Writers.publishAppend(spark, root, 2, b)  // v2 manifest REUSES v1 files
+    Writers.publishVersion(spark, root, 3, a.union(b))
+    // keep v2+v3: v1's manifest expires, but its data files are members
+    // of v2's manifest and MUST survive the reference-counted delete
+    assert(Writers.vacuumVersions(spark, root, keep = 2) === Seq(1))
+    assert(Writers.readVersion(spark, root, 2).count() === 3,
+      "v2 must still read after v1 expired (shared files retained)")
+    assert(Writers.readCurrent(spark, root).count() === 3)
+    intercept[Exception](Writers.readVersion(spark, root, 1).collect())
+    // a second vacuum down to keep=1 now really deletes the shared files
+    assert(Writers.vacuumVersions(spark, root, keep = 1) === Seq(2))
+    intercept[Exception](Writers.readVersion(spark, root, 2).collect())
+    assert(Writers.readCurrent(spark, root).count() === 3)
+  }
+
   test("k03 incremental ∘ resume equals one-shot batch") {
     import spark.implicits._
     val sink = Files.createTempDirectory("k03_spec_").toString + "/s"
