@@ -645,6 +645,31 @@ object Relational {
       .orderBy(col("flag").asc_nulls_first)
   }
 
+  /** q38 — CUBE: all 2^k subtotal combinations in ONE pass (completing
+    * the subtotal family: q19 ROLLUP = prefix hierarchy, q24 GROUPING
+    * SETS = explicit list, q38 CUBE = full lattice). Same scale contract
+    * as both: one shuffle, one partial-agg tree, each input row expanding
+    * to its 4 grouping combinations map-side — versus four scans unioned.
+    * GROUPING() distinguishes a real NULL key from a subtotal row, which
+    * COALESCE alone cannot.
+    */
+  def q38Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        // grouping() is an aggregate-list expression — it reads the
+        // grouping-set id, so it cannot move to a downstream projection
+        grouping(col("l_returnflag")).as("gf"),
+        grouping(col("l_linestatus")).as("gs"))
+      .select(
+        when(col("gf") === 1, lit("ALL"))
+          .otherwise(col("l_returnflag")).as("flag"),
+        when(col("gs") === 1, lit("ALL"))
+          .otherwise(col("l_linestatus")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+  }
+
   /** q24 — explicit GROUPING SETS (the CH rollup family beyond q19's
     * ROLLUP): per-(region, priority), per-region, and per-priority
     * subtotals in one pass — one shuffle, one partial-agg tree, versus
@@ -705,6 +730,17 @@ object Relational {
         |    AS filled_value
         |FROM grid g LEFT JOIN e ON e.user_id = g.user_id AND e.h = g.h
         |ORDER BY g.user_id, hour""".stripMargin,
+    "q38_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |    ELSE l_returnflag END AS flag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |    ELSE l_linestatus END AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "q37_null_safe_join" ->
       """WITH li AS (
         |  SELECT NULLIF(l_returnflag, 'N') AS flag, l_extendedprice
@@ -1022,6 +1058,7 @@ object Relational {
     "q34_recursive_cte" -> (q34RecursiveCte _),
     "q35_lateral_topk" -> (q35LateralTopk _),
     "q36_gap_fill" -> (q36GapFill _),
-    "q37_null_safe_join" -> (q37NullSafeJoin _)
+    "q37_null_safe_join" -> (q37NullSafeJoin _),
+    "q38_cube" -> (q38Cube _)
   )
 }

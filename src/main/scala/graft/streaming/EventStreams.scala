@@ -585,6 +585,36 @@ object EventStreams {
     runToTable(enriched, "append").orderBy(col("event_id"))
   }
 
+  /** st16 — exactly-once across RESTARTS (st13 covers replays within a
+    * run; this covers the process dying): the same foreachBatch sink
+    * query runs TWICE against one checkpointLocation. The first run
+    * drains the source and appends to the sink; the restart recovers the
+    * source offsets from the checkpoint, finds nothing new, and appends
+    * NOTHING — a sink without checkpoint discipline would re-ingest the
+    * whole directory. Oracle = the batch projection: any restart
+    * duplication doubles rows and fails it. This is the cherry provider
+    * loop's crash-restart contract (resume from committed offsets, not
+    * from scratch).
+    */
+  def st16CheckpointResume(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("st16_")
+    val sink = s"$root/sink"
+    def runOnce(): Unit = {
+      val q = eventsStream(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // initial run drains the source
+    runOnce() // restart: recovered offsets ⇒ appends nothing
+    spark.read.parquet(sink).orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -638,6 +668,10 @@ object EventStreams {
         |  COUNT(*) AS n_events
         |FROM assigned GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    // st16: a restart that re-ingested anything doubles rows and fails
+    "st16_checkpoint_resume" ->
+      """SELECT event_id, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "st15_stream_enrich" ->
       """WITH ut AS (
         |  SELECT user_id,
@@ -694,6 +728,7 @@ object EventStreams {
     "st12_stream_curation" -> (st12StreamCuration _),
     "st13_idempotent_sink" -> (st13IdempotentSink _),
     "st14_ingest_publish" -> (st14IngestPublish _),
-    "st15_stream_enrich" -> (st15StreamEnrich _)
+    "st15_stream_enrich" -> (st15StreamEnrich _),
+    "st16_checkpoint_resume" -> (st16CheckpointResume _)
   )
 }
