@@ -710,7 +710,129 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q39 — interval-overlap join, the DISTRIBUTED way: both interval sets
+    * are chunked onto a day grid (`sequence` + explode — a 2 h interval
+    * lands on 1–2 chunks), candidates meet through a plain equi-join on
+    * the chunk key, the exact overlap predicate runs as a residual filter,
+    * and each surviving pair is emitted exactly once — by the chunk that
+    * contains the later of the two starts. A naive range join is a
+    * nested-loop over n² pairs; this plan is a hash join whose candidate
+    * count is bounded by per-chunk density, the same trick the q21/q23
+    * as-of family uses against time-density blowup. Shape of the
+    * reference's join_where interval matching (swap_prices.py:189-218)
+    * when BOTH sides carry intervals rather than points.
+    */
+  def q39IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val chunk = 86400L
+    def intervals(tpe: String, mod: Int, p: String): DataFrame =
+      e.filter(col("event_type") === tpe && col("event_id") % mod === 0)
+        .select(col("event_id").as(s"${p}_id"),
+          col("ts").cast("long").as(s"${p}_s"),
+          (col("ts").cast("long") + 7200L).as(s"${p}_e"))
+    def chunked(df: DataFrame, p: String): DataFrame =
+      df.withColumn("c",
+        explode(sequence(floor(col(s"${p}_s") / chunk).cast("long"),
+          floor((col(s"${p}_e") - 1) / chunk).cast("long"))))
+    chunked(intervals("click", 13, "l"), "l")
+      .join(chunked(intervals("purchase", 11, "r"), "r"), Seq("c"))
+      // exact end-exclusive overlap, then the emit-once rule: only the
+      // chunk holding max(start) reports the pair (no post-join distinct)
+      .filter(col("l_s") < col("r_e") && col("r_s") < col("l_e") &&
+        col("c") === floor(greatest(col("l_s"), col("r_s")) / chunk)
+          .cast("long"))
+      .select(col("l_id"), col("r_id"),
+        (least(col("l_e"), col("r_e")) -
+          greatest(col("l_s"), col("r_s"))).as("overlap_s"))
+      .orderBy(col("l_id"), col("r_id"))
+  }
+
+  /** q40 — exact order statistics: percentile_cont (interpolated) and
+    * percentile_disc (realized value) per group, the CH quantileExact
+    * family. Spark's exact percentile aggregates a per-group value→count
+    * map — memory is bounded by the VALUE DOMAIN (l_quantity has ~50
+    * distinct values), not the row count, so this scales to any fact-table
+    * size; for unbounded domains the engine's approx_percentile (KLL-style
+    * mergeable sketch, cf. t05) is the scale path. Interpolation math is
+    * rounded to 6 decimals on both engines — the formula (rank = p·(n−1),
+    * linear blend) is shared, the last ulp is not guaranteed.
+    */
+  def q40ExactPercentile(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("med_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q41 — higher-order array functions in the scan projection:
+    * transform/filter/aggregate/exists over the tokenized text, all
+    * codegen'd Catalyst lambdas (NO UDF — the engine's per-element loops
+    * run inside WholeStageCodegen, the reason `functions.filter` beats a
+    * Scala closure at 100 TB). One narrow pass over documents; zero
+    * shuffle until the final presentation sort. The per-token shapes here
+    * (length stats, predicate counts, digit detection) are the row-local
+    * primitives the t-family quality filters compose.
+    */
+  def q41HigherOrderArray(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .filter(col("doc_id") < 800)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(filter(col("toks"), t => length(t) > lit(6))).as("n_long"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("sum_len"),
+        array_max(transform(col("toks"), t => length(t))).as("max_len"),
+        exists(col("toks"), t => t.rlike("^[0-9]+$")).as("has_num"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q39_interval_join" ->
+      """WITH L AS (
+        |  SELECT event_id AS l_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS l_s,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) + 7200 AS l_e
+        |  FROM events WHERE event_type = 'click' AND event_id % 13 = 0),
+        |R AS (
+        |  SELECT event_id AS r_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS r_s,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) + 7200 AS r_e
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 11 = 0)
+        |SELECT l_id, r_id,
+        |  LEAST(l_e, r_e) - GREATEST(l_s, r_s) AS overlap_s
+        |FROM L JOIN R ON l_s < r_e AND r_s < l_e
+        |ORDER BY l_id, r_id""".stripMargin,
+    "q40_exact_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  quantile_disc(l_quantity, 0.5) AS med_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q41_higher_order_array" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 800)
+        |SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  len(list_filter(toks, t -> length(t) > 6)) AS n_long,
+        |  CAST(list_sum(list_transform(toks, t -> length(t)))
+        |    AS BIGINT) AS sum_len,
+        |  CAST(list_max(list_transform(toks, t -> length(t)))
+        |    AS INTEGER) AS max_len,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) > 0
+        |    AS has_num
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q36: max() buckets (order-independent double), one window fill;
     // generate_series is inclusive on both ends, matching sequence()
     "q36_gap_fill" ->
@@ -1059,6 +1181,9 @@ object Relational {
     "q35_lateral_topk" -> (q35LateralTopk _),
     "q36_gap_fill" -> (q36GapFill _),
     "q37_null_safe_join" -> (q37NullSafeJoin _),
-    "q38_cube" -> (q38Cube _)
+    "q38_cube" -> (q38Cube _),
+    "q39_interval_join" -> (q39IntervalJoin _),
+    "q40_exact_percentile" -> (q40ExactPercentile _),
+    "q41_higher_order_array" -> (q41HigherOrderArray _)
   )
 }

@@ -363,6 +363,25 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"null-safe join degenerated to a loop:\n$p")
   }
 
+  test("q39: chunked interval join is an equi-join, never a nested loop") {
+    val p = plan(Relational.q39IntervalJoin(spark, sfDir))
+    // the day-chunk key must carry the join; the overlap predicate is a
+    // residual condition, not the join strategy
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"interval join must hash on chunk:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to an all-pairs loop:\n$p")
+  }
+
+  test("q41: higher-order lambdas stay in the scan projection — no shuffle" +
+    " before the presentation sort") {
+    val p = plan(Relational.q41HigherOrderArray(spark, sfDir))
+    assert(countOf(p, "Arguments: rangepartitioning") === 1 &&
+      !p.contains("Arguments: hashpartitioning"), // only the final sort
+      s"array pipeline added a shuffle:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)"), p)
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
