@@ -615,6 +615,95 @@ object TextAnalysis {
       |        w -> w IN ('the','a','of','and','to','is','in','it','you','that')))
       |        AS DOUBLE) / len(string_split(text,' ')) * 5.0)""".stripMargin
 
+  /** Greedy left-to-right application of ONE BPE merge (a,b)→ab to a
+    * symbol array, as a pure Catalyst `aggregate` fold — no UDF, the
+    * per-element loop stays a column expression. The (out, skip) struct
+    * accumulator implements the overlap rule: after emitting a merge the
+    * next element is consumed ("aaa" under (a,a) → [aa, a], not [aa, aa]).
+    * `get()` is 0-based and null-safe, so the lookahead at the last
+    * element is a null mismatch, never an ANSI index error.
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(
+      sequence(lit(0), size(syms) - 1),
+      struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val cur = get(syms, i)
+        val nxt = get(syms, i + 1)
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(cur === lit(a) && nxt === lit(b),
+            struct(array_append(acc.getField("out"), lit(a + b)).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(array_append(acc.getField("out"), cur).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+
+  /** BPE vocabulary induction (Sennrich et al. 2016) over a corpus, the
+    * distributed way. The corpus collapses ONCE to a (word, freq) table —
+    * everything after is proportional to the VOCABULARY, not the corpus:
+    * each round counts adjacent symbol pairs (freq-weighted, map-side
+    * combined), the driver collects exactly ONE winning row
+    * (count desc, then lexicographic — fully deterministic), and the
+    * merge is applied as the `mergePair` fold. localCheckpoint per round
+    * cuts the otherwise-nesting lambda lineage (same discipline as d08's
+    * label-propagation loop). At 100 TB the word table is ~millions of
+    * rows against billions of documents; rounds never rescan the corpus.
+    */
+  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        array_append(split(col("word"), ""), lit("</w>")).as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pairIdx = sequence(lit(1), size(col("syms")) - 1)
+      val top = vocab
+        .filter(size(col("syms")) > 1) // fully-merged words have no pairs
+        .select(col("freq"),
+          explode(transform(pairIdx,
+            i => struct(get(col("syms"), i - 1).as("a"),
+              get(col("syms"), i).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        val next = vocab
+          .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** t17 — BPE tokenizer training over the documents corpus: the first
+    * 12 learned merges with their frequency-weighted pair counts.
+    * Rows-only (iterative, not SQL-expressible); the merge sequence and
+    * the overlap rule are pinned by LlmOpsSpec on a hand-computed
+    * planted corpus.
+    */
+  def t17BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables(spark, dir).documents.select(col("text")), 12)
+
   val oracle: Map[String, String] = Map(
     "t10_contamination" -> t10OracleSql,
     "t11_stratified_sample" -> t11OracleSql,
@@ -814,6 +903,7 @@ object TextAnalysis {
     "t13_quality_classifier" -> (t13QualityClassifier _),
     "t14_domain_mix" -> (t14DomainMix _),
     "t15_mixture_resample" -> (t15MixtureResample _),
-    "t16_lm_surprise" -> (t16LmSurprise _)
+    "t16_lm_surprise" -> (t16LmSurprise _),
+    "t17_bpe_train" -> (t17BpeTrain _)
   )
 }

@@ -391,4 +391,30 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getBoolean(3) === (want > 0.0))
     }
   }
+
+  test("t17 BPE learns the hand-computed merge sequence") {
+    // hug×10, pug×5, hugs×5 with </w> markers:
+    //   round 1: (u,g)=20 wins → "ug"
+    //   round 2: (h,ug)=15 ties (ug,</w>)=15 → lexicographic "h" < "ug"
+    //   round 3: (hug,</w>)=10 wins
+    val corpus = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(5)("hugs")
+    val dir = docsDir(Seq((1L, corpus.mkString(" "))))
+    val got = TextAnalysis
+      .bpeMerges(spark.read.parquet(s"$dir/documents.parquet"), 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got === Seq(
+      (1, "u", "g", 20L), (2, "h", "ug", 15L), (3, "hug", "</w>", 10L)))
+  }
+
+  test("t17 merge fold is greedy left-to-right: overlaps don't double-merge") {
+    import spark.implicits._
+    // "aaa</w>" under (a,a): first pair merges, the middle 'a' is consumed
+    val got = Seq(Tuple1(Seq("a", "a", "a", "</w>")))
+      .toDF("syms")
+      .select(TextAnalysis.mergePair(col("syms"), "a", "a").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(got === Seq("aa", "a", "</w>"))
+  }
 }
