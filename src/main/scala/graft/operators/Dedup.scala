@@ -313,7 +313,95 @@ object Dedup {
       .orderBy(col("canonical_url"))
   }
 
+  /** d10 — exact duplicated-SUBSTRING spans (Lee et al. 2021, ExactSubstr:
+    * "Deduplicating Training Data Makes Language Models Better"): find the
+    * maximal duplicated runs inside each document, not just whole-doc
+    * near-dups. Every word position anchors a W-word window hash, so
+    * detection is ALIGNMENT-FREE (the same passage at any offset in
+    * another doc produces identical window hashes — no stride/phase
+    * problem); windows sharing a hash anywhere in the corpus mark their
+    * [pos, pos+W) span duplicated, and overlapping spans merge per doc
+    * via one gaps-and-islands window pass into maximal runs.
+    *
+    * Scale: the window-hash explode is ~words-per-doc rows of
+    * (doc_id, pos, 128-bit fp) — linear in corpus tokens, map-side
+    * combined on fp; the reference-scale alternative (a distributed
+    * suffix array) does not beat a hash equi-join until span lengths are
+    * adversarial. The spans window shuffles only duplicated positions.
+    * W=15 words ≈ the paper's 50-BPE-token threshold.
+    */
+  def d10SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 15
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"))
+      .filter(col("n_words") >= W)
+    val pos = docs.select(col("doc_id"), col("n_words"),
+      explode(transform(sequence(lit(1), col("n_words") - (W - 1)),
+        i => struct(i.as("p"),
+          md5(concat_ws(" ", slice(col("ws"), i, lit(W)))).as("fp")))).as("w"))
+      .select(col("doc_id"), col("n_words"), col("w.p").as("p"),
+        col("w.fp").as("fp"))
+    val dupFp = pos.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("fp"))
+    val spans = pos.join(dupFp, "fp")
+      .select(col("doc_id"), col("n_words"), col("p")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    // equal-width spans sorted by start: a new island begins where the
+    // gap to the previous start is >= W (previous span's end)
+    val seg = spans
+      .withColumn("newseg",
+        when(lag(col("p"), 1).over(w).isNull ||
+          col("p") >= lag(col("p"), 1).over(w) + W, 1).otherwise(0))
+      .withColumn("sid", sum(col("newseg")).over(w))
+    seg.groupBy(col("doc_id"), col("n_words"), col("sid"))
+      .agg((max(col("p")) + W - min(col("p"))).as("run_len"))
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(sum(col("run_len")).as("dup_words"),
+        count(lit(1)).as("n_runs"))
+      .select(col("doc_id"), col("n_words"), col("dup_words"), col("n_runs"),
+        round(col("dup_words").cast("double") /
+          col("n_words").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "d10_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n_words FROM d
+        |      WHERE len(ws) >= 15),
+        |pos AS (
+        |  SELECT doc_id, n_words, i AS p,
+        |    md5(array_to_string(ws[i:i+14], ' ')) AS fp
+        |  FROM n, LATERAL (SELECT unnest(generate_series(1, n_words - 14))
+        |    AS i)),
+        |dup AS (SELECT fp FROM pos GROUP BY fp HAVING COUNT(*) > 1),
+        |spans AS (
+        |  SELECT DISTINCT doc_id, n_words, p
+        |  FROM pos WHERE fp IN (SELECT fp FROM dup)),
+        |seg AS (
+        |  SELECT doc_id, n_words, p,
+        |    SUM(CASE WHEN prev IS NULL OR p >= prev + 15 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS sid
+        |  FROM (SELECT doc_id, n_words, p,
+        |          LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM spans)),
+        |runs AS (
+        |  SELECT doc_id, n_words, sid,
+        |    MAX(p) + 15 - MIN(p) AS run_len
+        |  FROM seg GROUP BY doc_id, n_words, sid)
+        |SELECT doc_id, n_words,
+        |  CAST(SUM(run_len) AS BIGINT) AS dup_words,
+        |  COUNT(*) AS n_runs,
+        |  ROUND(CAST(SUM(run_len) AS DOUBLE)
+        |    / CAST(n_words AS DOUBLE), 6) AS dup_frac
+        |FROM runs GROUP BY doc_id, n_words
+        |ORDER BY doc_id""".stripMargin,
     "d08_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
@@ -398,6 +486,7 @@ object Dedup {
     "d06_dedup_embedding_lsh" -> (d06DedupEmbeddingLsh _),
     "d07_url_dedup" -> (d07UrlDedup _),
     "d08_dedup_clusters" -> (d08DedupClusters _),
-    "d09_semdedup" -> (d09SemDedup _)
+    "d09_semdedup" -> (d09SemDedup _),
+    "d10_substring_dedup" -> (d10SubstringDedup _)
   )
 }

@@ -392,6 +392,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 finds a shared passage at DIFFERENT offsets and merges the" +
+    " overlapping windows into one maximal run") {
+    val passage = (1 to 20).map(i => f"p$i%02d").mkString(" ")
+    val docA = ((1 to 5).map(i => s"ua$i") :+ passage) ++
+      (1 to 5).map(i => s"va$i")                    // P at words 6..25 of 30
+    val docB = ((1 to 8).map(i => s"xb$i") :+ passage) ++
+      (1 to 2).map(i => s"yb$i")                    // P at words 9..28 of 30
+    val docC = (1 to 30).map(i => s"zc$i")          // no duplication
+    val dir = docsDir(Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" "))))
+    val got = Dedup.d10SubstringDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // 6 overlapping 15-word windows inside P merge to exactly P (20 words)
+    assert(got === Seq((1L, 30, 20L, 1L), (2L, 30, 20L, 1L)))
+  }
+
   test("t17 BPE learns the hand-computed merge sequence") {
     // hug×10, pug×5, hugs×5 with </w> markers:
     //   round 1: (u,g)=20 wins → "ug"
