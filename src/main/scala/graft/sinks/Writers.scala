@@ -768,7 +768,98 @@ object Writers {
       .map { case (i, id, name) => s"($i, $id, '$name')" }
       .mkString(", ")
 
+  /** Merge-on-read view: base + delta-log union, latest-wins per key,
+    * tombstones dropped LAST (a tombstone must shadow every older
+    * version of its key before being filtered). Writes stay O(changes);
+    * the read pays one key shuffle — the Hudi-MOR/Iceberg-merge-on-read
+    * contract, complementing k09's copy-on-write mergeUpsert. Periodic
+    * folding of the delta log back into base is k08's compaction. */
+  def mergeOnReadView(spark: SparkSession, base: String, deltas: String,
+      keyCols: Seq[String], versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = spark.read.parquet(base)
+      .withColumn(versionCol, lit(1L))
+      .withColumn("__deleted", lit(false))
+    val d = spark.read.parquet(deltas)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    b.unionByName(d.select(b.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__deleted"))
+      .drop("__rn", "__deleted")
+  }
+
+  /** k18 — merge-on-read round trip: base seeds every event; the delta
+    * log appends an update file (every 3rd event, value+1000, v2) and a
+    * tombstone file (every 5th event, v3) WITHOUT touching base. The
+    * view must resolve update-then-delete to deleted (5∧3 multiples) and
+    * update-only to the new value; the oracle recomputes the end state
+    * from the source. */
+  def k18MergeOnRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k18_")
+    val (base, deltas) = (s"$root/base", s"$root/deltas")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    ev.write.parquet(base)
+    ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("version", lit(2L))
+      .withColumn("__deleted", lit(false))
+      .write.mode("append").parquet(deltas)
+    ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("version", lit(3L))
+      .withColumn("__deleted", lit(true))
+      .write.mode("append").parquet(deltas)
+    mergeOnReadView(spark, base, deltas, Seq("event_id"), "version")
+      .orderBy(col("event_id"))
+  }
+
+  /** k19 — footer-stats FILE skipping: the k16 metadata pass drives the
+    * read plan. lineitem is range-partitioned on the key into 8 files
+    * with disjoint min/max ranges; a key-range query consults the footer
+    * stats, reads ONLY the intersecting files (asserted: strictly fewer
+    * than the table's), and still matches the full-scan oracle. This is
+    * MergeTree parts pruning / Iceberg min-max manifest skipping — at
+    * 100 TB the scan cost is decided by this metadata step, not by the
+    * row-group pruning inside tasks. */
+  def k19StatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.Scratch.dir("k19_") + "/table"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(table)
+    val (lo, hi) = (1000L, 5000L)
+    val stats = footerStats(spark, table, "l_orderkey").collect()
+    val hit = stats
+      .filter(r => r.getLong(2) <= hi && r.getLong(3) >= lo)
+      .map(_.getString(0))
+    require(hit.nonEmpty && hit.length < stats.length,
+      s"file skipping must prune: read ${hit.length} of ${stats.length}")
+    spark.read.parquet(hit.toIndexedSeq: _*)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types
+          .DecimalType(38, 4))).cast("double").as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "k18_merge_on_read" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END
+        |    AS value,
+        |  CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS version
+        |FROM events WHERE event_id % 5 <> 0
+        |ORDER BY event_id""".stripMargin,
+    "k19_stats_skipping" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     // k17: CURRENT must survive retention intact
     "k17_vacuum" ->
       """SELECT event_id, user_id, event_type, value
@@ -863,6 +954,8 @@ object Writers {
     "k11_schema_evolution" -> (k11SchemaEvolution _),
     "k12_partition_overwrite" -> (k12PartitionOverwrite _),
     "k13_manifest_publish" -> (k13ManifestPublish _),
-    "k14_manifest_delta" -> (k14ManifestDelta _)
+    "k14_manifest_delta" -> (k14ManifestDelta _),
+    "k18_merge_on_read" -> (k18MergeOnRead _),
+    "k19_stats_skipping" -> (k19StatsSkipping _)
   )
 }
