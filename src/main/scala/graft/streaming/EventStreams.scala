@@ -615,6 +615,45 @@ object EventStreams {
     spark.read.parquet(sink).orderBy(col("event_id"))
   }
 
+  /** st17 — streaming CDC apply: the change feed (update rows for every
+    * 3rd event, delete tombstones for every 5th) arrives AS A STREAM,
+    * each micro-batch appends to the k18 delta log (O(changes) per
+    * trigger — no table rewrite inside the hot loop), and the final
+    * state resolves through the SAME mergeOnReadView k18 uses. Batch
+    * and stream implement one contract and share one oracle: the
+    * update-then-delete (15-multiples) and update-only paths must land
+    * identically however the source splits into micro-batches, because
+    * resolution is by version, not arrival order.
+    */
+  def st17StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("st17_")
+    val (base, deltas) = (s"$root/base", s"$root/deltas")
+    graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.parquet(base)
+    val s = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val upd = s.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("version", lit(2L))
+      .withColumn("__deleted", lit(false))
+    val del = s.filter(pmod(col("event_id"), lit(5)) === 0)
+      .withColumn("version", lit(3L))
+      .withColumn("__deleted", lit(true))
+    val q = upd.unionByName(del).writeStream
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(deltas): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sinks.Writers
+      .mergeOnReadView(spark, base, deltas, Seq("event_id"), "version")
+      .orderBy(col("event_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -632,6 +671,15 @@ object EventStreams {
     "st13_idempotent_sink" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // st17: the streaming CDC apply must land exactly where k18's batch
+    // merge-on-read lands — same contract, same oracle
+    "st17_stream_upsert" ->
+      """SELECT event_id, user_id, event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END
+        |    AS value,
+        |  CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS version
+        |FROM events WHERE event_id % 5 <> 0
+        |ORDER BY event_id""".stripMargin,
     "st05_rocksdb_state" -> sessionizeOracle,
     "st10_transform_state" -> sessionizeOracle,
     "st11_stream_sample" -> graft.operators.TextAnalysis.t11OracleSql,
@@ -729,6 +777,7 @@ object EventStreams {
     "st13_idempotent_sink" -> (st13IdempotentSink _),
     "st14_ingest_publish" -> (st14IngestPublish _),
     "st15_stream_enrich" -> (st15StreamEnrich _),
-    "st16_checkpoint_resume" -> (st16CheckpointResume _)
+    "st16_checkpoint_resume" -> (st16CheckpointResume _),
+    "st17_stream_upsert" -> (st17StreamUpsert _)
   )
 }
