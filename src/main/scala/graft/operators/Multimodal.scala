@@ -231,6 +231,87 @@ object Multimodal {
       .orderBy(col("src"))
   }
 
+  /** 64-bit average-hash (aHash) of a payload: the byte stream folds onto
+    * a 64-bucket grid (the stub analog of an 8×8 grayscale thumbnail);
+    * bit j set iff bucket j's mean exceeds the global mean. Small local
+    * edits move few bucket means, so near-identical payloads land at
+    * small hamming distance — a real image pipeline computes the same
+    * hash from decoded pixels; everything downstream is codec-agnostic.
+    * Exposed for the spec. */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * 64 / n).toInt
+      val v = bytes(i) & 0xff
+      sums(b) += v; cnts(b) += 1; total += v
+      i += 1
+    }
+    val gm = total.toDouble / n
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnts(j) > 0 && sums(j).toDouble / cnts(j) > gm) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  final case class MediaHash(doc_id: Long, ahash: Long)
+
+  /** m07 — perceptual-hash near-dup over media payloads: decode-stage
+    * aHash (typed mapPartitions, the decoder batch shape m01 uses) →
+    * d03's 4×16-bit band pigeonhole (hamming ≤ 3 ⇒ at least one band
+    * identical) → bucket equi-join on ids+hash only → exact hamming
+    * verify. The image twin of SimHash text dedup: candidates stay
+    * ~linear because only same-band-bucket payloads ever meet — never an
+    * all-pairs distance pass.
+    *
+    * Re-encoded copies are SIMULATED (the m06 pattern — the corpus's
+    * text near-dups are word-INSERTIONS, which shift every downstream
+    * byte; image re-encodes perturb intensities in place, which is what
+    * a positional grid hash is robust to): every 25th payload also emits
+    * a low-amplitude-noise variant under doc_id+1000000, and the hash
+    * must pair each variant with its original. Distinct corpus payloads
+    * sit at hamming ≥ 12 here, so ≤ 3 admits no false pairs. Rows-only
+    * (no SQL twin); the spec plants near-identical and unrelated
+    * payloads.
+    */
+  def m07PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = mediaTable(spark, dir)
+      .mapPartitions(_.flatMap { r =>
+        val orig = MediaHash(r.doc_id, aHash64(r.payload))
+        if (r.doc_id % 25 == 0) {
+          // low-amplitude noise on ~3% of bytes: the re-encode stand-in,
+          // calibrated to land variants at hamming 0–3 (measured ≤ 3
+          // across the corpus, so the pigeonhole bound catches them all)
+          val noisy = r.payload.clone()
+          var i = 0
+          while (i < noisy.length) { noisy(i) = (noisy(i) ^ 8).toByte; i += 31 }
+          Iterator(orig, MediaHash(r.doc_id + 1000000L, aHash64(noisy)))
+        } else Iterator(orig)
+      })(org.apache.spark.sql.Encoders.product[MediaHash])
+      .toDF()
+    val bands = hashed.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 to 3).map(b =>
+        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
   val oracle: Map[String, String] = Map(
     "m06_modality_coverage" ->
       """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0),
@@ -326,6 +407,7 @@ object Multimodal {
     "m03_resize" -> (m03Resize _),
     "m04_payload_dedup" -> (m04PayloadDedup _),
     "m05_contrastive_pairs" -> (m05ContrastivePairs _),
-    "m06_modality_coverage" -> (m06ModalityCoverage _)
+    "m06_modality_coverage" -> (m06ModalityCoverage _),
+    "m07_phash_dedup" -> (m07PhashDedup _)
   )
 }

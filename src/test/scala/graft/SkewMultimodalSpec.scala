@@ -64,6 +64,38 @@ class SkewMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m07 aHash: identical payloads collide, small edits stay near," +
+    " different content lands far") {
+    val base = Array.tabulate[Byte](512)(i => ((i * 37 + 11) % 251).toByte)
+    val near = base.clone()
+    near(500) = (near(500) ^ 0x7f).toByte // one-byte edit near the tail
+    val far = Array.tabulate[Byte](512)(i => ((i * i + 97) % 241).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(Multimodal.aHash64(base) === Multimodal.aHash64(base.clone()))
+    assert(ham(Multimodal.aHash64(base), Multimodal.aHash64(near)) <= 3,
+      "a local edit must flip at most a few grid bits")
+    assert(ham(Multimodal.aHash64(base), Multimodal.aHash64(far)) > 10,
+      "unrelated content must land far apart")
+  }
+
+  test("m07 band join surfaces planted near-dup payloads, skips unrelated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-m07").toString
+    val passage = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val rows = Seq(
+      (1L, passage, "en", "s", passage.length.toLong),
+      // near-dup: the last word changes — a local byte-level edit
+      (2L, passage.dropRight(6) + "tokXXX", "en", "s", passage.length.toLong),
+      (3L, (1 to 200).map(i => s"zz${i * 7}q").mkString(" "), "en", "s", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.m07PhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated payload falsely paired: ${pairs.toSeq}")
+  }
+
   test("m03 resize stub: ceil stride spans the payload, dims scale") {
     val r = Multimodal.MediaRow(0L, Array.tabulate[Byte](127)(_.toByte),
       width = 320, height = 240, format = "png")
