@@ -300,7 +300,122 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s06 — hybrid retrieval: BM25-family lexical scoring fused with
+    * embedding cosine by reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009) — the retrieval stack a training-data curation pipeline runs
+    * for targeted corpus mining. Lexical side: per-doc tf against a
+    * 3-term query, corpus stats (N, Σdl, per-term df) from ONE aggregate
+    * broadcast back over the scan; idf is the RATIONAL BM25 form
+    * (N−df+½)/(df+½) — no transcendental, so every double is
+    * IEEE-identical on both engines and the DuckDB oracle can rank
+    * byte-exactly. Vector side: one probe embedding broadcast against
+    * the corpus (s01's shape). Each branch keeps only its top-50
+    * (rank-candidate lists, the standard RRF input — never a
+    * full-corpus fusion), then a full-outer join sums 1/(60+rank).
+    * The global row_number is over candidate lists, not the corpus; at
+    * scale each branch's top-k comes from per-partition heaps first.
+    */
+  def s06HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val terms = Seq("dup", "vector", "stream")
+    val ws = filter(split(lower(col("text")), " "), w => length(w) > 0)
+    val docs = t.documents
+      .select(col("doc_id") +: ws.as("ws") +: Nil: _*)
+      .select(col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
+        terms.map(tm => size(filter(col("ws"), w => w === lit(tm)))
+          .cast("double").as(s"tf_$tm")): _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1.0).otherwise(0.0))
+          .as(s"df_$tm"))
+    val stats = docs.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    def part(tm: String) = {
+      val tf = col(s"tf_$tm")
+      val idf = (col("n_docs") - col(s"df_$tm") + lit(0.5)) /
+        (col(s"df_$tm") + lit(0.5))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }
+    val lex = docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (part(terms(0)) + part(terms(1)) + part(terms(2))).as("bm25"))
+    val lexTop = lex
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
+      .filter(col("lex_rank") <= 50)
+    val qv = t.embeddings.filter(col("vec_id") === 7)
+      .select(col("embedding").as("qe"))
+    val vecTop = t.embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        cosine_similarity(col("embedding"), col("qe")).as("cos"))
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).as("vec_rank"))
+      .filter(col("vec_rank") <= 50)
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = Map(
+    "s06_hybrid_search" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(ws, w -> w = 'dup')) AS DOUBLE) AS tf_dup,
+        |    CAST(len(list_filter(ws, w -> w = 'vector')) AS DOUBLE)
+        |      AS tf_vector,
+        |    CAST(len(list_filter(ws, w -> w = 'stream')) AS DOUBLE)
+        |      AS tf_stream
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+        |    SUM(CASE WHEN tf_dup > 0 THEN 1.0 ELSE 0.0 END) AS df_dup,
+        |    SUM(CASE WHEN tf_vector > 0 THEN 1.0 ELSE 0.0 END) AS df_vector,
+        |    SUM(CASE WHEN tf_stream > 0 THEN 1.0 ELSE 0.0 END) AS df_stream
+        |  FROM f),
+        |lex AS (
+        |  SELECT doc_id,
+        |    ((n_docs - df_dup + 0.5) / (df_dup + 0.5)) * (tf_dup * 2.2)
+        |      / (tf_dup + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+        |    + ((n_docs - df_vector + 0.5) / (df_vector + 0.5))
+        |      * (tf_vector * 2.2)
+        |      / (tf_vector + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+        |    + ((n_docs - df_stream + 0.5) / (df_stream + 0.5))
+        |      * (tf_stream * 2.2)
+        |      / (tf_stream + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+        |      AS bm25
+        |  FROM f, s),
+        |lt AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM lex QUALIFY lex_rank <= 50),
+        |c AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings e,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 7) q),
+        |vt AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+        |  FROM c QUALIFY vec_rank <= 50)
+        |SELECT COALESCE(lt.doc_id, vt.doc_id) AS doc_id,
+        |  lex_rank, vec_rank,
+        |  COALESCE(1.0 / (60.0 + lex_rank), 0.0)
+        |    + COALESCE(1.0 / (60.0 + vec_rank), 0.0) AS rrf
+        |FROM lt FULL OUTER JOIN vt ON lt.doc_id = vt.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "s01_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |  q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
@@ -321,6 +436,7 @@ object Similarity {
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_quantized" -> (s04AnnQuantized _),
-    "s05_ann_pq" -> (s05AnnPq _)
+    "s05_ann_pq" -> (s05AnnPq _),
+    "s06_hybrid_search" -> (s06HybridSearch _)
   )
 }
