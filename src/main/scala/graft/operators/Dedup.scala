@@ -367,7 +367,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d11 — INCREMENTAL dedup of a new crawl batch against the historical
+    * corpus, Bloom-guarded: a membership filter built from history's
+    * content hashes (one distributed aggregate; `DataFrameStatFunctions
+    * .bloomFilter`) is broadcast and probes every new row BEFORE any
+    * join — rows the bloom rejects are definitively fresh and never
+    * shuffle; only bloom hits (true dups + ~1% false positives) meet
+    * history in the exact semi-join. At 100 TB history dwarfs each batch,
+    * so this turns per-batch dedup cost from |history|-shaped into
+    * |batch-dups|-shaped (per-partition blooms shard the bits when one
+    * filter outgrows the driver). Re-crawled copies are SIMULATED (the
+    * corpus has no cross-split exact dups): every 10th historical doc
+    * reappears under doc_id+1000000. The probe is a typed filter — a
+    * Bloom probe is imperative by nature (Spark's own might_contain is
+    * not a public function); everything around it stays declarative.
+    * In-query asserts pin the pruning (candidates ≪ batch) and the
+    * no-false-negative contract.
+    */
+  def d11BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val hist = docs.filter(col("doc_id") < 350)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val newb = docs.filter(col("doc_id") >= 350)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < 350 && pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val bloom = hist.stat.bloomFilter("h", 1000000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val cand = newb.filter((r: org.apache.spark.sql.Row) =>
+      bc.value.mightContainString(r.getString(1)))
+    val (nBatch, nCand) = (newb.count(), cand.count())
+    require(nCand < nBatch / 2,
+      s"bloom must prune the batch before the join: $nCand of $nBatch")
+    val dupIds = cand.join(hist.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id").as("dup_id"))
+    newb.join(dupIds, col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"), col("dup_id").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // d11: re-crawled copies (ids shifted by 1e6) are exactly the dups;
+    // the bloom+verify machinery must reproduce that end state with no
+    // false negatives (a bloom never misses) and no surviving FPs
+    "d11_bloom_dedup" ->
+      """WITH newb AS (
+        |  SELECT doc_id FROM documents WHERE doc_id >= 350
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents
+        |  WHERE doc_id < 350 AND doc_id % 10 = 0)
+        |SELECT doc_id, doc_id >= 1000000 AS is_dup
+        |FROM newb ORDER BY doc_id""".stripMargin,
     "d10_substring_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -487,6 +539,7 @@ object Dedup {
     "d07_url_dedup" -> (d07UrlDedup _),
     "d08_dedup_clusters" -> (d08DedupClusters _),
     "d09_semdedup" -> (d09SemDedup _),
-    "d10_substring_dedup" -> (d10SubstringDedup _)
+    "d10_substring_dedup" -> (d10SubstringDedup _),
+    "d11_bloom_dedup" -> (d11BloomDedup _)
   )
 }
