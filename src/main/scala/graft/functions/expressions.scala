@@ -472,6 +472,123 @@ case class LeFromLong(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+// ---- Solana compact-u16 (ShortVec) codec ----
+// Solana messages length-prefix their account/instruction/signature vectors
+// with a compact-u16: 7-bit groups, least-significant first, high bit =
+// continuation, at most 3 bytes, value ≤ 0xffff, minimal encoding (a zero
+// final continuation byte is rejected). The decode side complements the
+// fixed-offset Borsh readers above for the variable-length message layer.
+
+object ShortVecImpl {
+  /** Decode at 0-based `off`. Returns -1 on malformed/truncated/
+    * non-canonical input, else (widthBytes << 32) | value. */
+  def decode(b: Array[Byte], off: Int): Long = {
+    if (off < 0 || off >= b.length) return -1L
+    var v = 0
+    var i = off
+    var shift = 0
+    while (i < b.length && shift <= 14) {
+      val x = b(i) & 0xff
+      val grp = x & 0x7f
+      if (shift == 14 && grp > 3) return -1L // beyond 0xffff
+      if ((x & 0x80) == 0) {
+        if (grp == 0 && i != off) return -1L // non-minimal encoding
+        v |= grp << shift
+        return ((i - off + 1).toLong << 32) | (v & 0xffffL)
+      }
+      v |= grp << shift
+      shift += 7
+      i += 1
+    }
+    -1L // truncated (continuation bit into EOF) or over-long
+  }
+
+  /** Encode a value in [0, 0xffff]; null (for the expression layer) when
+    * out of range. */
+  def encode(n: Long): Array[Byte] = {
+    if (n < 0 || n > 0xffff) return null
+    var v = n.toInt
+    val out = new Array[Byte](3)
+    var i = 0
+    var cont = true
+    while (cont) {
+      var x = v & 0x7f
+      v >>>= 7
+      if (v != 0) x |= 0x80 else cont = false
+      out(i) = x.toByte
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, i)
+  }
+}
+
+/** shortvec_value(binary) → long: compact-u16 value at fixed offset. */
+case class ShortvecValue(child: Expression, offset: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shortvec_value"
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ShortVecImpl.decode(input.asInstanceOf[Array[Byte]], offset)
+    if (r < 0) null else java.lang.Long.valueOf(r & 0xffffffffL)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sv")
+      s"""
+         |long $r = graft.functions.ShortVecImpl.decode($c, $offset);
+         |if ($r < 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r & 0xffffffffL; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ShortvecValue =
+    copy(child = newChild)
+}
+
+/** shortvec_width(binary) → int: bytes the compact-u16 prefix occupies. */
+case class ShortvecWidth(child: Expression, offset: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shortvec_width"
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ShortVecImpl.decode(input.asInstanceOf[Array[Byte]], offset)
+    if (r < 0) null else java.lang.Integer.valueOf((r >>> 32).toInt)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sw")
+      s"""
+         |long $r = graft.functions.ShortVecImpl.decode($c, $offset);
+         |if ($r < 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (int) ($r >>> 32); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ShortvecWidth =
+    copy(child = newChild)
+}
+
+/** shortvec_from_long(long) → 1–3-byte compact-u16 binary (encode side). */
+case class ShortvecFromLong(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "shortvec_from_long"
+  override protected def nullSafeEval(input: Any): Any =
+    ShortVecImpl.encode(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ShortVecImpl.encode($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): ShortvecFromLong =
+    copy(child = newChild)
+}
+
 // ---- u256 arithmetic beyond SUM (Decimal256 mul/div family) ----
 // The reference's price math multiplies/divides Decimal(38,9) values
 // (swap_prices.py:203-217) and ClickHouse stores the amounts as

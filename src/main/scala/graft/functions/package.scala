@@ -32,7 +32,12 @@ package object functions {
       (es => LeLong(es(0), litInt(es(1), "offset"), litInt(es(2), "width"))),
     "le_decimal" ->
       (es => LeDecimal(es(0), litInt(es(1), "offset"), litInt(es(2), "width"))),
-    "le_from_long" -> (es => LeFromLong(es(0), litInt(es(1), "width"))))
+    "le_from_long" -> (es => LeFromLong(es(0), litInt(es(1), "width"))),
+    "shortvec_value" ->
+      (es => ShortvecValue(es(0), litInt(es(1), "offset"))),
+    "shortvec_width" ->
+      (es => ShortvecWidth(es(0), litInt(es(1), "offset"))),
+    "shortvec_from_long" -> (es => ShortvecFromLong(es(0))))
 
   /** Static int parameters (offsets/widths/scales) must be literals in
     * SQL text — they shape the expression itself. Any integral literal
@@ -67,6 +72,9 @@ package object functions {
   def le_long(c: Column, off: Int, w: Int): Column = u(c)(LeLong(_, off, w))
   def le_decimal(c: Column, off: Int, w: Int): Column = u(c)(LeDecimal(_, off, w))
   def le_from_long(c: Column, w: Int): Column = u(c)(LeFromLong(_, w))
+  def shortvec_value(c: Column, off: Int): Column = u(c)(ShortvecValue(_, off))
+  def shortvec_width(c: Column, off: Int): Column = u(c)(ShortvecWidth(_, off))
+  def shortvec_from_long(c: Column): Column = u(c)(ShortvecFromLong)
   def minhashes(c: Column, k: Int): Column = u(c)(MinHashes(_, k))
   def lsh_sign_bits(c: Column, planes: Int): Column = u(c)(LshSignBits(_, planes))
   def cosine_similarity(a: Column, b: Column): Column =

@@ -183,7 +183,49 @@ object DomainFunctions {
       .orderBy(col("l_orderkey"))
   }
 
+  /** f11 — Solana compact-u16 (ShortVec) codec: the variable-length
+    * prefix on every message-level vector (accounts, instructions,
+    * signatures), which the fixed-offset Borsh readers cannot express.
+    * Each event synthesizes `shortvec(len) ++ le64(event_id)`; the
+    * decode recovers the length, the PREFIX WIDTH (1–3 bytes), and the
+    * field BEHIND the variable-width prefix (dynamic offset via
+    * substr(width+1)). Every 17th row carries a truncated prefix
+    * (a dangling continuation byte) and must null out, not throw —
+    * allow_decode_fail at the message layer. The oracle recomputes
+    * everything arithmetically: agreement proves encode∘decode is the
+    * identity across the 1-, 2- and 3-byte prefix regimes.
+    */
+  def f11Shortvec(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{le_long, shortvec_from_long, shortvec_value, shortvec_width}
+    val n = pmod(col("event_id") * 131, lit(20000))
+    val payload = when(pmod(col("event_id"), lit(17)) === 0,
+        lit(Array[Byte](0x80.toByte))) // truncated: continuation into EOF
+      .otherwise(concat(shortvec_from_long(n),
+        graft.functions.le_from_long(col("event_id"), 8)))
+    val w = shortvec_width(col("p"), 0)
+    Tables(spark, dir).events
+      .select(col("event_id"), payload.as("p"))
+      .select(col("event_id"),
+        shortvec_value(col("p"), 0).as("len"),
+        w.as("pfx_w"),
+        le_long(col("p").substr(w + lit(1), lit(8)), 0, 8).as("tail_id"))
+      .orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // f11: decode of the synthesized payload must recover the arithmetic
+    // the encode side started from, across all three prefix widths
+    "f11_shortvec" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |       ELSE (event_id * 131) % 20000 END AS len,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |       WHEN (event_id * 131) % 20000 < 128 THEN 1
+        |       WHEN (event_id * 131) % 20000 < 16384 THEN 2
+        |       ELSE 3 END AS pfx_w,
+        |  CASE WHEN event_id % 17 = 0 THEN NULL
+        |       ELSE event_id END AS tail_id
+        |FROM events ORDER BY event_id""".stripMargin,
     "f10_calldata_decode" ->
       """SELECT l_orderkey,
         |  CASE WHEN l_orderkey % 7 != 0 AND l_orderkey % 11 != 0
@@ -239,6 +281,7 @@ object DomainFunctions {
     "f07_u256_ratio" -> (f07U256Ratio _),
     "f08_s256_decode" -> (f08S256Roundtrip _),
     "f09_eip55_checksum" -> (f09Eip55Checksum _),
-    "f10_calldata_decode" -> (f10CalldataDecode _)
+    "f10_calldata_decode" -> (f10CalldataDecode _),
+    "f11_shortvec" -> (f11Shortvec _)
   )
 }

@@ -239,4 +239,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(U256ArithImpl.ratioDecimal(w(BigInteger.ONE),
       w(BigInteger.ZERO), 9) === null)
   }
+
+  test("shortvec compact-u16: known vectors, round trip, malformed rejects") {
+    import graft.functions.ShortVecImpl
+    def enc(n: Long): Seq[Int] = ShortVecImpl.encode(n).map(_ & 0xff).toSeq
+    // the documented compact-u16 vectors
+    assert(enc(0) === Seq(0x00))
+    assert(enc(5) === Seq(0x05))
+    assert(enc(127) === Seq(0x7f))
+    assert(enc(128) === Seq(0x80, 0x01))
+    assert(enc(255) === Seq(0xff, 0x01))
+    assert(enc(16384) === Seq(0x80, 0x80, 0x01))
+    assert(enc(65535) === Seq(0xff, 0xff, 0x03))
+    assert(ShortVecImpl.encode(65536L) === null)
+    assert(ShortVecImpl.encode(-1L) === null)
+    // decode = (width << 32) | value; round trip every boundary + offset
+    def dec(bs: Int*) = ShortVecImpl.decode(bs.map(_.toByte).toArray, 0)
+    for (n <- Seq(0L, 1L, 127L, 128L, 255L, 16383L, 16384L, 65535L)) {
+      val b = ShortVecImpl.encode(n)
+      val r = ShortVecImpl.decode(Array[Byte](0x7e) ++ b, 1)
+      assert((r & 0xffffffffL) === n && (r >>> 32).toInt === b.length)
+    }
+    assert(dec(0x80) === -1L, "dangling continuation must reject")
+    assert(dec(0x80, 0x80) === -1L)
+    assert(dec(0x80, 0x00) === -1L, "non-minimal encoding must reject")
+    assert(dec(0xff, 0xff, 0x04) === -1L, "beyond 0xffff must reject")
+    assert(ShortVecImpl.decode(Array.emptyByteArray, 0) === -1L)
+  }
 }
