@@ -352,7 +352,65 @@ object Pipelines {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))$tail""".stripMargin
   }
 
+  /** p12 — chunked range BACKFILL with crash-and-rerun idempotence: the
+    * operational loop behind every reference reprocessing run
+    * (scripts/main.py [from,to) dispatch at scale). The key range splits
+    * into fixed chunks; each chunk writes its output then its _DONE
+    * marker (marker-after-data — st13's discipline at the pipeline
+    * layer), so a marker is proof the chunk completed. The query then
+    * SIMULATES a crash — chunk 4000's marker vanishes and its directory
+    * is left with torn partial output — and re-runs the backfill: the
+    * resume must re-process EXACTLY that chunk (asserted), overwrite
+    * replacing the torn files, and the assembled table must equal the
+    * one-shot batch oracle. Chunks are driver-paced like the reference's
+    * batch loop, but each chunk's work is one distributed job; at 100 TB
+    * the chunk size is the memory/retry granularity knob.
+    */
+  def p12Backfill(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("p12_")
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("value"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val chunk = 2000L
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(lo: Long) =
+      new org.apache.hadoop.fs.Path(s"$root/chunk_$lo/_DONE")
+    def runBackfill(): Long = {
+      var processed = 0L
+      var lo = 0L
+      while (lo <= maxId) {
+        if (!fs.exists(marker(lo))) {
+          ev.filter(col("event_id") >= lo && col("event_id") < lo + chunk)
+            .withColumn("chunk", lit(lo))
+            .write.mode("overwrite").parquet(s"$root/chunk_$lo/data")
+          fs.create(marker(lo), true).close()
+          processed += 1
+        }
+        lo += chunk
+      }
+      processed
+    }
+    runBackfill()
+    // crash simulation: the marker vanishes, torn partial output remains
+    fs.delete(marker(4000L), false)
+    ev.filter(col("event_id") >= 4000L && col("event_id") < 4500L)
+      .withColumn("chunk", lit(4000L))
+      .write.mode("overwrite").parquet(s"$root/chunk_4000/data")
+    val reprocessed = runBackfill()
+    require(reprocessed == 1,
+      s"resume must re-run exactly the crashed chunk, ran $reprocessed")
+    spark.read.parquet(s"$root/chunk_*/data").orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // p12: the assembled backfill must equal the one-shot batch transform
+    // — a lost chunk, surviving torn files, or a double-processed chunk
+    // all break row counts or values
+    "p12_backfill" ->
+      """SELECT event_id, user_id, value,
+        |  (event_id // 2000) * 2000 AS chunk
+        |FROM events ORDER BY event_id""".stripMargin,
     "p11_curation_pipeline" -> curationOracleSql(withDedup = true),
     "p10_sql_pipeline" ->
       """SELECT l.l_orderkey, l.l_linenumber,
@@ -452,6 +510,7 @@ object Pipelines {
     "p06_event_decode" -> (p06EventDecode _),
     "p09_dynamic_decode" -> (p09DynamicDecode _),
     "p10_sql_pipeline" -> (p10SqlPipeline _),
-    "p11_curation_pipeline" -> (p11CurationPipeline _)
+    "p11_curation_pipeline" -> (p11CurationPipeline _),
+    "p12_backfill" -> (p12Backfill _)
   )
 }
