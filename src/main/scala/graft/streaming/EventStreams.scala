@@ -654,6 +654,77 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  /** st18 — the WATERMARK contract under genuinely LATE data, append
+    * mode (st01 watermarks but nothing arrives late; here lateness is
+    * staged). Three arrival waves, each its own micro-batch via
+    * maxFilesPerTrigger=1 and forced file mtimes: the old on-time bulk,
+    * the frontier (its watermark finalizes and EVICTS the old windows at
+    * batch end), then old stragglers (every 10th old event) arriving
+    * after their windows were finalized. Spark-4.1's measured contract,
+    * which the oracle mirrors exactly: a late row is dropped iff its
+    * window was already evicted (window end ≤ the watermark that drove
+    * the last eviction, here max(old on-time ts) − 30 min); a late row
+    * whose window is still open merges into state; and the emitted table
+    * is exactly the windows the FINAL watermark (max ts − 30 min)
+    * passed. Drops are additionally asserted from the engine's own
+    * StreamingQueryProgress.numRowsDroppedByWatermark counter — this
+    * query fails if nothing was actually late. (Update-mode aggregation
+    * does NOT filter late input while state exists — append is the mode
+    * that enforces lateness, so it's the one this operator uses.)
+    */
+  def st18LateData(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("st18_")
+    val src = s"$root/src"
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cut = lit("2024-01-25") // the staged "now" between bulk and frontier
+    val isOld = col("ts") < cut
+    val isLate = isOld && pmod(col("event_id"), lit(10)) === 0
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three arrival waves, each its own micro-batch: the old on-time
+    // bulk, the frontier (advances the watermark and finalizes the old
+    // windows), then the stragglers — which now face finalized windows.
+    // File order = modification time; force distinct ordered stamps per
+    // write so the staging is deterministic, not a write-latency race.
+    def stage(df: DataFrame, stamp: Long): Unit = {
+      val before = if (fs.exists(p)) fs.listStatus(p)
+        .map(_.getPath.getName).toSet else Set.empty[String]
+      df.coalesce(1).write.mode("append").parquet(src)
+      fs.listStatus(p)
+        .filter(f => f.getPath.getName.endsWith(".parquet") &&
+          !before(f.getPath.getName))
+        .foreach(f => fs.setTimes(f.getPath, stamp, -1))
+    }
+    stage(ev.filter(isOld && pmod(col("event_id"), lit(10)) =!= 0), 1000000L)
+    stage(ev.filter(!isOld), 2000000L)
+    stage(ev.filter(isLate), 3000000L)
+    val s = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val agg = s.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_v"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, streamPartitions)
+    try {
+      val name = s"graft_stream_${memId.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      require(dropped > 0,
+        "the stragglers must actually be dropped by the watermark, " +
+          s"got numRowsDroppedByWatermark=$dropped")
+      spark.table(name).orderBy(col("window_start"), col("event_type"))
+    } finally spark.conf.set(key, prev)
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -671,6 +742,28 @@ object EventStreams {
     "st13_idempotent_sink" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // st18: a straggler counts iff its window outlived the frontier
+    // batch's eviction (end > wm1); emitted windows are those the final
+    // watermark passed (end ≤ wm2) — the engine's measured late-data
+    // contract, recomputed relationally
+    "st18_late_data" ->
+      """WITH wm1 AS (
+        |  SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-25' AND event_id % 10 <> 0),
+        |wm2 AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),
+        |keep AS (
+        |  SELECT * FROM events
+        |  WHERE NOT (ts < TIMESTAMP '2024-01-25' AND event_id % 10 = 0)
+        |     OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |        > (SELECT w FROM wm1))
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM keep
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |      <= (SELECT w FROM wm2)
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     // st17: the streaming CDC apply must land exactly where k18's batch
     // merge-on-read lands — same contract, same oracle
     "st17_stream_upsert" ->
@@ -778,6 +871,7 @@ object EventStreams {
     "st14_ingest_publish" -> (st14IngestPublish _),
     "st15_stream_enrich" -> (st15StreamEnrich _),
     "st16_checkpoint_resume" -> (st16CheckpointResume _),
-    "st17_stream_upsert" -> (st17StreamUpsert _)
+    "st17_stream_upsert" -> (st17StreamUpsert _),
+    "st18_late_data" -> (st18LateData _)
   )
 }
