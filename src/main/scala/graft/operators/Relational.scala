@@ -794,7 +794,46 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** q42 — aggregate FILTER clauses: the ClickHouse sumIf/countIf/avgIf
+    * idiom (the single most common CH reporting shape) as one pass over
+    * the fact table — every conditional aggregate shares ONE scan, ONE
+    * shuffle and ONE partial-agg tree, versus the N self-joined
+    * subqueries the naive translation writes. Same dsum exactness
+    * contract; avgIf is composed count+sum with a single final division
+    * so both engines do identical IEEE work.
+    */
+  def q42FilteredAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val ret = col("l_returnflag") === "R"
+    val bigQty = col("l_quantity") >= 25.0
+    val sumRet = sum(when(ret, col("l_extendedprice"))
+      .cast(DecimalType(38, 4)))
+    li.groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(when(ret, lit(1))).as("n_returned"),
+        count(when(bigQty, lit(1))).as("n_big"),
+        dsum(when(ret, col("l_extendedprice")).otherwise(lit(0.0)))
+          .as("sum_ret_price"),
+        (sumRet.cast("double") / count(when(ret, lit(1))))
+          .as("avg_ret_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q42_filtered_agg" ->
+      """SELECT l_linestatus,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25.0) AS n_big,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+        |    ELSE 0.0 END AS DECIMAL(38,4))) AS DOUBLE) AS sum_ret_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
+        |      FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+        |    / (COUNT(*) FILTER (WHERE l_returnflag = 'R'))
+        |    AS avg_ret_price
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "q39_interval_join" ->
       """WITH L AS (
         |  SELECT event_id AS l_id,
@@ -1184,6 +1223,7 @@ object Relational {
     "q38_cube" -> (q38Cube _),
     "q39_interval_join" -> (q39IntervalJoin _),
     "q40_exact_percentile" -> (q40ExactPercentile _),
-    "q41_higher_order_array" -> (q41HigherOrderArray _)
+    "q41_higher_order_array" -> (q41HigherOrderArray _),
+    "q42_filtered_agg" -> (q42FilteredAgg _)
   )
 }

@@ -266,6 +266,16 @@ object Writers {
     */
   def publishVersion(spark: SparkSession, root: String, version: Int,
       df: DataFrame): Unit = {
+    stageVersion(spark, root, version, df)
+    publishPointer(spark, root, version)
+  }
+
+  /** Stage a version fully — data + manifest — WITHOUT moving CURRENT.
+    * Staged versions are invisible to readers (the pointer is the
+    * publish), which is what makes an audit step between stage and
+    * publish (k20) safe. */
+  def stageVersion(spark: SparkSession, root: String, version: Int,
+      df: DataFrame): Unit = {
     val dataDir = s"$root/data_v$version"
     df.write.mode("overwrite").parquet(dataDir)
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -277,13 +287,20 @@ object Writers {
       val out = fs.create(p, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
     }
-    // manifest first (unreferenced until CURRENT moves), then the pointer
-    // swap: write-to-temp + rename so no reader ever sees a partial file
+    // manifest is unreferenced until CURRENT moves
     put(new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
       files.mkString("\n"))
+  }
+
+  /** Move CURRENT to an already-staged version: write-to-temp + rename so
+    * no reader ever sees a partial pointer file. */
+  def publishPointer(spark: SparkSession, root: String, version: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$root/CURRENT")
-    put(tmp, version.toString)
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(cur, false)
     if (!fs.rename(tmp, cur))
       throw new java.io.IOException(s"publish: CURRENT swap failed for v$version")
@@ -846,7 +863,44 @@ object Writers {
         max(col("l_orderkey")).as("max_key"))
   }
 
+  /** k20 — WRITE-AUDIT-PUBLISH on the manifest store: a candidate
+    * version stages fully (data + manifest) WITHOUT moving CURRENT, an
+    * audit runs against the staged files, and only a passing audit
+    * publishes the pointer. The failing path is exercised for real: a
+    * corrupted batch (nulled event_type rows) stages, fails its audit,
+    * CURRENT stays on the good version — asserted — and the bad staged
+    * version remains for debugging (k17's vacuum is its GC). Readers
+    * can never observe audit-failing data because the pointer move IS
+    * the publish (k13's atomicity). Oracle = the good version.
+    */
+  def k20Wap(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k20_")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    def audit(df: DataFrame): Boolean =
+      df.filter(col("event_type").isNull || col("value").isNull).isEmpty
+    def stageAudit(v: Int, df: DataFrame): Boolean = {
+      stageVersion(spark, root, v, df)
+      val ok = audit(spark.read.parquet(s"$root/data_v$v"))
+      if (ok) publishPointer(spark, root, v)
+      ok
+    }
+    require(stageAudit(1, ev), "clean batch must pass its audit")
+    val corrupted = ev.withColumn("event_type",
+      when(pmod(col("event_id"), lit(100)) === 0, lit(null: String))
+        .otherwise(col("event_type")))
+    require(!stageAudit(2, corrupted), "corrupted batch must fail audit")
+    val cur = readCurrent(spark, root)
+    require(cur.filter(col("event_type").isNull).isEmpty,
+      "CURRENT must still serve the audited version")
+    cur.orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "k20_wap" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "k18_merge_on_read" ->
       """SELECT event_id, user_id, event_type,
         |  CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END
@@ -956,6 +1010,7 @@ object Writers {
     "k13_manifest_publish" -> (k13ManifestPublish _),
     "k14_manifest_delta" -> (k14ManifestDelta _),
     "k18_merge_on_read" -> (k18MergeOnRead _),
-    "k19_stats_skipping" -> (k19StatsSkipping _)
+    "k19_stats_skipping" -> (k19StatsSkipping _),
+    "k20_wap" -> (k20Wap _)
   )
 }

@@ -382,6 +382,24 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id)"), p)
   }
 
+  test("nested-struct projection prunes to the accessed leaf at the scan") {
+    import org.apache.spark.sql.functions.{lit, struct}
+    // a nested meta struct like the multimodal schema; reading one leaf
+    // must not deserialize the whole struct (schema pruning is on by
+    // default — this pins it, because losing it at 100 TB means reading
+    // every leaf column of every struct in the table)
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    spark.range(100)
+      .select(col("id"),
+        struct(col("id").as("w"), (col("id") * 2).as("h"),
+          lit("png").as("fmt"), lit("x" * 100).as("blob")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val p = plan(spark.read.parquet(dir).select(col("id"), col("meta.w")))
+    assert(p.contains("ReadSchema: struct<id:bigint,meta:struct<w:bigint>>"),
+      s"nested pruning lost — scan reads the whole struct:\n$p")
+    assert(!p.contains("blob"), s"unaccessed leaf survived into the scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
