@@ -820,7 +820,33 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** q43 — several COUNT(DISTINCT …) over DIFFERENT columns in one
+    * aggregation: Catalyst plans this as ONE scan + an Expand (each input
+    * row fans out per distinct-aggregate grouping) + one shared
+    * shuffle-and-dedup tree — versus the N separate scans+joins of the
+    * naive translation. The plan shape is audited; at 100 TB the Expand
+    * multiplies rows map-side but each copy carries only its grouping's
+    * columns, and t05's HLL sketches remain the approximate path when
+    * exact distincts aren't required.
+    */
+  def q43MultiCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    e.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q43_multi_count_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q42_filtered_agg" ->
       """SELECT l_linestatus,
         |  COUNT(*) AS n_all,
@@ -1224,6 +1250,7 @@ object Relational {
     "q39_interval_join" -> (q39IntervalJoin _),
     "q40_exact_percentile" -> (q40ExactPercentile _),
     "q41_higher_order_array" -> (q41HigherOrderArray _),
-    "q42_filtered_agg" -> (q42FilteredAgg _)
+    "q42_filtered_agg" -> (q42FilteredAgg _),
+    "q43_multi_count_distinct" -> (q43MultiCountDistinct _)
   )
 }

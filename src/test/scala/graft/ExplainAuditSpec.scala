@@ -382,6 +382,13 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id)"), p)
   }
 
+  test("q43: multi-distinct plans as one scan + Expand, not N scans") {
+    val p = plan(Relational.q43MultiCountDistinct(spark, sfDir))
+    assert(p.contains("Expand"), s"multi-distinct lost the Expand plan:\n$p")
+    assert(countOf(p, "Location: InMemoryFileIndex") === 1,
+      s"multi-distinct re-scanned the fact table:\n$p")
+  }
+
   test("nested-struct projection prunes to the accessed leaf at the scan") {
     import org.apache.spark.sql.functions.{lit, struct}
     // a nested meta struct like the multimodal schema; reading one leaf

@@ -265,5 +265,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dec(0x80, 0x00) === -1L, "non-minimal encoding must reject")
     assert(dec(0xff, 0xff, 0x04) === -1L, "beyond 0xffff must reject")
     assert(ShortVecImpl.decode(Array.emptyByteArray, 0) === -1L)
+    // the domain is tiny — prove encode∘decode is the identity over ALL
+    // 65536 values, not a sample
+    var n = 0L
+    while (n <= 0xffffL) {
+      val b = ShortVecImpl.encode(n)
+      val r = ShortVecImpl.decode(b, 0)
+      assert((r & 0xffffffffL) === n && (r >>> 32).toInt === b.length,
+        s"round trip broke at $n")
+      n += 1
+    }
   }
 }

@@ -433,4 +433,34 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(got === Seq("aa", "a", "</w>"))
   }
+
+  test("t17 Catalyst merge fold equals the reference greedy merge on" +
+    " randomized symbol arrays") {
+    import spark.implicits._
+    // the trusted reference: plain greedy left-to-right single-pair merge
+    def refMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(20260813L)
+    val alphabet = Seq("a", "b", "ab", "ba", "</w>")
+    val cases = (1 to 60).map { _ =>
+      Seq.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.size)))
+    }
+    val pairs = Seq(("a", "b"), ("a", "a"), ("ab", "ba"), ("b", "</w>"))
+    for ((a, b) <- pairs) {
+      val got = cases.map(Tuple1(_)).toDF("syms")
+        .select(TextAnalysis.mergePair(col("syms"), a, b).as("m"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      val want = cases.map(refMerge(_, a, b))
+      assert(got.toSeq === want,
+        s"fold diverged from reference for merge ($a,$b)")
+    }
+  }
 }
