@@ -408,6 +408,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** (doc_id, band, bucket, mh) banding rows — the d02 construction,
+    * shared with d12's persisted index. */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        minhashes(Shingles.hashes(col("ws"), col("text"), 3), 16).as("mh"))
+    sigs.select(col("doc_id"), col("mh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Minhash-estimated jaccard between two stored 16-hash signatures —
+    * what an index lookup verifies with, since the index keeps sigs, not
+    * the corpus text. */
+  private def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), eq => eq))
+      .cast("double") / 16.0
+
+  /** d12 — the near-dup INDEX, persisted and reused across crawl
+    * batches (d11's Bloom is the exact-dup analog): history's minhash
+    * band rows are computed ONCE and saved; each incremental batch
+    * minhashes only ITSELF, broadcasts its (band, bucket) rows against
+    * the index scan — history is never re-hashed and never shuffles —
+    * and verifies candidates with signature-estimated jaccard from the
+    * STORED sigs (the corpus text never re-enters the query). The
+    * in-query self-oracle recomputes the same pairs from scratch with
+    * no index and requires exact agreement, so the amortized path
+    * provably loses nothing. At 100 TB this turns per-batch near-dedup
+    * from corpus-shaped (re-minhash everything) into batch-shaped.
+    */
+  def d12IncrementalLshIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("d12_")
+    val docs = Tables(spark, dir).documents
+    val hist = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // one-time index build (amortized across every future batch)
+    bandRows(hist).write.mode("overwrite").parquet(s"$root/index")
+    val index = spark.read.parquet(s"$root/index")
+    val batchBands = bandRows(batch)
+    def pairsOf(histBands: DataFrame, bb: DataFrame): DataFrame =
+      histBands.as("h")
+        .join(broadcast(bb.as("n")),
+          col("h.band") === col("n.band") &&
+            col("h.bucket") === col("n.bucket"))
+        .select(col("h.doc_id").as("hist_id"), col("n.doc_id").as("new_id"),
+          round(estJaccard(col("h.mh"), col("n.mh")), 6).as("ej"))
+        // band-duplicate pairs carry identical sig estimates — a keyed
+        // max is the deterministic dedup (and dodges a Catalyst
+        // internal error that dropDuplicates+filter trips inside
+        // exceptAll here)
+        .groupBy(col("hist_id"), col("new_id"))
+        .agg(max(col("ej")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+    val viaIndex = pairsOf(index, batchBands)
+    // self-oracle: the from-scratch path (re-minhash history, no index)
+    // must produce the identical pair set
+    val scratch = pairsOf(bandRows(hist), batchBands)
+    require(viaIndex.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(viaIndex).isEmpty,
+      "index path diverged from the from-scratch path")
+    viaIndex.orderBy(col("hist_id"), col("new_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     // d11: re-crawled copies (ids shifted by 1e6) are exactly the dups;
     // the bloom+verify machinery must reproduce that end state with no
@@ -540,6 +605,7 @@ object Dedup {
     "d08_dedup_clusters" -> (d08DedupClusters _),
     "d09_semdedup" -> (d09SemDedup _),
     "d10_substring_dedup" -> (d10SubstringDedup _),
-    "d11_bloom_dedup" -> (d11BloomDedup _)
+    "d11_bloom_dedup" -> (d11BloomDedup _),
+    "d12_incremental_lsh_index" -> (d12IncrementalLshIndex _)
   )
 }

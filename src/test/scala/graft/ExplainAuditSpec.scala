@@ -389,6 +389,15 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"multi-distinct re-scanned the fact table:\n$p")
   }
 
+  test("d12: index-path candidate join broadcasts the batch — history" +
+    " never shuffles") {
+    val p = plan(Dedup.d12IncrementalLshIndex(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch bands must broadcast against the index scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"history side shuffled — the index amortization is lost:\n$p")
+  }
+
   test("nested-struct projection prunes to the accessed leaf at the scan") {
     import org.apache.spark.sql.functions.{lit, struct}
     // a nested meta struct like the multimodal schema; reading one leaf
