@@ -371,7 +371,10 @@ object Pipelines {
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("value"))
     val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-    val chunk = 2000L
+    // chunk size scales with the key range so the chunk COUNT (the
+    // driver-paced job count) stays ~constant at any SF — at a real
+    // deployment this is the retry-granularity knob, not a row count
+    val chunk = math.max(2000L, maxId / 6)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def marker(lo: Long) =
@@ -393,10 +396,11 @@ object Pipelines {
     }
     runBackfill()
     // crash simulation: the marker vanishes, torn partial output remains
-    fs.delete(marker(4000L), false)
-    ev.filter(col("event_id") >= 4000L && col("event_id") < 4500L)
-      .withColumn("chunk", lit(4000L))
-      .write.mode("overwrite").parquet(s"$root/chunk_4000/data")
+    val cs = (4000L / chunk) * chunk // the chunk containing key 4000
+    fs.delete(marker(cs), false)
+    ev.filter(col("event_id") >= cs && col("event_id") < cs + chunk / 4)
+      .withColumn("chunk", lit(cs))
+      .write.mode("overwrite").parquet(s"$root/chunk_$cs/data")
     val reprocessed = runBackfill()
     require(reprocessed == 1,
       s"resume must re-run exactly the crashed chunk, ran $reprocessed")
@@ -408,8 +412,10 @@ object Pipelines {
     // — a lost chunk, surviving torn files, or a double-processed chunk
     // all break row counts or values
     "p12_backfill" ->
-      """SELECT event_id, user_id, value,
-        |  (event_id // 2000) * 2000 AS chunk
+      """WITH c AS (
+        |  SELECT GREATEST(2000, MAX(event_id) // 6) AS w FROM events)
+        |SELECT event_id, user_id, value,
+        |  (event_id // (SELECT w FROM c)) * (SELECT w FROM c) AS chunk
         |FROM events ORDER BY event_id""".stripMargin,
     "p11_curation_pipeline" -> curationOracleSql(withDedup = true),
     "p10_sql_pipeline" ->
