@@ -474,16 +474,21 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
-    // d11: re-crawled copies (ids shifted by 1e6) are exactly the dups;
-    // the bloom+verify machinery must reproduce that end state with no
-    // false negatives (a bloom never misses) and no surviving FPs
+    // d11: the genuine semi-join twin — a batch row is a dup iff its
+    // content hash appears in history (simulated re-crawls AND any
+    // organic cross-split dup the corpus carries; sf0.1 has one). The
+    // bloom+verify machinery must land exactly here: no false negatives
+    // (a bloom never misses), no surviving false positives.
     "d11_bloom_dedup" ->
-      """WITH newb AS (
-        |  SELECT doc_id FROM documents WHERE doc_id >= 350
+      """WITH hist AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id < 350),
+        |newb AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id >= 350
         |  UNION ALL
-        |  SELECT doc_id + 1000000 FROM documents
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
         |  WHERE doc_id < 350 AND doc_id % 10 = 0)
-        |SELECT doc_id, doc_id >= 1000000 AS is_dup
+        |SELECT doc_id, h IN (SELECT h FROM hist) AS is_dup
         |FROM newb ORDER BY doc_id""".stripMargin,
     "d10_substring_dedup" ->
       """WITH d AS (

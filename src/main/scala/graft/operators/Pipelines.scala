@@ -396,7 +396,7 @@ object Pipelines {
     }
     runBackfill()
     // crash simulation: the marker vanishes, torn partial output remains
-    val cs = (4000L / chunk) * chunk // the chunk containing key 4000
+    val cs = (maxId / 2 / chunk) * chunk // crash the midpoint chunk
     fs.delete(marker(cs), false)
     ev.filter(col("event_id") >= cs && col("event_id") < cs + chunk / 4)
       .withColumn("chunk", lit(cs))
