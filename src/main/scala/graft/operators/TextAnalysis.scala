@@ -704,6 +704,50 @@ object TextAnalysis {
   def t17BpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables(spark, dir).documents.select(col("text")), 12)
 
+  /** t18 — BPE ENCODE with the t17-trained merges (the apply half of the
+    * tokenizer loop; together they are train→tokenize, the op every
+    * corpus pays before training). The merge list collects driver-side
+    * (it IS driver-sized: one row per merge); encoding then runs over the
+    * DISTINCT-WORD table only — merges applied in rank order as composed
+    * `mergePair` folds, so the expensive per-word work is vocabulary-
+    * sized — and per-doc token counts come from one word join + groupBy.
+    * Rows-only; the hug/pug spec pins hand-computed token counts.
+    */
+  def t18BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables(spark, dir).documents, 12)
+
+  private[graft] def bpeEncode(docs: DataFrame, nMerges: Int): DataFrame = {
+    val merges = bpeMerges(docs.select(col("text")), nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wordOf = explode(filter(split(lower(col("text")), " "),
+      w => length(w) > 0))
+    var enc = docs.select(wordOf.as("word")).distinct()
+      .select(col("word"),
+        array_append(split(col("word"), ""), lit("</w>")).as("syms"))
+      .localCheckpoint(true)
+    // one materialized step per merge — nesting the folds instead makes
+    // Catalyst re-substitute the child expression ~4× per level, an
+    // exponential expression tree (observed as a driver OOM at 12
+    // merges); per-step checkpoints keep each plan one fold deep, and
+    // the table being checkpointed is vocabulary-sized
+    merges.foreach { case (a, b) =>
+      val next = enc
+        .select(col("word"), mergePair(col("syms"), a, b).as("syms"))
+        .localCheckpoint(true)
+      enc.unpersist()
+      enc = next
+    }
+    val encoded = enc.select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(col("doc_id"), wordOf.as("word"))
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("tokens_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "t10_contamination" -> t10OracleSql,
     "t11_stratified_sample" -> t11OracleSql,
@@ -904,6 +948,7 @@ object TextAnalysis {
     "t14_domain_mix" -> (t14DomainMix _),
     "t15_mixture_resample" -> (t15MixtureResample _),
     "t16_lm_surprise" -> (t16LmSurprise _),
-    "t17_bpe_train" -> (t17BpeTrain _)
+    "t17_bpe_train" -> (t17BpeTrain _),
+    "t18_bpe_encode" -> (t18BpeEncode _)
   )
 }

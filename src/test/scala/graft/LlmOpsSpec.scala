@@ -434,6 +434,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Seq("aa", "a", "</w>"))
   }
 
+  test("t18 encode with trained merges yields hand-computed token counts") {
+    // after the 3 hand-verified merges: hug→[hug</w>]=1, pug→[p,ug,</w>]=3,
+    // hugs→[hug,s,</w>]=3 ⇒ 10·1 + 5·3 + 5·3 = 40 subwords over 20 words
+    val corpus = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(5)("hugs")
+    val dir = docsDir(Seq((1L, corpus.mkString(" "))))
+    val got = TextAnalysis
+      .bpeEncode(spark.read.parquet(s"$dir/documents.parquet"), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Seq((1L, 20L, 40L, 2.0)))
+  }
+
   test("t17 Catalyst merge fold equals the reference greedy merge on" +
     " randomized symbol arrays") {
     import spark.implicits._
