@@ -363,7 +363,55 @@ object Similarity {
       .limit(20)
   }
 
+  /** s07 — FILTERED vector search (the "give me neighbors among docs
+    * with label ∈ {2,7}" workload): the metadata predicate PRE-filters
+    * the corpus — pushed into the parquet scan (audited), so distance
+    * work and the broadcast join touch only qualifying vectors — and
+    * top-k is guaranteed k-deep within the filtered set. The
+    * post-filter alternative (ANN shortlist, then filter) returns
+    * under-full results whenever the filter is selective; pre-filter is
+    * the correct default until the filter is so loose an index wins.
+    * Same query/k contract as s01.
+    */
+  def s07AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = e.filter(col("label").isin(2, 7))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("label"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(q)
+      .join(corpus, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("label"),
+        cosine_similarity(col("qe"), col("ne")).as("cos"))
+      .select(col("qid"), col("nid"), col("label"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("label"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "s07_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, label, emb AS ne FROM e
+        |      WHERE label IN (2, 7)),
+        |scored AS (
+        |  SELECT qid, nid, label,
+        |    list_cosine_similarity(qe, ne) AS cos
+        |  FROM q CROSS JOIN c WHERE qid <> nid),
+        |ranked AS (
+        |  SELECT qid, nid, label, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, label, rnk, round(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "s06_hybrid_search" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -437,6 +485,7 @@ object Similarity {
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_quantized" -> (s04AnnQuantized _),
     "s05_ann_pq" -> (s05AnnPq _),
-    "s06_hybrid_search" -> (s06HybridSearch _)
+    "s06_hybrid_search" -> (s06HybridSearch _),
+    "s07_ann_filtered" -> (s07AnnFiltered _)
   )
 }

@@ -897,7 +897,42 @@ object Writers {
     cur.orderBy(col("event_id"))
   }
 
+  /** k21 — the CACHING surface (the reference's repeated-read staging
+    * tables, in-memory): a filtered projection is cached once
+    * (MEMORY_AND_DISK — spills instead of evicting under pressure) and
+    * two different aggregations consume it; the second is asserted
+    * in-query to read InMemoryTableScan, not parquet. The result
+    * localCheckpoints before unpersist so the handed-back frame doesn't
+    * silently fall back to a re-scan. At cluster scale this is
+    * per-executor block storage — the explicit form of what the k04
+    * bucketed tables do on disk.
+    */
+  def k21CachedTable(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") >= 10.0)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.count() // materialize the cache
+      val byFlag = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types
+            .DecimalType(38, 4))).cast("double").as("sum_qty"))
+      require(byFlag.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"),
+        "second consumer must read the cache, not parquet")
+      byFlag.orderBy(col("l_returnflag")).localCheckpoint(true)
+    } finally base.unpersist()
+  }
+
   val oracle: Map[String, String] = Map(
+    "k21_cached_table" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem WHERE l_quantity >= 10.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "k20_wap" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1011,6 +1046,7 @@ object Writers {
     "k14_manifest_delta" -> (k14ManifestDelta _),
     "k18_merge_on_read" -> (k18MergeOnRead _),
     "k19_stats_skipping" -> (k19StatsSkipping _),
-    "k20_wap" -> (k20Wap _)
+    "k20_wap" -> (k20Wap _),
+    "k21_cached_table" -> (k21CachedTable _)
   )
 }

@@ -398,6 +398,13 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"history side shuffled — the index amortization is lost:\n$p")
   }
 
+  test("s07: the metadata pre-filter pushes into the corpus scan") {
+    val p = plan(Similarity.s07AnnFiltered(spark, sfDir))
+    assert(p.contains("In(label, [2,7])"),
+      s"label filter must reach the parquet scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle")
+  }
+
   test("nested-struct projection prunes to the accessed leaf at the scan") {
     import org.apache.spark.sql.functions.{lit, struct}
     // a nested meta struct like the multimodal schema; reading one leaf
