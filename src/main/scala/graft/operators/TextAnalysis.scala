@@ -652,13 +652,18 @@ object TextAnalysis {
     * label-propagation loop). At 100 TB the word table is ~millions of
     * rows against billions of documents; rounds never rescan the corpus.
     */
-  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** A trained BPE model: the ranked merge list plus the fully-merged
+    * per-word symbol table the training loop ends with — encode (t18)
+    * reads the latter directly instead of re-running every fold. */
+  private[graft] final case class BpeModel(
+      merges: Seq[(Int, String, String, Long)], vocab: DataFrame)
+
+  private def bpeTrain(docs: DataFrame, nMerges: Int): BpeModel = {
     var vocab = docs
       .select(explode(filter(split(lower(col("text")), " "),
         w => length(w) > 0)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         array_append(split(col("word"), ""), lit("</w>")).as("syms"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -682,16 +687,23 @@ object TextAnalysis {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, cnt))
         val next = vocab
-          .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+          .select(col("word"), col("freq"),
+            mergePair(col("syms"), a, b).as("syms"))
           .localCheckpoint(true)
         vocab.unpersist()
         vocab = next
         rank += 1
       }
     }
-    vocab.unpersist()
+    BpeModel(merges.result(), vocab)
+  }
+
+  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val model = bpeTrain(docs, nMerges)
+    model.vocab.unpersist()
     import spark.implicits._
-    merges.result().toDF("rank", "left", "right", "pair_count")
+    model.merges.toDF("rank", "left", "right", "pair_count")
       .orderBy(col("rank"))
   }
 
@@ -706,38 +718,29 @@ object TextAnalysis {
 
   /** t18 — BPE ENCODE with the t17-trained merges (the apply half of the
     * tokenizer loop; together they are train→tokenize, the op every
-    * corpus pays before training). The merge list collects driver-side
-    * (it IS driver-sized: one row per merge); encoding then runs over the
-    * DISTINCT-WORD table only — merges applied in rank order as composed
-    * `mergePair` folds, so the expensive per-word work is vocabulary-
-    * sized — and per-doc token counts come from one word join + groupBy.
-    * Rows-only; the hug/pug spec pins hand-computed token counts.
+    * corpus pays before training). Training's final per-word symbol
+    * table IS the encoded vocabulary — each merge round already applied
+    * its fold during training, so encode adds no per-word work at all;
+    * per-doc token counts come from one word join + groupBy over the
+    * corpus. Rows-only; the hug/pug spec pins hand-computed counts.
     */
   def t18BpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(Tables(spark, dir).documents, 12)
 
   private[graft] def bpeEncode(docs: DataFrame, nMerges: Int): DataFrame = {
-    val merges = bpeMerges(docs.select(col("text")), nMerges).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    // the training loop's final symbol table IS the encoded vocabulary —
+    // every merge was already applied per word during training, so
+    // encode pays zero additional folds. (Nesting the folds instead
+    // makes Catalyst re-substitute the child expression ~4× per level,
+    // an exponential tree observed as a driver OOM at 12 merges — the
+    // per-step materialization lives in bpeTrain.)
+    val model = bpeTrain(docs.select(col("text")), nMerges)
+    val encoded = model.vocab
+      .select(col("word"), size(col("syms")).as("n_sub"))
+      .localCheckpoint(true)
+    model.vocab.unpersist()
     val wordOf = explode(filter(split(lower(col("text")), " "),
       w => length(w) > 0))
-    var enc = docs.select(wordOf.as("word")).distinct()
-      .select(col("word"),
-        array_append(split(col("word"), ""), lit("</w>")).as("syms"))
-      .localCheckpoint(true)
-    // one materialized step per merge — nesting the folds instead makes
-    // Catalyst re-substitute the child expression ~4× per level, an
-    // exponential expression tree (observed as a driver OOM at 12
-    // merges); per-step checkpoints keep each plan one fold deep, and
-    // the table being checkpointed is vocabulary-sized
-    merges.foreach { case (a, b) =>
-      val next = enc
-        .select(col("word"), mergePair(col("syms"), a, b).as("syms"))
-        .localCheckpoint(true)
-      enc.unpersist()
-      enc = next
-    }
-    val encoded = enc.select(col("word"), size(col("syms")).as("n_sub"))
     docs.select(col("doc_id"), wordOf.as("word"))
       .join(encoded, Seq("word"))
       .groupBy(col("doc_id"))

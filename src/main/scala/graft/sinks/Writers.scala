@@ -274,6 +274,13 @@ object Writers {
     * Staged versions are invisible to readers (the pointer is the
     * publish), which is what makes an audit step between stage and
     * publish (k20) safe. */
+  /** The one small-file-write idiom the manifest store uses everywhere. */
+  private def putFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   def stageVersion(spark: SparkSession, root: String, version: Int,
       df: DataFrame): Unit = {
     val dataDir = s"$root/data_v$version"
@@ -283,12 +290,8 @@ object Writers {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    def put(p: org.apache.hadoop.fs.Path, body: String): Unit = {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-    }
     // manifest is unreferenced until CURRENT moves
-    put(new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
+    putFile(fs, new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
       files.mkString("\n"))
   }
 
@@ -299,8 +302,7 @@ object Writers {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$root/CURRENT")
-    val out = fs.create(tmp, true)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    putFile(fs, tmp, version.toString)
     fs.delete(cur, false)
     if (!fs.rename(tmp, cur))
       throw new java.io.IOException(s"publish: CURRENT swap failed for v$version")
@@ -340,18 +342,9 @@ object Writers {
       .map(_.getPath.toString).sorted
     val prior = slurpFile(spark, s"$root/manifest_v${version - 1}.txt")
       .split("\n").toSeq.filter(_.nonEmpty)
-    def put(p: org.apache.hadoop.fs.Path, body: String): Unit = {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-    }
-    put(new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
+    putFile(fs, new org.apache.hadoop.fs.Path(s"$root/manifest_v$version.txt"),
       (prior ++ fresh).mkString("\n"))
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp")
-    val cur = new org.apache.hadoop.fs.Path(s"$root/CURRENT")
-    put(tmp, version.toString)
-    fs.delete(cur, false)
-    if (!fs.rename(tmp, cur))
-      throw new java.io.IOException(s"publish: CURRENT swap failed for v$version")
+    publishPointer(spark, root, version)
   }
 
   /** CDC-style incremental read: the files manifested in `toV` but not in

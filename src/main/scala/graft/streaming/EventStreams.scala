@@ -765,14 +765,9 @@ object EventStreams {
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
     // st17: the streaming CDC apply must land exactly where k18's batch
-    // merge-on-read lands — same contract, same oracle
-    "st17_stream_upsert" ->
-      """SELECT event_id, user_id, event_type,
-        |  CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END
-        |    AS value,
-        |  CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS version
-        |FROM events WHERE event_id % 5 <> 0
-        |ORDER BY event_id""".stripMargin,
+    // merge-on-read lands — same contract, LITERALLY the same oracle
+    // (referencing it keeps the two from drifting apart)
+    "st17_stream_upsert" -> graft.sinks.Writers.oracle("k18_merge_on_read"),
     "st05_rocksdb_state" -> sessionizeOracle,
     "st10_transform_state" -> sessionizeOracle,
     "st11_stream_sample" -> graft.operators.TextAnalysis.t11OracleSql,
