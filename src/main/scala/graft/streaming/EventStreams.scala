@@ -203,6 +203,40 @@ object EventStreams {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** st19 — stream-stream LEFT OUTER join (st04's inner join plus the
+    * null-extension contract): a click with no purchase in its hour can
+    * only emit once the watermark proves no match can still arrive —
+    * Spark holds the left row in state until the watermark passes its
+    * maximum match time (c_ts + 1 h against the event-time bound), then
+    * emits it null-extended. Matches emit as they meet; unmatched
+    * clicks whose horizon the FINAL watermark (max ts − 30 min, after
+    * the AvailableNow no-data batch) has not passed stay in state and
+    * never emit — the oracle mirrors exactly that split, so both the
+    * inner rows and the emit-or-hold rule for outer rows are what
+    * hashes.
+    */
+  def st19StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"))
+    runToTable(joined, "append")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Oracles are plain batch SQL over the same table — valid because the
     * streaming run drains the finite source, so its final state equals the
     * batch answer (exactly the resume invariant the reference's incremental
@@ -846,7 +880,34 @@ object EventStreams {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    // st19: inner matches always emit; an unmatched click null-extends
+    // iff the final watermark passed its maximum match time. The join's
+    // watermark is the MIN of the two sides' watermarks (each side
+    // advances from ITS OWN max event time) — sf0.1 has a click whose
+    // horizon falls between the two, which pins the distinction
+    "st19_stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT LEAST(
+        |      (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        |      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 30 MINUTE AS w),
+        |l AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS u2, event_id AS purchase_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT l.user_id, l.click_id, r.purchase_id
+        |  FROM l JOIN r ON l.user_id = r.u2
+        |    AND r.p_ts >= l.c_ts AND r.p_ts <= l.c_ts + INTERVAL 1 HOUR),
+        |um AS (
+        |  SELECT user_id, click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM l
+        |  WHERE click_id NOT IN (SELECT click_id FROM m)
+        |    AND c_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm))
+        |SELECT * FROM m
+        |UNION ALL SELECT * FROM um
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -867,6 +928,7 @@ object EventStreams {
     "st15_stream_enrich" -> (st15StreamEnrich _),
     "st16_checkpoint_resume" -> (st16CheckpointResume _),
     "st17_stream_upsert" -> (st17StreamUpsert _),
-    "st18_late_data" -> (st18LateData _)
+    "st18_late_data" -> (st18LateData _),
+    "st19_stream_outer_join" -> (st19StreamOuterJoin _)
   )
 }
