@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself (SparkEntry): the shapes the
+  * correctness gate assumes but nothing else would catch drifting.
+  */
+class EntryContractSpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracle entries without a query (the driver would choke): $orphans")
+  }
+
+  test("rows-only queries are a consciously maintained list") {
+    // adding a query without an oracle must be a deliberate decision
+    // (each of these is backed by a behavior spec) — not a forgotten
+    // oracle silently downgrading the gate to rows>0
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set(
+      "d02_dedup_minhash", "d03_dedup_simhash", "d06_dedup_embedding_lsh",
+      "d09_semdedup", "d12_incremental_lsh_index",
+      "f03_keccak_topic0", "f09_eip55_checksum",
+      "m07_phash_dedup",
+      "s02_ann_lsh", "s03_ann_ivf", "s04_ann_quantized", "s05_ann_pq",
+      "t04_fingerprint", "t05_corpus_stats", "t17_bpe_train",
+      "t18_bpe_encode")
+    assert(rowsOnly === expected,
+      "rows-only set drifted — add the oracle or update this list " +
+        "WITH a backing spec")
+  }
+
+  test("query keys follow the family_name convention") {
+    val re = "^(q|f|d|s|t|m|p|st|k)\\d+_[a-z0-9_]+$".r
+    val bad = SparkEntry.queries.keySet
+      .filterNot(k => re.pattern.matcher(k).matches())
+    assert(bad.isEmpty, s"non-conforming query keys: $bad")
+  }
+}
