@@ -132,6 +132,22 @@ object ExprImpl {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Plain inner product (no normalization) — the MIPS/recommender
+    * scoring kernel; float elements widen to double BEFORE multiply so
+    * the DuckDB oracle (DOUBLE[] lists) does bit-identical work. */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getFloat(i).toDouble
+      val y = if (b.isNullAt(i)) 0.0 else b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
   /** Cosine similarity over two int8-quantized vectors. Symmetric
     * (no-zero-point) quantization cancels each vector's scale factor in
     * the cosine ratio, so the kernel runs on the raw int8 codes — exact
@@ -304,6 +320,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       (a, b) => s"graft.functions.ExprImpl.cosineSim($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot_product(array<float>, array<float>) → double: the unnormalized
+  * MIPS scoring kernel (CosineSimilarity without the norms). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprImpl.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprImpl.dotProduct($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 

@@ -22,6 +22,7 @@ package object functions {
     "s256_to_decimal" -> (es => S256ToDecimal(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
     "cosine_similarity_i8" -> (es => CosineSimilarityI8(es(0), es(1))),
     "u256_sum" -> (es => U256Sum(es.head).toAggregateExpression()),
     "u256_mul" -> (es => U256Mul(es(0), es(1))),
@@ -79,6 +80,8 @@ package object functions {
   def lsh_sign_bits(c: Column, planes: Int): Column = u(c)(LshSignBits(_, planes))
   def cosine_similarity(a: Column, b: Column): Column =
     Interop.column(CosineSimilarity(Interop.expression(a), Interop.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    Interop.column(DotProduct(Interop.expression(a), Interop.expression(b)))
   def cosine_similarity_i8(a: Column, b: Column): Column =
     Interop.column(CosineSimilarityI8(Interop.expression(a), Interop.expression(b)))
   /** Exact 256-bit unsigned SUM (ClickHouse UInt256 semantics). */

@@ -394,7 +394,49 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s08 — maximum-inner-product search (MIPS), the recommender/reward
+    * scoring workload: unlike cosine, the UNNORMALIZED dot product
+    * prefers long vectors, so it is its own retrieval problem (the
+    * classic reduction augments vectors to reduce MIPS to cosine; the
+    * exact baseline here scores directly with the codegen'd dot_product
+    * kernel — float elements widened to double before multiply so the
+    * DuckDB list_inner_product oracle does bit-identical work). Same
+    * broadcast-bounded-query/corpus-scan shape as s01.
+    */
+  def s08Mips(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ip").desc, col("nid"))
+    broadcast(q)
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.dot_product(col("qe"), col("ne")).as("ip"))
+      .select(col("qid"), col("nid"), col("ip"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("ip"), 6).as("ip"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "s08_mips" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    list_inner_product(qe, e.emb) AS ip
+        |  FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, ip,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ip DESC, nid) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, rnk, round(ip, 6) AS ip
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "s07_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
@@ -486,6 +528,7 @@ object Similarity {
     "s04_ann_quantized" -> (s04AnnQuantized _),
     "s05_ann_pq" -> (s05AnnPq _),
     "s06_hybrid_search" -> (s06HybridSearch _),
-    "s07_ann_filtered" -> (s07AnnFiltered _)
+    "s07_ann_filtered" -> (s07AnnFiltered _),
+    "s08_mips" -> (s08Mips _)
   )
 }

@@ -751,7 +751,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t19 — blocklist safety filter with OBFUSCATION FOLDING (the safety
+    * stage every training corpus passes; t08 scrubs structured PII, this
+    * catches listed terms): text normalizes through a leet-speak
+    * character fold (0→o 1→i 3→e 4→a 5→s 7→t @→a $→s) BEFORE matching,
+    * so "sl0w" and "s7ream" hit the same terms "slow"/"stream" — a
+    * plain wordlist grep misses trivially-obfuscated content. Planted
+    * obfuscated variants (every 7th/11th doc) make both the fold and
+    * the plain path measurable; per-doc hit counts and the keep/drop
+    * flag are the output. One narrow codegen'd pass, no shuffle before
+    * the presentation sort; the DuckDB oracle repeats the identical
+    * translate+count pipeline.
+    */
+  def t19BlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("slow", "stream") // stand-in listed terms
+    val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" sl0w")))
+      .otherwise(when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" s7ream")))
+        .otherwise(col("text")))
+    val folded = translate(lower(planted), "013457@$", "oieastas")
+    val ws = filter(split(folded, " "), w => length(w) > 0)
+    val set = array(blocked.map(lit): _*)
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(filter(ws, w => array_contains(set, w))).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "t19_blocklist_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' sl0w'
+        |         WHEN doc_id % 11 = 0 THEN text || ' s7ream'
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(
+        |    list_filter(string_split(
+        |      translate(lower(t), '013457@$', 'oieastas'), ' '),
+        |      w -> length(w) > 0),
+        |    w -> w IN ('slow', 'stream'))) AS INTEGER) AS n_hits,
+        |  len(list_filter(
+        |    list_filter(string_split(
+        |      translate(lower(t), '013457@$', 'oieastas'), ' '),
+        |      w -> length(w) > 0),
+        |    w -> w IN ('slow', 'stream'))) = 0 AS keep
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "t10_contamination" -> t10OracleSql,
     "t11_stratified_sample" -> t11OracleSql,
     "t12_heavy_hitters" ->
@@ -952,6 +1001,7 @@ object TextAnalysis {
     "t15_mixture_resample" -> (t15MixtureResample _),
     "t16_lm_surprise" -> (t16LmSurprise _),
     "t17_bpe_train" -> (t17BpeTrain _),
-    "t18_bpe_encode" -> (t18BpeEncode _)
+    "t18_bpe_encode" -> (t18BpeEncode _),
+    "t19_blocklist_filter" -> (t19BlocklistFilter _)
   )
 }
