@@ -781,7 +781,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t20 — boilerplate STRIP (the apply half of t09, as t18 is to t17):
+    * the t09-detected recurring segments become the strip list (shared
+    * code — LITERALLY t09's aggregation), every doc's 8-word blocks
+    * left-join it broadcast, and surviving blocks reassemble IN ORDER
+    * via array_sort over (index, seg) structs — collect_list alone has
+    * no order contract. Output = cleaned-text md5 + before/after word
+    * counts per doc (docs stripped to nothing drop out, mirrored by the
+    * oracle). One explode + one broadcast join + one groupBy: the
+    * rewrite costs what the detection cost.
+    */
+  def t20BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val strip = t09Boilerplate(spark, dir).select(col("seg"))
+      .withColumn("blocked", lit(true))
+    val segs = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("words_before"),
+        posexplode(segments8(col("ws"), includeTail = true))
+          .as(Seq("i", "seg")))
+    segs.join(broadcast(strip), Seq("seg"), "left")
+      .filter(col("blocked").isNull)
+      .groupBy(col("doc_id"), col("words_before"))
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("seg")))),
+          s => s.getField("seg")), " ").cast("binary")).as("cleaned_md5"),
+        sum(size(filter(split(col("seg"), " "), w => length(w) > 0)))
+          .as("words_after"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "t20_boilerplate_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (
+        |  SELECT doc_id, len(ws) AS words_before, i,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS seg
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor((len(ws)-1)/8) AS BIGINT) + 1)) AS i)),
+        |fullsegs AS (
+        |  SELECT doc_id,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS seg
+        |  FROM d, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor(len(ws)/8) AS BIGINT))) AS i)),
+        |strip AS (
+        |  SELECT seg FROM fullsegs
+        |  GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, words_before, i, seg FROM segs
+        |  WHERE seg NOT IN (SELECT seg FROM strip))
+        |SELECT doc_id, words_before,
+        |  md5(string_agg(seg, ' ' ORDER BY i)) AS cleaned_md5,
+        |  CAST(SUM(len(list_filter(string_split(seg, ' '),
+        |    w -> length(w) > 0))) AS BIGINT) AS words_after
+        |FROM kept GROUP BY doc_id, words_before
+        |ORDER BY doc_id""".stripMargin,
     "t19_blocklist_filter" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -1002,6 +1057,7 @@ object TextAnalysis {
     "t16_lm_surprise" -> (t16LmSurprise _),
     "t17_bpe_train" -> (t17BpeTrain _),
     "t18_bpe_encode" -> (t18BpeEncode _),
-    "t19_blocklist_filter" -> (t19BlocklistFilter _)
+    "t19_blocklist_filter" -> (t19BlocklistFilter _),
+    "t20_boilerplate_strip" -> (t20BoilerplateStrip _)
   )
 }
