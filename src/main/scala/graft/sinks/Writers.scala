@@ -919,7 +919,67 @@ object Writers {
     } finally base.unpersist()
   }
 
+  /** k22 — MULTI-TABLE atomic publish: one version covers BOTH tables
+    * (facts + the dictionary they join), and the single CURRENT pointer
+    * move makes the pair visible together — a reader can never join v2
+    * facts against a v1 dictionary, the torn cross-table state no
+    * single-table snapshot protocol rules out (Iceberg/Delta are
+    * per-table; this is the manifest-of-manifests pattern above them).
+    * Exercised for real: v1 publishes half the facts with a stale dict,
+    * v2 supersedes both, an ABANDONED v3 stages facts-only and CURRENT
+    * provably still serves the complete v2 pair; the oracle recomputes
+    * the v2 join, and in-query asserts pin pointer integrity.
+    */
+  def k22MultitablePublish(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k22_")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    def dict(tag: String) =
+      spark.range(5).select(col("id").as("type_idx"),
+        concat(lit(tag), lit("_"), col("id")).as("type_name"))
+    def stagePair(v: Int, facts: DataFrame, d: DataFrame): Unit = {
+      stageVersion(spark, s"$root/facts", v, facts)
+      stageVersion(spark, s"$root/dict", v, d)
+    }
+    def publishPair(v: Int): Unit = {
+      // ONE pointer for the pair: both tables' versions move together
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      putFile(fs, new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp"),
+        v.toString)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/CURRENT"), false)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp"),
+        new org.apache.hadoop.fs.Path(s"$root/CURRENT")))
+        throw new java.io.IOException(s"k22: pair swap failed for v$v")
+    }
+    def currentPair(): (DataFrame, DataFrame) = {
+      val v = slurpFile(spark, s"$root/CURRENT").trim.toInt
+      (readVersion(spark, s"$root/facts", v),
+        readVersion(spark, s"$root/dict", v))
+    }
+    stagePair(1, ev.filter(pmod(col("event_id"), lit(2)) === 0), dict("old"))
+    publishPair(1)
+    stagePair(2, ev, dict("cur"))
+    publishPair(2)
+    stageVersion(spark, s"$root/facts", 3,
+      ev.filter(col("event_id") < 100)) // abandoned: dict v3 never staged
+    val (facts, d) = currentPair()
+    require(slurpFile(spark, s"$root/CURRENT").trim == "2",
+      "CURRENT must still be the complete v2 pair")
+    facts
+      .join(broadcast(d),
+        pmod(col("event_id"), lit(5)) === col("type_idx"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("type_name"))
+      .orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "k22_multitable_publish" ->
+      """SELECT event_id, user_id, value,
+        |  'cur_' || CAST(event_id % 5 AS VARCHAR) AS type_name
+        |FROM events ORDER BY event_id""".stripMargin,
     "k21_cached_table" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
@@ -1040,6 +1100,7 @@ object Writers {
     "k18_merge_on_read" -> (k18MergeOnRead _),
     "k19_stats_skipping" -> (k19StatsSkipping _),
     "k20_wap" -> (k20Wap _),
-    "k21_cached_table" -> (k21CachedTable _)
+    "k21_cached_table" -> (k21CachedTable _),
+    "k22_multitable_publish" -> (k22MultitablePublish _)
   )
 }
