@@ -312,7 +312,76 @@ object Multimodal {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Per-doc audio stats from the stub "decoder": 32-sample windowed
+    * energy (sum of squared amplitudes around the space baseline — a
+    * real pipeline computes the same over PCM samples), silence flags,
+    * and the first/last loud window = the trim points. */
+  final case class AudioStats(doc_id: Long, n_windows: Int, n_silent: Int,
+      first_loud: Int, last_loud: Int, kept_bytes: Int)
+
+  private def audioStub(r: MediaRow): AudioStats = {
+    val W = 32
+    val thresh = 160000L
+    val n = r.payload.length / W
+    var first = -1; var last = -1; var silent = 0
+    var w = 0
+    while (w < n) {
+      var ss = 0L
+      var i = 0
+      while (i < W) {
+        val d = (r.payload(w * W + i) & 0xff) - 32
+        ss += d.toLong * d
+        i += 1
+      }
+      if (ss <= thresh) silent += 1
+      else { if (first < 0) first = w; last = w }
+      w += 1
+    }
+    val kept = if (first < 0) 0 else (last - first + 1) * W
+    AudioStats(r.doc_id, n, silent, first, last, kept)
+  }
+
+  /** m08 — the AUDIO twin of the image plumbing (m01/m03): windowed
+    * energy + silence-trim over the opaque payload via the same typed
+    * batched-decode shape; full windows only, docs shorter than one
+    * window drop out (mirrored by the oracle). The trim points
+    * (first/last loud window) are what a speech pipeline cuts on before
+    * feature extraction. Stub decode = byte amplitudes — oracle-exact
+    * because the corpus is all-ASCII (the m01 contract).
+    */
+  def m08AudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .mapPartitions(_.map(audioStub))(
+        org.apache.spark.sql.Encoders.product[AudioStats])
+      .toDF()
+      .filter(col("n_windows") > 0)
+      .orderBy(col("doc_id"))
+
   val oracle: Map[String, String] = Map(
+    "m08_audio_energy" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS widx,
+        |    list_sum([
+        |      (ascii(substring(text, CAST(i*32 + j AS INT), 1)) - 32)
+        |      * (ascii(substring(text, CAST(i*32 + j AS INT), 1)) - 32)
+        |      for j in range(1, 33)]) AS ss
+        |  FROM documents, LATERAL (SELECT unnest(range(0,
+        |    CAST(floor(length(text)/32) AS BIGINT))) AS i)),
+        |f AS (SELECT doc_id, widx, ss <= 160000 AS silent FROM w),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+        |    CAST(SUM(CASE WHEN silent THEN 1 ELSE 0 END) AS INT)
+        |      AS n_silent,
+        |    CAST(COALESCE(MIN(CASE WHEN NOT silent THEN widx END), -1)
+        |      AS INT) AS first_loud,
+        |    CAST(COALESCE(MAX(CASE WHEN NOT silent THEN widx END), -1)
+        |      AS INT) AS last_loud
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_silent, first_loud, last_loud,
+        |  CAST(CASE WHEN first_loud < 0 THEN 0
+        |    ELSE (last_loud - first_loud + 1) * 32 END AS INT)
+        |    AS kept_bytes
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "m06_modality_coverage" ->
       """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0),
         |e AS (SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0),
@@ -408,6 +477,7 @@ object Multimodal {
     "m04_payload_dedup" -> (m04PayloadDedup _),
     "m05_contrastive_pairs" -> (m05ContrastivePairs _),
     "m06_modality_coverage" -> (m06ModalityCoverage _),
-    "m07_phash_dedup" -> (m07PhashDedup _)
+    "m07_phash_dedup" -> (m07PhashDedup _),
+    "m08_audio_energy" -> (m08AudioEnergy _)
   )
 }
