@@ -86,6 +86,35 @@ class EvmAbiSpec extends AnyFunSuite {
     assert(r2.getSeq[java.math.BigDecimal](1).isEmpty)
   }
 
+  test("totality fuzz: random and truncated blobs decode to nulls, never" +
+    " throw") {
+    // allow_decode_fail is only a real guarantee if NO payload can crash
+    // the job: 300 seeded-random data blobs (arbitrary lengths, arbitrary
+    // bytes — garbage offsets/lengths/padding included) through a dynamic
+    // signature must yield rows (with null fields where invalid), not
+    // exceptions. This is the 100 TB property: one malformed log among
+    // billions must not kill the stage.
+    val sig = "LogCall(address indexed usr, string note, uint256[] vals)"
+    val rng = new scala.util.Random(20260813L)
+    val blobs = (0 until 300).map { i =>
+      val len = rng.nextInt(200)
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      (i.toLong, u256(rng.nextLong() & 0x7fffffffL), b)
+    }
+    val df = blobs.toDF("row_id", "topic1", "data")
+      .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    val out = EvmAbi.decodeEvent(df, sig)
+      .select("row_id", "note", "vals").collect() // must not throw
+    assert(out.length === 300)
+    // and the decode is total the other way too: every all-zero blob of
+    // any word-aligned length decodes without throwing
+    val zeros = (0 to 6).map(w => (w.toLong, u256(1), new Array[Byte](w * 32)))
+    val zdf = zeros.toDF("row_id", "topic1", "data")
+      .withColumn("topic0", unhex(lit(EvmAbi.signatureTopic0Hex(sig))))
+    assert(EvmAbi.decodeEvent(zdf, sig).collect().length === zeros.size)
+  }
+
   test("dynamic tail decode-fail: bad offsets, lengths, padding all null") {
     val sig = "LogCall(string note, uint64[] vals)"
     val good = u256(64) ++ u256(128) ++

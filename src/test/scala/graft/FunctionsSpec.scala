@@ -240,6 +240,25 @@ class FunctionsSpec extends AnyFunSuite {
       w(BigInteger.ZERO), 9) === null)
   }
 
+  test("u256 mul/div agree with BigInteger over randomized wide operands") {
+    import java.math.BigInteger
+    import graft.functions.{ExprImpl, U256ArithImpl}
+    def bi(b: Array[Byte]) = new BigInteger(1, b)
+    def w(v: BigInteger) = ExprImpl.u256Wrap(v)
+    val rng = new scala.util.Random(20260813L)
+    val mod = BigInteger.ONE.shiftLeft(256)
+    (1 to 200).foreach { _ =>
+      // operand widths span the whole domain, incl. >128-bit products
+      val a = new BigInteger(1 + rng.nextInt(255), rng.self)
+      val b = new BigInteger(1 + rng.nextInt(255), rng.self)
+      assert(bi(U256ArithImpl.mul(w(a), w(b))) === a.multiply(b).mod(mod),
+        s"mul diverged for $a * $b")
+      if (b.signum != 0)
+        assert(bi(U256ArithImpl.div(w(a), w(b))) === a.divide(b),
+          s"div diverged for $a / $b")
+    }
+  }
+
   test("shortvec compact-u16: known vectors, round trip, malformed rejects") {
     import graft.functions.ShortVecImpl
     def enc(n: Long): Seq[Int] = ShortVecImpl.encode(n).map(_ & 0xff).toSeq
