@@ -942,17 +942,9 @@ object Writers {
       stageVersion(spark, s"$root/facts", v, facts)
       stageVersion(spark, s"$root/dict", v, d)
     }
-    def publishPair(v: Int): Unit = {
-      // ONE pointer for the pair: both tables' versions move together
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      putFile(fs, new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp"),
-        v.toString)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/CURRENT"), false)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$root/CURRENT.tmp"),
-        new org.apache.hadoop.fs.Path(s"$root/CURRENT")))
-        throw new java.io.IOException(s"k22: pair swap failed for v$v")
-    }
+    // ONE pointer for the pair: both tables' versions move together —
+    // the swap discipline is publishPointer's, at the pair root
+    def publishPair(v: Int): Unit = publishPointer(spark, root, v)
     def currentPair(): (DataFrame, DataFrame) = {
       val v = slurpFile(spark, s"$root/CURRENT").trim.toInt
       (readVersion(spark, s"$root/facts", v),

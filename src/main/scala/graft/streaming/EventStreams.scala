@@ -882,16 +882,22 @@ object EventStreams {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     // st19: inner matches always emit; an unmatched click null-extends
-    // iff the final watermark passed its maximum match time. The join's
-    // watermark is the MIN of the two sides' watermarks (each side
-    // advances from ITS OWN max event time) — sf0.1 has a click whose
-    // horizon falls between the two, which pins the distinction
+    // iff the final watermark passed its maximum match time. Three
+    // engine details, each pinned by data or spec: the join watermark is
+    // the MIN of the two sides' watermarks (each side advances from ITS
+    // OWN max — sf0.1 has a click whose horizon falls between the two);
+    // event-time stats are ms-FLOORED before the delay subtracts; and
+    // eviction compares against watermark MINUS 1 ms (Spark's
+    // state-value-watermark offset — measured: horizon = wm−1 ms emits,
+    // wm−1 µs does not; StreamingSinksSpec pins the boundary).
     "st19_stream_outer_join" ->
       """WITH wm AS (
         |  SELECT LEAST(
-        |      (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
-        |      (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
-        |    - INTERVAL 30 MINUTE AS w),
+        |      (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+        |       WHERE event_type = 'click'),
+        |      (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+        |       WHERE event_type = 'purchase'))
+        |    - INTERVAL 30 MINUTE - INTERVAL 1 MILLISECOND AS w),
         |l AS (SELECT user_id, event_id AS click_id, ts AS c_ts
         |      FROM events WHERE event_type = 'click'),
         |r AS (SELECT user_id AS u2, event_id AS purchase_id, ts AS p_ts

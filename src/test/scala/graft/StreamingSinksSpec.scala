@@ -352,4 +352,48 @@ class StreamingSinksSpec extends AnyFunSuite {
     assert(got.length === 100)
     assert(got.toSeq === (0L until 100L).map(i => (i, i * 2, i * 6)))
   }
+
+  test("st19 boundary: null-extension fires at horizon <= watermark - 1ms" +
+    " exactly (ms-floored stats), never at the watermark itself") {
+    import spark.implicits._
+    // ns-precision events planted AROUND the eviction boundary: with
+    // max(click)=max(purchase)=Mp, the join watermark W = Mp - 30min and
+    // Spark's state-value watermark is W - 1ms. Clicks with match
+    // horizon (c_ts + 1h) at W, W-1us and W+1us must be HELD; at W-1ms
+    // and W-1s must null-extend.
+    val US = 1000L; val MS = 1000L * US; val S = 1000L * MS
+    val H = 3600L * S; val MIN = 60L * S
+    val base = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      .getTime * 1000000L
+    val Mp = base + 10 * H
+    val W = Mp - 30 * MIN
+    val rows = Seq(
+      (900L, Mp, 99L, "purchase", 1.0, "{}"),
+      (901L, base, 98L, "purchase", 1.0, "{}"),
+      (800L, Mp, 97L, "click", 1.0, "{}"),      // keeps max(click) = Mp
+      (1L, W - H, 1L, "click", 1.0, "{}"),      // horizon == W
+      (2L, W - H - US, 2L, "click", 1.0, "{}"), // horizon = W - 1us
+      (3L, W - H - MS, 3L, "click", 1.0, "{}"), // horizon = W - 1ms
+      (4L, W - H + US, 4L, "click", 1.0, "{}"), // horizon = W + 1us
+      (5L, W - H - S, 5L, "click", 1.0, "{}"))  // horizon = W - 1s
+    val dir = java.nio.file.Files.createTempDirectory("graft-st19").toString
+    // ts as a LONG nanos column — the driver files' TIMESTAMP(NANOS)
+    // arrive through the same nanos→µs normalization path. The stream's
+    // pathGlobFilter matches a FILE named events.parquet, so the staged
+    // part file is renamed to that exact name (a directory would match
+    // nothing and silently yield an empty stream).
+    val stage = s"$dir/_stage"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val nullExtended = EventStreams.st19StreamOuterJoin(spark, dir)
+      .collect().filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+    assert(nullExtended === Set(3L, 5L),
+      "eviction boundary drifted from watermark - 1ms")
+  }
 }
