@@ -473,6 +473,45 @@ object Dedup {
     viaIndex.orderBy(col("hist_id"), col("new_id"))
   }
 
+  /** d13 — near-dup method EVALUATION as an operator ("measure, don't
+    * guess" made first-class): precision/recall of the scalable
+    * candidate paths (d02 MinHash-LSH, d03 SimHash) against the exact
+    * jaccard ≥ 0.6 ground truth on d04's bounded audit subset. At scale
+    * this runs on exactly such a bounded sample — the audit job a
+    * pipeline schedules after retuning bands/thresholds, not a
+    * full-corpus pass. d03 is measured against the SAME jaccard truth
+    * it does not optimize for (hamming proxies it), which is the honest
+    * comparison a tuning decision needs. Driver touches only the
+    * per-method counts.
+    */
+  def d13DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = d04NgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    def inAudit(df: DataFrame) =
+      df.filter(col("a") < 200 && col("b") < 200).select(col("a"), col("b"))
+    val methods = Seq(
+      "d02_minhash_lsh" -> inAudit(d02DedupMinhash(spark, dir)),
+      "d03_simhash" -> inAudit(d03DedupSimhash(spark, dir)))
+    val rows = methods.map { case (name, pairs) =>
+      val found = pairs.localCheckpoint(true)
+      val nFound = found.count()
+      val tp = found.join(truth, Seq("a", "b"), "left_semi").count()
+      found.unpersist()
+      val precision =
+        if (nFound == 0) 1.0 else tp.toDouble / nFound
+      val recall = if (nTruth == 0) 1.0 else tp.toDouble / nTruth
+      (name, nTruth, nFound, tp,
+        math.rint(precision * 1e6) / 1e6, math.rint(recall * 1e6) / 1e6)
+    }
+    truth.unpersist()
+    rows.toDF("method", "n_truth", "n_found", "n_tp", "precision", "recall")
+      .orderBy(col("method"))
+  }
+
   val oracle: Map[String, String] = Map(
     // d11: the genuine semi-join twin — a batch row is a dup iff its
     // content hash appears in history (simulated re-crawls AND any
@@ -611,6 +650,7 @@ object Dedup {
     "d09_semdedup" -> (d09SemDedup _),
     "d10_substring_dedup" -> (d10SubstringDedup _),
     "d11_bloom_dedup" -> (d11BloomDedup _),
-    "d12_incremental_lsh_index" -> (d12IncrementalLshIndex _)
+    "d12_incremental_lsh_index" -> (d12IncrementalLshIndex _),
+    "d13_dedup_eval" -> (d13DedupEval _)
   )
 }

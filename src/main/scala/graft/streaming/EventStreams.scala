@@ -237,6 +237,43 @@ object EventStreams {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** st20 — the CUSTOM PHYSICAL OPERATOR under streaming: each
+    * micro-batch runs the native as-of join (AsOfJoinExec — custom
+    * LogicalPlan + Strategy + merge-scan SparkPlan) against a static,
+    * once-checkpointed dimension inside foreachBatch. Per-row matches
+    * depend only on the static side, so the result is independent of
+    * micro-batch splits, and the query shares q21/q23's batch oracle
+    * VERBATIM — the strongest statement that the operator is a real
+    * engine citizen, not a batch-only trick. This is swap_prices'
+    * trailing price match running in the reference's continuous ingest
+    * loop.
+    */
+  def st20StreamAsof(spark: SparkSession, dir: String): DataFrame = {
+    val sink = graft.Scratch.dir("st20_") + "/sink"
+    val ord = graft.sources.Tables(spark, dir).orders
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"))
+      .localCheckpoint(true) // computed once, reused every micro-batch
+    val q = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOf.join(
+          batch.withColumn("ts_us", unix_micros(col("ts"))), ord,
+          leftKey = "user_id", leftTime = "ts_us",
+          rightKey = "o_custkey", rightTime = "o_us",
+          rightTie = "o_orderkey")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("o_orderkey").as("asof_orderkey"))
+          .write.mode("append").parquet(sink): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ord.unpersist()
+    spark.read.parquet(sink).orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Oracles are plain batch SQL over the same table — valid because the
     * streaming run drains the finite source, so its final state equals the
     * batch answer (exactly the resume invariant the reference's incremental
@@ -802,6 +839,10 @@ object EventStreams {
     // merge-on-read lands — same contract, LITERALLY the same oracle
     // (referencing it keeps the two from drifting apart)
     "st17_stream_upsert" -> graft.sinks.Writers.oracle("k18_merge_on_read"),
+    // st20: per-batch native as-of against a static dim must land exactly
+    // where the batch operator lands — q21/q23's oracle verbatim
+    "st20_stream_asof" ->
+      graft.operators.Relational.oracle("q21_asof_join"),
     "st05_rocksdb_state" -> sessionizeOracle,
     "st10_transform_state" -> sessionizeOracle,
     "st11_stream_sample" -> graft.operators.TextAnalysis.t11OracleSql,
@@ -935,6 +976,7 @@ object EventStreams {
     "st16_checkpoint_resume" -> (st16CheckpointResume _),
     "st17_stream_upsert" -> (st17StreamUpsert _),
     "st18_late_data" -> (st18LateData _),
-    "st19_stream_outer_join" -> (st19StreamOuterJoin _)
+    "st19_stream_outer_join" -> (st19StreamOuterJoin _),
+    "st20_stream_asof" -> (st20StreamAsof _)
   )
 }

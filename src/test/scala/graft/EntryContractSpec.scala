@@ -20,7 +20,7 @@ class EntryContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set(
       "d02_dedup_minhash", "d03_dedup_simhash", "d06_dedup_embedding_lsh",
-      "d09_semdedup", "d12_incremental_lsh_index",
+      "d09_semdedup", "d12_incremental_lsh_index", "d13_dedup_eval",
       "f03_keccak_topic0", "f09_eip55_checksum",
       "m07_phash_dedup",
       "s02_ann_lsh", "s03_ann_ivf", "s04_ann_quantized", "s05_ann_pq",
