@@ -497,19 +497,27 @@ object Dedup {
       "d02_minhash_lsh" -> inAudit(d02DedupMinhash(spark, dir)),
       "d03_simhash" -> inAudit(d03DedupSimhash(spark, dir)))
     val rows = methods.map { case (name, pairs) =>
-      val found = pairs.localCheckpoint(true)
-      val nFound = found.count()
-      val tp = found.join(truth, Seq("a", "b"), "left_semi").count()
-      found.unpersist()
-      val precision =
-        if (nFound == 0) 1.0 else tp.toDouble / nFound
-      val recall = if (nTruth == 0) 1.0 else tp.toDouble / nTruth
-      (name, nTruth, nFound, tp,
-        math.rint(precision * 1e6) / 1e6, math.rint(recall * 1e6) / 1e6)
+      evalPairs(name, pairs, truth, nTruth)
     }
     truth.unpersist()
     rows.toDF("method", "n_truth", "n_found", "n_tp", "precision", "recall")
       .orderBy(col("method"))
+  }
+
+  /** One method's precision/recall against a truth pair set — exposed
+    * for the spec, which pins the metric math on hand-built pair sets
+    * (including the empty-found precision=1 convention). */
+  private[graft] def evalPairs(name: String, pairs: DataFrame,
+      truth: DataFrame, nTruth: Long)
+      : (String, Long, Long, Long, Double, Double) = {
+    val found = pairs.localCheckpoint(true)
+    val nFound = found.count()
+    val tp = found.join(truth, Seq("a", "b"), "left_semi").count()
+    found.unpersist()
+    val precision = if (nFound == 0) 1.0 else tp.toDouble / nFound
+    val recall = if (nTruth == 0) 1.0 else tp.toDouble / nTruth
+    (name, nTruth, nFound, tp,
+      math.rint(precision * 1e6) / 1e6, math.rint(recall * 1e6) / 1e6)
   }
 
   val oracle: Map[String, String] = Map(

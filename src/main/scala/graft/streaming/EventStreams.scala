@@ -249,29 +249,33 @@ object EventStreams {
     * loop.
     */
   def st20StreamAsof(spark: SparkSession, dir: String): DataFrame = {
-    val sink = graft.Scratch.dir("st20_") + "/sink"
+    // st13's marker-after-data sink: a retried micro-batch overwrites its
+    // own directory instead of double-appending — the as-of enrichment
+    // inherits exactly-once under at-least-once delivery for free
+    val sink = IdempotentSink(graft.Scratch.dir("st20_") + "/sink")
     val ord = graft.sources.Tables(spark, dir).orders
       .select(col("o_custkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
         col("o_orderkey"))
       .localCheckpoint(true) // computed once, reused every micro-batch
-    val q = eventsStream(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.plans.AsOf.join(
-          batch.withColumn("ts_us", unix_micros(col("ts"))), ord,
-          leftKey = "user_id", leftTime = "ts_us",
-          rightKey = "o_custkey", rightTime = "o_us",
-          rightTie = "o_orderkey")
-          .select(col("user_id"), col("event_id"), col("ts"),
-            col("o_orderkey").as("asof_orderkey"))
-          .write.mode("append").parquet(sink): Unit
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    ord.unpersist()
-    spark.read.parquet(sink).orderBy(col("user_id"), col("event_id"))
+    try {
+      val q = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          sink.writeBatch(
+            graft.plans.AsOf.join(
+              batch.withColumn("ts_us", unix_micros(col("ts"))), ord,
+              leftKey = "user_id", leftTime = "ts_us",
+              rightKey = "o_custkey", rightTime = "o_us",
+              rightTie = "o_orderkey")
+              .select(col("user_id"), col("event_id"), col("ts"),
+                col("o_orderkey").as("asof_orderkey")), id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally ord.unpersist()
+    sink.read(spark).orderBy(col("user_id"), col("event_id"))
   }
 
   /** Oracles are plain batch SQL over the same table — valid because the

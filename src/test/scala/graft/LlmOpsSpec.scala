@@ -408,6 +408,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 30, 20L, 1L), (2L, 30, 20L, 1L)))
   }
 
+  test("d13 metric math: tp/fp/fn split, rounding, empty-found convention") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    // found = one true pair, one false positive → p=1/2, r=1/3
+    val found = Seq((1L, 2L), (7L, 8L)).toDF("a", "b")
+    assert(Dedup.evalPairs("m", found, truth, 3L) ===
+      (("m", 3L, 2L, 1L, 0.5, 0.333333)))
+    // empty found: precision defined as 1.0 (no false claims), recall 0
+    assert(Dedup.evalPairs("m", truth.limit(0), truth, 3L) ===
+      (("m", 3L, 0L, 0L, 1.0, 0.0)))
+    // empty truth: recall defined as 1.0 (nothing to find)
+    assert(Dedup.evalPairs("m", found, truth.limit(0), 0L) ===
+      (("m", 0L, 2L, 0L, 0.0, 1.0)))
+  }
+
   test("t17 BPE learns the hand-computed merge sequence") {
     // hug×10, pug×5, hugs×5 with </w> markers:
     //   round 1: (u,g)=20 wins → "ug"

@@ -389,7 +389,8 @@ class StreamingSinksSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
       .find(_.getPath.getName.endsWith(".parquet")).get.getPath
-    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(
+      s"$dir/events.parquet")), "test staging rename failed")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val nullExtended = EventStreams.st19StreamOuterJoin(spark, dir)
       .collect().filter(_.isNullAt(2)).map(_.getLong(1)).toSet
