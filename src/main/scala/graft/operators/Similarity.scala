@@ -312,8 +312,12 @@ object Similarity {
     * the corpus (s01's shape). Each branch keeps only its top-50
     * (rank-candidate lists, the standard RRF input — never a
     * full-corpus fusion), then a full-outer join sums 1/(60+rank).
-    * The global row_number is over candidate lists, not the corpus; at
-    * scale each branch's top-k comes from per-partition heaps first.
+    * The top-50 cut is `orderBy(score).limit(50)` — planned as a
+    * DISTRIBUTED TakeOrderedAndProject (per-partition heaps, then one
+    * k-sized merge) — and only the 50 survivors see a row_number
+    * window, so no full-corpus single-partition WindowExec exists
+    * anywhere in the plan (enforced suite-wide by ExplainAuditSpec's
+    * unpartitioned-window sweep).
     */
   def s06HybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -341,19 +345,21 @@ object Similarity {
     val lex = docs.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (part(terms(0)) + part(terms(1)) + part(terms(2))).as("bm25"))
+    // TakeOrderedAndProject bounds the sort: the corpus never reaches a
+    // single partition; only these ≤50 rows are window-ranked below.
     val lexTop = lex
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
-      .filter(col("lex_rank") <= 50)
     val qv = t.embeddings.filter(col("vec_id") === 7)
       .select(col("embedding").as("qe"))
     val vecTop = t.embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
         cosine_similarity(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(50)
       .select(col("doc_id"), row_number().over(
         Window.orderBy(col("cos").desc, col("doc_id"))).as("vec_rank"))
-      .filter(col("vec_rank") <= 50)
     lexTop.join(vecTop, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
         (coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +

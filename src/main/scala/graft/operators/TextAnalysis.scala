@@ -378,19 +378,20 @@ object TextAnalysis {
     * counts plus each cell's share of the corpus' tokens — the mixture
     * table every training run is configured from (and the input to t15's
     * rebalancing). Integer counts all the way; ONE double division per
-    * row against the global total, which comes from a window over the
-    * already-aggregated (sources × langs) rows — the single-partition
-    * exchange moves ~KB at any corpus size.
+    * row against the global total, which is a scalar aggregate
+    * broadcast back over the grouped rows — no single-partition
+    * window exchange anywhere (the ExplainAudit sweep enforces this
+    * suite-wide).
     */
   def t14DomainMix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables(spark, dir).documents
+    val cells = Tables(spark, dir).documents
       .select(col("source"), col("lang"), tokCount(col("text")).as("toks"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("tot_tokens"))
+    cells.crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") /
-          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
           .as("token_share"))
       .orderBy(col("source"), col("lang"))
   }
@@ -411,8 +412,6 @@ object TextAnalysis {
     * and a 5-row broadcast join + narrow filter at any scale.
     */
   def t15MixtureResample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
     val target = mixtureTargets.toSeq.sortBy(_._1).foldLeft(
       lit(null).cast("double")) { case (acc, (l, t)) =>
       when(col("lang") === l, lit(t)).otherwise(acc)
@@ -420,12 +419,19 @@ object TextAnalysis {
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"), col("lang"),
         tokCount(col("text")).as("toks"))
-    val rates = toks.groupBy(col("lang"))
+    // global total + global max are scalar aggregates broadcast back over
+    // the per-lang rows — identical IEEE op order to the former windows,
+    // but no single-partition exchange (ExplainAudit sweep enforces).
+    val langToks = toks.groupBy(col("lang"))
       .agg(sum(col("toks")).as("lang_tokens"))
+    val total = langToks.agg(sum(col("lang_tokens")).as("tot_tokens"))
+    val ratios = langToks.crossJoin(broadcast(total))
       .select(col("lang"),
-        (target * sum(col("lang_tokens")).over(w).cast("double") /
+        (target * col("tot_tokens").cast("double") /
           col("lang_tokens").cast("double")).as("ratio"))
-      .select(col("lang"), (col("ratio") / max(col("ratio")).over(w))
+    val maxRatio = ratios.agg(max(col("ratio")).as("max_ratio"))
+    val rates = ratios.crossJoin(broadcast(maxRatio))
+      .select(col("lang"), (col("ratio") / col("max_ratio"))
         .as("keep_rate"))
     val hashFrac = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
       16, 10).cast("double") / 65536.0

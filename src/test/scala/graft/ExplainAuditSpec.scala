@@ -423,6 +423,34 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("blob"), s"unaccessed leaf survived into the scan:\n$p")
   }
 
+  test("suite sweep: no query plans an UNBOUNDED single-partition WindowExec") {
+    // The textbook scale-killer: Window with no PARTITION BY moves the
+    // whole input to one partition ("WARN WindowExec: No Partition
+    // Defined"). An unpartitioned window is acceptable ONLY when its
+    // input is already bounded by a limit (TakeOrderedAndProject /
+    // Global/CollectLimit) — e.g. s06 ranks a 50-row candidate list.
+    // This sweeps EVERY SparkEntry query so the class of defect can
+    // never reappear anywhere in the suite.
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        (plan +: plan.subqueriesAll).flatMap(_.collect {
+          case w: WindowExec
+              if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: unbounded unpartitioned WindowExec over ${w.child.nodeName}"
+        })
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the scan→project hot path (t03)") {
     // AQE's wrapper reports 0 subtrees pre-execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
