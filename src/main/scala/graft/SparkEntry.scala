@@ -30,6 +30,7 @@ object SparkEntry {
       operators.SvmInstr.queries ++
       streaming.EventStreams.queries ++
       sinks.Writers.queries ++
+      sinks.ClickHouseDdl.queries ++
       pipeline.Incremental.queries ++
       pipeline.Orchestrator.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.SvmInstr.oracle ++
       streaming.EventStreams.oracle ++
       sinks.Writers.oracle ++
+      sinks.ClickHouseDdl.oracle ++
       pipeline.Incremental.oracle ++
       pipeline.Orchestrator.oracle
 }

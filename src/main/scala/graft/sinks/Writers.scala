@@ -66,16 +66,24 @@ object Writers {
   final case class JdbcSink(url: String, table: String,
       user: String = "default", password: String = "",
       batchSize: Int = 100000, numPartitions: Int = 8,
-      scratchDurability: Boolean = false) {
+      scratchDurability: Boolean = false,
+      // ClickHouse target spec: when set (and the URL is a ClickHouse
+      // one), the writer creates the table itself with the reference's
+      // MergeTree clauses (ClickHouseDdl.engineClause) and maps column
+      // types through the registered ClickHouse JDBC dialect
+      clickhouse: Option[ClickHouseDdl.ChTable] = None) {
     if (scratchDurability && url.startsWith("jdbc:derby:"))
       derbyScratchTuning
+    if (url.startsWith("jdbc:clickhouse")) ClickHouseDdl.ensureDialect()
     def options: Map[String, String] = Map(
       "url" -> url, "dbtable" -> table,
       "user" -> user, "password" -> password,
       "batchsize" -> batchSize.toString,
       "numPartitions" -> numPartitions.toString,
       "isolationLevel" -> "NONE",
-      "truncate" -> "true")
+      "truncate" -> "true") ++
+      clickhouse.map(t =>
+        "createTableOptions" -> ClickHouseDdl.engineClause(t))
 
     def write(df: DataFrame): Unit =
       df.coalesce(numPartitions).write.format("jdbc")
