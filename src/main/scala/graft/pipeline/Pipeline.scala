@@ -90,13 +90,50 @@ object Incremental {
     spark.read.parquet(sink).orderBy(col("event_id"))
   }
 
+  /** k24 — the MIN-probe half of db.py's public API (db.py:8-27
+    * get_min_block): MIN(key) over the sink per lifecycle phase, None
+    * (SQL NULL) while the sink is absent/empty, beside the MAX(key)+1
+    * resume point q12/k03 already gate (db.py:30-45's "no rows → start
+    * from 0"). Three probes — empty sink, after a partial load, after
+    * the full load — so both contracts are pinned across the sink's
+    * whole lifecycle, not just the steady state. The probes are
+    * row-group-statistics reads at scale, same as nextStart.
+    */
+  def k24MinBlockProbe(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.sources.Tables(spark, dir).events
+    val sink = graft.Scratch.dir("k24_") + "/sink"
+    def probe(phase: String): (String, Option[Long], Long) =
+      (phase, minKey(spark, sink, "event_id"),
+        nextStart(spark, sink, "event_id"))
+    val empty = probe("1_empty")
+    events.filter(col("event_id") >= 100 && col("event_id") < 500)
+      .write.mode("append").parquet(sink)
+    val partial = probe("2_partial")
+    events.filter(col("event_id") >= 500).write.mode("append").parquet(sink)
+    val full = probe("3_full")
+    import spark.implicits._
+    Seq(empty, partial, full).toDF("phase", "min_key", "next_start")
+      .orderBy(col("phase"))
+  }
+
   val oracle: Map[String, String] = Map(
     "k03_pipeline" ->
       """SELECT event_id, user_id, event_type, value * 2.0 AS boosted
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "k24_min_block_probe" ->
+      """SELECT '1_empty' AS phase, CAST(NULL AS BIGINT) AS min_key,
+        |  CAST(0 AS BIGINT) AS next_start
+        |UNION ALL
+        |SELECT '2_partial', MIN(event_id), MAX(event_id) + 1
+        |FROM events WHERE event_id >= 100 AND event_id < 500
+        |UNION ALL
+        |SELECT '3_full', MIN(event_id), MAX(event_id) + 1
+        |FROM events WHERE event_id >= 100
+        |ORDER BY phase""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k03_pipeline" -> (k03Pipeline _)
+    "k03_pipeline" -> (k03Pipeline _),
+    "k24_min_block_probe" -> (k24MinBlockProbe _)
   )
 }

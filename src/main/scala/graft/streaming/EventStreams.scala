@@ -638,6 +638,28 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  /** st21 — the typed provider request driving a stream: an
+    * `IngestRequest.EvmQuery` (block range, topic0 membership, log
+    * field selection — the cherry_core.ingest request shape,
+    * erc20_transfers.py:86-116) is applied by the SAME
+    * `applyLogRequest` the batch compiler uses, over the streaming
+    * events source. The request's range/filter/projection are plain
+    * predicates, so every micro-batch's file scan is pruned exactly as
+    * the batch plan is (OrchestratorSpec audits the batch twin's
+    * PushedFilters/ReadSchema). The oracle is the request semantics in
+    * SQL — stream, batch compile, and oracle share one contract.
+    */
+  def st21TypedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.IngestRequest._
+    val req = EvmQuery(
+      range = BlockRange(1000L, Some(5000L)),
+      logs = Seq(LogRequest(topic0 = Seq("click", "purchase"))),
+      fields = EvmFields(
+        log = Seq("event_id", "user_id", "event_type", "value")))
+    runToTable(applyLogRequest(eventsStream(spark, dir), req), "append")
+      .orderBy(col("event_id"))
+  }
+
   /** st15 — stream-static enrichment join: each arriving event joins a
     * STATIC dimension (here per-user lifetime totals precomputed from the
     * batch table — the token-decimals/pool-metadata shape) and emits its
@@ -887,6 +909,12 @@ object EventStreams {
     "st16_checkpoint_resume" ->
       """SELECT event_id, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "st21_typed_ingest" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_id >= 1000 AND event_id < 5000
+        |  AND event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin,
     "st15_stream_enrich" ->
       """WITH ut AS (
         |  SELECT user_id,
@@ -977,6 +1005,7 @@ object EventStreams {
     "st13_idempotent_sink" -> (st13IdempotentSink _),
     "st14_ingest_publish" -> (st14IngestPublish _),
     "st15_stream_enrich" -> (st15StreamEnrich _),
+    "st21_typed_ingest" -> (st21TypedIngest _),
     "st16_checkpoint_resume" -> (st16CheckpointResume _),
     "st17_stream_upsert" -> (st17StreamUpsert _),
     "st18_late_data" -> (st18LateData _),

@@ -69,4 +69,62 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getLong(0) < 500))
   }
+
+  test("typed EVM ingest request compiles to pruned, pushed-down scans") {
+    import graft.pipeline.IngestRequest._
+    val req = EvmQuery(
+      range = BlockRange(1000L, Some(5000L)),
+      logs = Seq(LogRequest(topic0 = Seq("click", "purchase"),
+        includeBlocks = true)),
+      fields = EvmFields(
+        block = Seq("o_orderkey", "o_orderdate"),
+        log = Seq("event_id", "user_id", "event_type", "value")))
+    val out = compileEvm(spark, sfDir, req)
+    assert(out.keySet === Set("logs", "blocks"))
+    val logsPlan = out("logs").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // range + topic0 membership reach the parquet scan as PushedFilters
+    assert(logsPlan.contains("GreaterThanOrEqual(event_id,1000)"),
+      s"range lower bound not pushed:\n$logsPlan")
+    assert(logsPlan.contains("LessThan(event_id,5000)"),
+      s"range upper bound not pushed:\n$logsPlan")
+    assert(logsPlan.contains("In(event_type, [click,purchase])"),
+      s"topic0 membership not pushed:\n$logsPlan")
+    // field selection prunes the scan: unrequested columns never read
+    assert(logsPlan.contains("ReadSchema: struct<event_id:bigint"), logsPlan)
+    assert(!logsPlan.contains("props"),
+      s"unrequested payload column survived into the scan:\n$logsPlan")
+    val blocksPlan = out("blocks").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(blocksPlan.contains("GreaterThanOrEqual(o_orderkey,1000)"),
+      blocksPlan)
+    assert(!blocksPlan.contains("o_comment"), blocksPlan)
+  }
+
+  test("typed SVM ingest request: program/discriminator filters + " +
+    "companion tables by include flags") {
+    import graft.pipeline.IngestRequest._
+    val req = SvmQuery(
+      range = BlockRange(0L, Some(2000L)),
+      instructions = Seq(InstructionRequest(
+        programId = Seq("click"),
+        includeTransactions = true,
+        includeTransactionTokenBalances = false)),
+      fields = SvmFields(
+        transaction = Seq("o_orderkey", "o_custkey"),
+        instruction = Seq("event_id", "event_type", "props")))
+    val out = compileSvm(spark, sfDir, req)
+    // token_balances NOT requested — the flag gates the table
+    assert(out.keySet === Set("instructions", "transactions"))
+    val rows = out("instructions").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("event_type") === "click"))
+    assert(rows.forall(_.getAs[Long]("event_id") < 2000L))
+    // a requested field that doesn't exist fails fast, named
+    val err = intercept[IllegalArgumentException] {
+      compileSvm(spark, sfDir, req.copy(fields =
+        req.fields.copy(instruction = Seq("event_id", "no_such_col"))))
+    }
+    assert(err.getMessage.contains("no_such_col"))
+  }
 }
