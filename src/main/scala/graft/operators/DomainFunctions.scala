@@ -34,15 +34,36 @@ object DomainFunctions {
           .as("disc"))
       .orderBy(col("source"))
 
-  /** f03 — keccak-256 event-signature topic0 (erc20_transfers.py:94).
-    * Rows-only: DuckDB has no keccak; FunctionsSpec pins the ERC-20
-    * Transfer topic0 vector. */
-  def f03KeccakTopic0(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("source")).distinct()
-      .select(col("source"),
-        lower(hex(keccak256(col("source").cast("binary")))).as("topic0"))
-      .orderBy(col("source"))
+  /** The canonical public EVM event signatures and their topic0 hashes
+    * (ERC-20 Transfer/Approval, ERC-721 ApprovalForAll, WETH
+    * Deposit/Withdrawal) — fixed public constants, usable as a VALUES
+    * oracle: DuckDB can't run keccak, but it can assert our keccak
+    * reproduces the universally-known digests. */
+  private[graft] val topic0Vectors: Seq[(String, String)] = Seq(
+    "Transfer(address,address,uint256)" ->
+      "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef",
+    "Approval(address,address,uint256)" ->
+      "8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925",
+    "ApprovalForAll(address,address,bool)" ->
+      "17307eab39ab6107e8899845ad3d59bd9653f200f220920489ca2b5937696c31",
+    "Deposit(address,uint256)" ->
+      "e1fffcc4923d04b559f4d29a8bfc6cda04eb5b0d3c460751c2402c5c5cc9109c",
+    "Withdrawal(address,uint256)" ->
+      "7fcf532c15f0a6db0bd6d0e038bea71d30d808c7d98cb3bf7268a95bf5081b65")
+
+  /** f03 — keccak-256 event-signature topic0 (erc20_transfers.py:94,
+    * evm_signature_to_topic0). The query runs the distributed keccak
+    * expression over the canonical public signature set; the DuckDB
+    * oracle is those signatures' KNOWN topic0 digests as a VALUES table
+    * — cross-engine drift in the keccak implementation fails the
+    * per-round gate, not just the unit spec. */
+  def f03KeccakTopic0(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    topic0Vectors.map(_._1).toDF("signature")
+      .select(col("signature"),
+        lower(hex(keccak256(col("signature").cast("binary")))).as("topic0"))
+      .orderBy(col("signature"))
+  }
 
   /** f04 — base58 encode∘decode round trip (base58_decode_string,
     * orca_swaps.py:235-260). Operates on a 32-byte digest — the same width
@@ -141,19 +162,34 @@ object DomainFunctions {
     }))
   }
 
+  /** The EIP-55 specification's own test vectors (all-caps, all-lower,
+    * and normal checksum cases) — public constants fit for a VALUES
+    * oracle. */
+  private[graft] val eip55Vectors: Seq[String] = Seq(
+    "0x52908400098527886E0F7030069857D2E4169EE7",
+    "0x8617E340B3D01FA5F11F306F4090FD50E238070D",
+    "0xde709f2102306220921060314715629080e2fb77",
+    "0x27b1fdb04752bbc536007a920d24acb045561c26",
+    "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+    "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+    "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+    "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb")
+
   /** f09 — EIP-55 checksummed addresses (the display/API form every EVM
     * tool round-trips; the reference's hex address columns are one
-    * `checksum()` away from user-facing). Addresses synthesized from
-    * doc_id; rows-only (no keccak in DuckDB) — FunctionsSpec pins the
-    * four official EIP-55 test vectors. */
+    * `checksum()` away from user-facing). The distributed checksum
+    * expression re-derives the EIP's own test vectors from their
+    * lowercased forms; the oracle is the spec's literal expected output
+    * — keccak drift fails the driver gate. */
   def f09Eip55Checksum(spark: SparkSession, dir: String): DataFrame = {
-    val addr = lpad(lower(hex(
-      col("doc_id") * lit(7919L) + col("n_chars"))), 40, "0")
-    Tables(spark, dir).documents
-      .select(col("doc_id"), addr.as("addr_lower"))
-      .select(col("doc_id"), col("addr_lower"),
-        eip55(col("addr_lower")).as("addr_checksummed"))
-      .orderBy(col("doc_id"))
+    import spark.implicits._
+    eip55Vectors.toDF("addr_expected")
+      .select(lower(substring(col("addr_expected"), 3, 40))
+        .as("addr_lower"))
+      .select(col("addr_lower"),
+        concat(lit("0x"), eip55(col("addr_lower")))
+          .as("addr_checksummed"))
+      .orderBy(col("addr_lower"))
   }
 
   /** f10 — function-CALLDATA decode (the tx-input twin of the event
@@ -213,6 +249,20 @@ object DomainFunctions {
   }
 
   val oracle: Map[String, String] = Map(
+    // f03/f09: the VALUES tables are the public known-answer vectors the
+    // queries re-derive with the distributed keccak — generated from the
+    // same Scala constants so oracle and engine cannot drift
+    "f03_keccak_topic0" ->
+      topic0Vectors.sortBy(_._1)
+        .map { case (s, t) => s"  ('$s', '$t')" }
+        .mkString("SELECT * FROM (VALUES\n", ",\n",
+          "\n) AS t(signature, topic0) ORDER BY signature"),
+    "f09_eip55_checksum" ->
+      eip55Vectors.map(a => s"  ('$a')")
+        .mkString(
+          "SELECT lower(substr(a, 3, 40)) AS addr_lower, " +
+            "a AS addr_checksummed FROM (VALUES\n", ",\n",
+          "\n) AS t(a) ORDER BY addr_lower"),
     // f11: decode of the synthesized payload must recover the arithmetic
     // the encode side started from, across all three prefix widths
     "f11_shortvec" ->

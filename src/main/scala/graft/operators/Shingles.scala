@@ -20,10 +20,20 @@ object Shingles {
       i => make(concat_ws(" ", slice(ws, i, lit(width)))))
 
   /** width-word shingle hashes; short docs fall back to one whole-text
-    * hash (the d02/t04 contract: every doc gets a non-empty signature). */
-  def hashes(ws: Column, text: Column, width: Int): Column =
-    when(size(ws) >= width, windows(ws, width, xxhash64(_)))
-      .otherwise(array(xxhash64(text)))
+    * hash (the d02/t04 contract: every doc gets a non-empty signature).
+    * `h` is the hash kernel: xxhash64 (codegen'd, default — d02) or an
+    * oracle-portable one (t04's md5-prefix, matching DuckDB exactly). */
+  def hashes(ws: Column, text: Column, width: Int,
+      h: Column => Column = xxhash64(_)): Column =
+    when(size(ws) >= width, windows(ws, width, h))
+      .otherwise(array(h(text)))
+
+  /** 60-bit integer hash both engines compute identically: the first 15
+    * hex digits of md5, parsed base-16 (Spark conv / DuckDB 0x-cast).
+    * Positive, collision-safe at corpus scale (2^60 space), and exactly
+    * reproducible in the oracle — unlike xxhash64, which DuckDB lacks. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** width-word shingle strings; short docs yield an EMPTY set (the d04
     * contract, matching its DuckDB oracle: no shingles → NULL/NaN jaccard

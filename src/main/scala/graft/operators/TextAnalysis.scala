@@ -92,15 +92,18 @@ object TextAnalysis {
 
   /** t04 — document fingerprint: min/max sampling over rolling 4-word
     * shingle hashes (the winnowing-style content fingerprint used for
-    * crawl-level dedup). xxhash64's fixed seed keeps it reproducible.
-    * Rows-only: spec pins shift-invariance (same shingles → same
-    * fingerprint) and mutation sensitivity.
+    * crawl-level dedup). The shingle hash is Shingles.md5Hash60 — pure
+    * deterministic integer math both engines spell identically — so the
+    * whole fingerprint is DuckDB-oracled end to end (shingling, hashing,
+    * min/max sampling, short-doc fallback); the spec additionally pins
+    * shift-invariance and mutation sensitivity.
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).documents
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        Shingles.hashes(col("ws"), col("text"), 4).as("sh"))
+        Shingles.hashes(col("ws"), col("text"), 4, Shingles.md5Hash60)
+          .as("sh"))
       .select(col("doc_id"), array_min(col("sh")).as("fp_min"),
         array_max(col("sh")).as("fp_max"), size(col("sh")).as("n_shingles"))
       .orderBy(col("doc_id"))
@@ -818,6 +821,26 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // t04: the md5Hash60 kernel spelled identically — DuckDB's 0x-cast
+    // parses the same 15 md5 hex digits Spark's conv does; shingle
+    // windows are 1-based 4-wide slices in both engines
+    "t04_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 4 THEN
+        |      list_transform(range(1, len(ws) - 2),
+        |        i -> CAST(('0x' || substr(md5(
+        |          array_to_string(list_slice(ws, i, i + 3), ' ')), 1, 15))
+        |          AS BIGINT))
+        |    ELSE [CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)]
+        |    END AS sh
+        |  FROM d)
+        |SELECT doc_id, list_min(sh) AS fp_min, list_max(sh) AS fp_max,
+        |  len(sh) AS n_shingles
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t20_boilerplate_strip" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
