@@ -134,7 +134,16 @@ object ExprImpl {
 
   /** Plain inner product (no normalization) — the MIPS/recommender
     * scoring kernel; float elements widen to double BEFORE multiply so
-    * the DuckDB oracle (DOUBLE[] lists) does bit-identical work. */
+    * the DuckDB oracle (DOUBLE[] lists) does bit-identical work.
+    *
+    * TOTAL-FUNCTION CONTRACT (deliberate, like the codec family's
+    * allow_decode_fail): null elements contribute 0 and ragged lengths
+    * truncate to the shorter vector — a scoring kernel inside a
+    * corpus-wide scan must never throw or null-cascade on one malformed
+    * embedding. This DIVERGES from DuckDB's list_inner_product (NULL
+    * propagation, equal lengths assumed): the oracles only ever compare
+    * the two on dense equal-length vectors, where they agree bitwise.
+    * Same contract in [[cosineSim]]. */
   def dotProduct(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0

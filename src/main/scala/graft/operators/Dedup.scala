@@ -394,15 +394,28 @@ object Dedup {
         .filter(col("doc_id") < 350 && pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       .select(col("doc_id"), md5(col("text")).as("h"))
-    val bloom = hist.stat.bloomFilter("h", 1000000L, 0.01)
+    val fpp = 0.01
+    val bloom = hist.stat.bloomFilter("h", 1000000L, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val cand = newb.filter((r: org.apache.spark.sql.Row) =>
       bc.value.mightContainString(r.getString(1)))
     val (nBatch, nCand) = (newb.count(), cand.count())
-    require(nCand < nBatch / 2,
-      s"bloom must prune the batch before the join: $nCand of $nBatch")
     val dupIds = cand.join(hist.select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id").as("dup_id"))
+      .localCheckpoint(true)
+    // The enforceable contract is data-INdependent: candidates beyond
+    // the true dups are bloom false positives, bounded by the CONFIGURED
+    // fpp (3× + slack for variance) — a corpus with any dup ratio passes
+    // as long as the bloom itself behaves. The pruning RATIO is workload
+    // telemetry (depends on the batch's dup fraction), so it is logged,
+    // not asserted.
+    val nDups = dupIds.count()
+    require(nCand - nDups <= math.max(16L, (3 * fpp * nBatch).toLong + 16L),
+      s"bloom false-positive rate blew past configured fpp=$fpp: " +
+        s"$nCand candidates for $nDups true dups in a $nBatch-row batch")
+    System.err.println(f"[d11] bloom pruned $nBatch%d → $nCand%d " +
+      f"(${100.0 * (nBatch - nCand) / math.max(1L, nBatch)}%.1f%% rejected " +
+      f"pre-shuffle; $nDups%d true dups)")
     newb.join(dupIds, col("doc_id") === col("dup_id"), "left")
       .select(col("doc_id"), col("dup_id").isNotNull.as("is_dup"))
       .orderBy(col("doc_id"))

@@ -370,13 +370,32 @@ object Pipelines {
     val root = graft.Scratch.dir("p12_")
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("value"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-    // chunk size scales with the key range so the chunk COUNT (the
-    // driver-paced job count) stays ~constant at any SF — at a real
-    // deployment this is the retry-granularity knob, not a row count
-    val chunk = math.max(2000L, maxId / 6)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The chunk grid is PINNED for the lifetime of one backfill: width
+    // and key ceiling are written to a run manifest at start and read
+    // back on resume — recomputing them from the live table would shift
+    // the grid if the table grew between crash and rerun, making old
+    // _DONE markers cover different key ranges (silent skips/overlaps).
+    // Rows above the pinned ceiling are a NEW backfill's work.
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_MANIFEST")
+    val (chunk, maxId) =
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val line = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        val Array(c, m) = line.split(",").map(_.toLong)
+        (c, m)
+      } else {
+        val m = ev.agg(max(col("event_id"))).head().getLong(0)
+        // chunk size scales with the key range so the chunk COUNT (the
+        // driver-paced job count) stays ~constant at any SF — at a real
+        // deployment this is the retry-granularity knob, not a row count
+        val c = math.max(2000L, m / 6)
+        val out = fs.create(manifest, true)
+        out.write(s"$c,$m".getBytes("UTF-8")); out.close()
+        (c, m)
+      }
     def marker(lo: Long) =
       new org.apache.hadoop.fs.Path(s"$root/chunk_$lo/_DONE")
     def runBackfill(): Long = {

@@ -793,15 +793,23 @@ object Writers {
     * contract, complementing k09's copy-on-write mergeUpsert. Periodic
     * folding of the delta log back into base is k08's compaction. */
   def mergeOnReadView(spark: SparkSession, base: String, deltas: String,
-      keyCols: Seq[String], versionCol: String): DataFrame = {
+      keyCols: Seq[String], versionCol: String): DataFrame =
+    mergeOnReadView(spark, base, spark.read.parquet(deltas), keyCols,
+      versionCol)
+
+  /** Delta-side-as-DataFrame overload: lets a committed-batches reader
+    * (st17's IdempotentSink) or any other curated delta source feed the
+    * view without materializing to one directory first. */
+  def mergeOnReadView(spark: SparkSession, base: String,
+      deltaRows: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = spark.read.parquet(base)
       .withColumn(versionCol, lit(1L))
       .withColumn("__deleted", lit(false))
-    val d = spark.read.parquet(deltas)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
-    b.unionByName(d.select(b.columns.map(col): _*))
+    b.unionByName(deltaRows.select(b.columns.map(col): _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__deleted"))
       .drop("__rn", "__deleted")
@@ -951,8 +959,22 @@ object Writers {
       stageVersion(spark, s"$root/dict", v, d)
     }
     // ONE pointer for the pair: both tables' versions move together —
-    // the swap discipline is publishPointer's, at the pair root
-    def publishPair(v: Int): Unit = publishPointer(spark, root, v)
+    // the swap discipline is publishPointer's, at the pair root. The
+    // publish FIRST verifies every member has a staged manifest for v:
+    // a mistaken publish of a half-staged version (the abandoned
+    // facts-only v3 below) must fail AT PUBLISH TIME, not later at some
+    // reader's readVersion.
+    def publishPair(v: Int): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val missing = Seq("facts", "dict").filterNot(m => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/$m/manifest_v$v.txt")))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"publishPair($v): member(s) ${missing.mkString(", ")} have no " +
+            s"staged manifest_v$v — refusing to publish a torn pair")
+      publishPointer(spark, root, v)
+    }
     def currentPair(): (DataFrame, DataFrame) = {
       val v = slurpFile(spark, s"$root/CURRENT").trim.toInt
       (readVersion(spark, s"$root/facts", v),
@@ -964,6 +986,11 @@ object Writers {
     publishPair(2)
     stageVersion(spark, s"$root/facts", 3,
       ev.filter(col("event_id") < 100)) // abandoned: dict v3 never staged
+    // the guard under test: publishing the torn v3 must fail loudly and
+    // leave CURRENT untouched
+    val torn = try { publishPair(3); false }
+    catch { case e: IllegalStateException => e.getMessage.contains("dict") }
+    require(torn, "publishPair(3) must refuse the half-staged pair")
     val (facts, d) = currentPair()
     require(slurpFile(spark, s"$root/CURRENT").trim == "2",
       "CURRENT must still be the complete v2 pair")

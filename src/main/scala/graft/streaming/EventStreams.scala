@@ -720,11 +720,16 @@ object EventStreams {
     * and stream implement one contract and share one oracle: the
     * update-then-delete (15-multiples) and update-only paths must land
     * identically however the source splits into micro-batches, because
-    * resolution is by version, not arrival order.
+    * resolution is by version, not arrival order. The delta log goes
+    * through st13's IdempotentSink (marker-after-data committer) and
+    * every batch is deliberately delivered twice — exactly-once is
+    * structural, not an accident of bit-identical duplicates winning
+    * the same window slot.
     */
   def st17StreamUpsert(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.Scratch.dir("st17_")
-    val (base, deltas) = (s"$root/base", s"$root/deltas")
+    val base = s"$root/base"
+    val deltaLog = IdempotentSink(s"$root/deltas")
     graft.sources.Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
@@ -741,13 +746,15 @@ object EventStreams {
       .withColumn("__deleted", lit(true))
     val q = upd.unionByName(del).writeStream
       .option("checkpointLocation", s"$root/chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(deltas): Unit
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        deltaLog.writeBatch(batch, id)
+        deltaLog.writeBatch(batch, id) // simulated post-failure replay
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     graft.sinks.Writers
-      .mergeOnReadView(spark, base, deltas, Seq("event_id"), "version")
+      .mergeOnReadView(spark, base, deltaLog.read(spark),
+        Seq("event_id"), "version")
       .orderBy(col("event_id"))
   }
 
