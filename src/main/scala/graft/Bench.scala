@@ -24,6 +24,23 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // st-family wall times are dominated by the micro-batch scheduling
+    // floor (forced AvailableNow triggers + awaitTermination), not
+    // compute. This listener accumulates the engine's own
+    // triggerExecution durations so BENCH_FULL can report actual batch
+    // EXECUTION seconds beside wall seconds per streaming query.
+    val batchMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs.get("triggerExecution")
+          if (d != null) batchMs.addAndGet(d.longValue()): Unit
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+
     // warmup: JIT + codegen + parquet footer caches, so query 1 isn't
     // charged the JVM's cold start
     try run(SparkEntry.queries("q01_agg_filter")) catch { case _: Throwable => }
@@ -47,7 +64,10 @@ object Bench {
         "would otherwise bench nothing and report a vacuous total")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    final case class R(name: String, median: Double, min: Double,
+      max: Double, streamExecSec: Double, ok: Boolean)
     val results = selected.map { case (name, fn) =>
+      val execBefore = batchMs.get()
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
@@ -58,17 +78,20 @@ object Bench {
       val sorted = times.sorted
       val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
       val min = if (sorted.isEmpty) -1.0 else sorted.head
-      (name, median, min, ok)
+      val max = if (sorted.isEmpty) -1.0 else sorted.last
+      // per-rep average of the engine-reported batch execution time —
+      // 0 for batch queries, the honest compute number for st-family
+      val exec = (batchMs.get() - execBefore) / 1e3 / reps
+      R(name, median, min, max, exec, ok)
     }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    def qmap(f: ((String, Double, Double, Boolean)) => String,
-             keep: String => Boolean): String =
-      results.collect { case r @ (k, _, _, _) if keep(k) =>
-        "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
-    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"")
+    def qmap(f: R => String, keep: String => Boolean): String =
+      results.collect { case r if keep(r.name) =>
+        "\"" + r.name + "\":" + f(r) }.mkString("{", ",", "}")
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
-    val total = results.filter(_._4).map(_._2).sum
-    val totalMin = results.filter(_._4).map(_._3).sum
+    val total = results.filter(_.ok).map(_.median).sum
+    val totalMin = results.filter(_.ok).map(_.min).sum
     // The driver keeps only the FINAL ~2000 chars of output, so the
     // one-line JSON must (a) be the last thing printed — after
     // spark.stop(), whose streaming-teardown WARNs otherwise land after
@@ -84,12 +107,13 @@ object Bench {
       "t10_contamination", "p01_swaps_pipeline", "p03_erc20_pipeline",
       "p11_curation_pipeline", "st01_stream_window", "st04_stream_join",
       "k01_parquet_sink", "k04_bucketed_join")
-    val med = { r: (String, Double, Double, Boolean) =>
-      if (r._4) fmt(r._2) else "-1" }
-    val mn = { r: (String, Double, Double, Boolean) =>
-      if (r._4) fmt(r._3) else "-1" }
+    val med = { r: R => if (r.ok) fmt(r.median) else "-1" }
+    val mn = { r: R => if (r.ok) fmt(r.min) else "-1" }
+    val mx = { r: R => if (r.ok) fmt(r.max) else "-1" }
+    val ex = { r: R => if (r.ok) fmt(r.streamExecSec) else "-1" }
+    val streaming = results.filter(r => r.streamExecSec > 0.0).map(_.name).toSet
     val full =
-      f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size}%d,"queries":${qmap(med, _ => true)},"queries_min":${qmap(mn, _ => true)},"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size}%d,"queries":${qmap(med, _ => true)},"queries_min":${qmap(mn, _ => true)},"queries_max":${qmap(mx, _ => true)},"stream_exec_sec":${qmap(ex, streaming)},"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     spark.sparkContext.setLogLevel("OFF")

@@ -259,14 +259,18 @@ object Dedup {
     while (changed > 0 && rounds < 50) {
       val prop = sym.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("root")).as("nroot"))
+      // the convergence flag rides the propagation row itself — the old
+      // per-round labels⋈next re-join (a second shuffle + full recompute
+      // of the round) collapses into a count over the checkpointed
+      // blocks: one distributed round per iteration, plus a
+      // memory-local count
       val next = labels.join(prop, col("node") === col("a"), "left")
         .select(col("node"),
-          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"),
+          (coalesce(col("nroot"), col("root")) < col("root")).as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("node"), col("root").as("oroot")), Seq("node"))
-        .filter(col("root") < col("oroot")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       rounds += 1
     }
     labels
