@@ -153,10 +153,23 @@ object Dedup {
   def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.lsh_sign_bits
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    // Band width SCALES WITH THE CORPUS so per-bucket occupancy stays
+    // ~bounded (~64 vectors) and the bucket join stays linear in n — a
+    // FIXED width is a hidden n²/2^bits quadratic that the sf1 rehearsal
+    // measured as a 300 s cliff at 20k vectors (16 buckets/band). The
+    // count() is metadata-only (parquet row-group stats). Recall for
+    // borderline-τ pairs decays as bands widen — the standard (b,r)
+    // trade; exact/near-exact dups (the 100 TB bulk) collide at any
+    // width, and the d05 exact path stays the τ-complete baseline.
+    val n = e.count()
+    val bandBits = math.min(8, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64 - 1))))
+    val mask = (1L << bandBits) - 1
     val bands = e
-      .select(col("vec_id"), lsh_sign_bits(col("embedding"), 32).as("sig"))
+      .select(col("vec_id"),
+        lsh_sign_bits(col("embedding"), 8 * bandBits).as("sig"))
       .select(col("vec_id"), posexplode(array((0 to 7).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*))
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
     val cand = bands.as("a")
       .join(bands.as("b"),

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Generate /tmp/sf1 rehearsal data: 10x key-offset replication of sf0.1.
+
+Fact tables replicate with per-copy key offsets (lineitem/orders share one
+stride so their join keys stay consistent); dimension tables copy as-is.
+events.ts must keep its parquet TIMESTAMP(NANOS) physical type (Spark reads
+it via nanosAsLong + Tables.normalizeEventTs), so events goes through
+pyarrow, not DuckDB (which rewrites ns->us and breaks the ts contract).
+
+The replicated corpus is deliberately adversarial for dedup: every doc/
+embedding exists 10x verbatim — the high-dup regime a crawl corpus shows.
+"""
+import shutil
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+COPIES = 10
+
+con = duckdb.connect()
+stride = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+dc = con.sql(f"SELECT MAX(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+vc = con.sql(f"SELECT MAX(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+
+def rep(table, key, k):
+    sels = " UNION ALL ".join(
+        f"SELECT {key} + {i*k} AS {key}, * EXCLUDE ({key}) FROM '{SRC}/{table}.parquet'"
+        for i in range(COPIES))
+    con.sql(f"COPY ({sels}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+
+rep("lineitem", "l_orderkey", stride)
+rep("orders", "o_orderkey", stride)
+rep("documents", "doc_id", dc)
+rep("embeddings", "vec_id", vc)
+
+src = pq.read_table(f"{SRC}/events.parquet")
+ev = con.sql(f"SELECT MAX(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
+parts = [src.set_column(src.schema.get_field_index("event_id"), "event_id",
+                        pa.compute.add(src.column("event_id"), i * ev))
+         for i in range(COPIES)]
+pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet")
+
+for t in ["customer", "supplier", "part", "nation", "region"]:
+    shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+print("sf1 written to", DST)
