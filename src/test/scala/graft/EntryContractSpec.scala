@@ -18,14 +18,15 @@ class EntryContractSpec extends AnyFunSuite {
     // (each of these is backed by a behavior spec) — not a forgotten
     // oracle silently downgrading the gate to rows>0
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // r5 promoted t04 (md5Hash60 kernel), f03/f09 (known-answer VALUES
+    // oracles) out of this list — 14 remain, each hash-family or
+    // sketch-bound, each backed by a named behavior spec
     val expected = Set(
       "d02_dedup_minhash", "d03_dedup_simhash", "d06_dedup_embedding_lsh",
       "d09_semdedup", "d12_incremental_lsh_index", "d13_dedup_eval",
-      "f03_keccak_topic0", "f09_eip55_checksum",
       "m07_phash_dedup",
       "s02_ann_lsh", "s03_ann_ivf", "s04_ann_quantized", "s05_ann_pq",
-      "t04_fingerprint", "t05_corpus_stats", "t17_bpe_train",
-      "t18_bpe_encode")
+      "t05_corpus_stats", "t17_bpe_train", "t18_bpe_encode")
     assert(rowsOnly === expected,
       "rows-only set drifted — add the oracle or update this list " +
         "WITH a backing spec")
