@@ -423,6 +423,12 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("blob"), s"unaccessed leaf survived into the scan:\n$p")
   }
 
+  test("s06: branch top-50 cuts plan as TakeOrderedAndProject, not a sort") {
+    val p = plan(Similarity.s06HybridSearch(spark, sfDir))
+    assert(countOf(p, "TakeOrderedAndProject") >= 2,
+      s"each retrieval branch must cut via a distributed top-k heap:\n$p")
+  }
+
   test("suite sweep: no query plans an UNBOUNDED single-partition WindowExec") {
     // The textbook scale-killer: Window with no PARTITION BY moves the
     // whole input to one partition ("WARN WindowExec: No Partition
