@@ -429,7 +429,8 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"each retrieval branch must cut via a distributed top-k heap:\n$p")
   }
 
-  test("suite sweep: no query plans an UNBOUNDED single-partition WindowExec") {
+  test("suite sweep: no unbounded single-partition WindowExec, " +
+    "no CartesianProduct, in any registered query plan") {
     // The textbook scale-killer: Window with no PARTITION BY moves the
     // whole input to one partition ("WARN WindowExec: No Partition
     // Defined"). An unpartitioned window is acceptable ONLY when its
@@ -445,6 +446,12 @@ class ExplainAuditSpec extends AnyFunSuite {
            _: CollectLimitExec => true
       case _ => false
     }
+    // Same sweep, second contract: CartesianProductExec means BOTH join
+    // sides shuffle-free-nothing — an n×m disaster at scale. Broadcast
+    // nested-loop joins (one side bounded+broadcast) are fine and are
+    // how the intentional cross joins (scalar-aggregate broadcasts,
+    // bounded ANN query sides) plan.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.sparkPlan
@@ -452,6 +459,8 @@ class ExplainAuditSpec extends AnyFunSuite {
           case w: WindowExec
               if w.partitionSpec.isEmpty && !bounded(w.child) =>
             s"$name: unbounded unpartitioned WindowExec over ${w.child.nodeName}"
+          case c: CartesianProductExec =>
+            s"$name: CartesianProductExec (${c.left.nodeName} × ${c.right.nodeName})"
         })
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
