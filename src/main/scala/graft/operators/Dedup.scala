@@ -35,37 +35,57 @@ object Dedup {
     * (DedupSpec pins recall on planted near-dups).
     */
   def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
-      .select(col("doc_id"), col("sh"), minhashes(col("sh"), 16).as("mh"))
-    // candidate generation shuffles ONLY (doc_id, band, bucket) — 24
-    // bytes/row. The shingle arrays (≈ the corpus itself) never enter the
-    // band join; they're fetched per *surviving pair* afterwards. At
-    // 100 TB that's the difference between shuffling 100 TB twice and
-    // shuffling a few TB of ids.
-    val bands = docs.select(col("doc_id"),
+    // EXACT-DUP PRE-COLLAPSE (same discipline as d03, measured there at
+    // 8× on the sf1 10×-verbatim rehearsal): identical texts share
+    // shingle sets, minhash signatures and buckets, so shingling,
+    // banding AND the exact-jaccard verify run once per DISTINCT text;
+    // member pairs expand afterwards with equi-joins. Identical-text
+    // pairs are jaccard 1.0 by definition — no verify needed.
+    val members = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .localCheckpoint(true)
+    val reps = Tables(spark, dir).documents
+      .select(md5(col("text")).as("th"), col("text"))
+      .dropDuplicates("th")
+      .select(col("th"), split(col("text"), " ").as("ws"), col("text"))
+      .select(col("th"), Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
+      .select(col("th"), col("sh"), minhashes(col("sh"), 16).as("mh"))
+    // candidate generation shuffles ONLY (th, band, bucket). The shingle
+    // arrays (≈ the corpus itself) never enter the band join; they're
+    // fetched per *surviving distinct-text pair* afterwards. At 100 TB
+    // that's the difference between shuffling 100 TB twice and
+    // shuffling a few TB of keys.
+    val bands = reps.select(col("th"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
         .as(Seq("band", "bucket")))
-    val pairs = bands.as("a")
+    val thPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .dropDuplicates("a", "b")
-    val shingles = docs.select(col("doc_id"), col("sh"))
-    pairs
-      .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
-      .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-      .select(col("a"), col("b"),
+          col("a.th") < col("b.th"))
+      .select(col("a.th").as("ta"), col("b.th").as("tb"))
+      .dropDuplicates("ta", "tb")
+    val shingles = reps.select(col("th"), col("sh"))
+    val repPairs = thPairs
+      .join(shingles.select(col("th").as("ta"), col("sh").as("sha")), Seq("ta"))
+      .join(shingles.select(col("th").as("tb"), col("sh").as("shb")), Seq("tb"))
+      .select(col("ta"), col("tb"),
         (size(array_intersect(array_distinct(col("sha")), array_distinct(col("shb"))))
           .cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-      .orderBy(col("a"), col("b"))
+    val cross = repPairs
+      .join(members.select(col("th").as("ta"), col("doc_id").as("ia")), Seq("ta"))
+      .join(members.select(col("th").as("tb"), col("doc_id").as("ib")), Seq("tb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("jaccard"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy(col("a"), col("b"))
   }
 
   /** d03 — SimHash near-dup: 64-bit per-token-majority signature, bucketed
@@ -78,20 +98,46 @@ object Dedup {
       .select(col("doc_id"),
         simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
           .as("sig"))
-    val bands = docs.select(col("doc_id"), col("sig"),
+      .localCheckpoint(true) // read twice below (band join + expansion)
+    // EXACT-DUP PRE-COLLAPSE (the standard crawl-dedup order: exact
+    // before near): verbatim copies share a signature, and a high-dup
+    // corpus makes every duplicated doc re-verify against every bucket
+    // mate — the sf1 rehearsal (10× verbatim density) measured 34 s.
+    // Band-join and hamming-verify once per DISTINCT signature, then
+    // expand sig-pairs back to doc pairs with two equi-joins: the
+    // quadratic work is now sized to the distinct-signature set and the
+    // OUTPUT (which is inherently pair-quadratic in dup multiplicity —
+    // d08 is the cluster-output form when pairs are not required).
+    val sigs = docs.select(col("sig")).distinct()
+    val bands = sigs.select(col("sig"),
       posexplode(array((0 to 3).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
-    bands.as("a")
+    val sigPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+          col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .dropDuplicates("a", "b")
+      .dropDuplicates("sa", "sb")
       .filter(col("hamming") <= 3)
-      .orderBy(col("a"), col("b"))
+    // cross-group expansion: every member pair of a near-dup sig pair
+    val cross = sigPairs
+      .join(docs.select(col("sig").as("sa"), col("doc_id").as("ia")),
+        Seq("sa"))
+      .join(docs.select(col("sig").as("sb"), col("doc_id").as("ib")),
+        Seq("sb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    // within-group pairs: identical signatures, hamming 0
+    val within = docs.as("x")
+      .join(docs.as("y"),
+        col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionByName(within).orderBy(col("a"), col("b"))
   }
 
   /** d04 — exact n-gram Jaccard over a bounded subset (doc_id < 200): the
