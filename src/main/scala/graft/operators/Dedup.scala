@@ -396,22 +396,35 @@ object Dedup {
   def d10SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val W = 15
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"))
+    // EXACT-DUP PRE-COLLAPSE (d02/d03's discipline): a doc's span map
+    // depends only on its TEXT and the corpus-wide duplicated-window
+    // set, so the window explode, dup marking, and islands pass all run
+    // once per DISTINCT text. Corpus-wide occurrence counts stay exact
+    // via multiplicity weights (a window in a unique text that exists
+    // as 2 verbatim copies IS duplicated).
+    val members = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .localCheckpoint(true)
+    val groupSize = members.groupBy(col("th")).agg(count(lit(1)).as("nm"))
+    val texts = Tables(spark, dir).documents
+      .select(md5(col("text")).as("th"), col("text"))
+      .dropDuplicates("th")
+      .select(col("th"), ws.as("ws"))
+      .select(col("th"), col("ws"), size(col("ws")).as("n_words"))
       .filter(col("n_words") >= W)
-    val pos = docs.select(col("doc_id"), col("n_words"),
+    val pos = texts.select(col("th"), col("n_words"),
       explode(transform(sequence(lit(1), col("n_words") - (W - 1)),
         i => struct(i.as("p"),
           md5(concat_ws(" ", slice(col("ws"), i, lit(W)))).as("fp")))).as("w"))
-      .select(col("doc_id"), col("n_words"), col("w.p").as("p"),
+      .select(col("th"), col("n_words"), col("w.p").as("p"),
         col("w.fp").as("fp"))
-    val dupFp = pos.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val dupFp = pos.join(groupSize, Seq("th"))
+      .groupBy(col("fp")).agg(sum(col("nm")).as("c"))
       .filter(col("c") > 1).select(col("fp"))
     val spans = pos.join(dupFp, "fp")
-      .select(col("doc_id"), col("n_words"), col("p")).distinct()
+      .select(col("th"), col("n_words"), col("p")).distinct()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .partitionBy(col("th")).orderBy(col("p"))
     // equal-width spans sorted by start: a new island begins where the
     // gap to the previous start is >= W (previous span's end)
     val seg = spans
@@ -419,11 +432,12 @@ object Dedup {
         when(lag(col("p"), 1).over(w).isNull ||
           col("p") >= lag(col("p"), 1).over(w) + W, 1).otherwise(0))
       .withColumn("sid", sum(col("newseg")).over(w))
-    seg.groupBy(col("doc_id"), col("n_words"), col("sid"))
+    seg.groupBy(col("th"), col("n_words"), col("sid"))
       .agg((max(col("p")) + W - min(col("p"))).as("run_len"))
-      .groupBy(col("doc_id"), col("n_words"))
+      .groupBy(col("th"), col("n_words"))
       .agg(sum(col("run_len")).as("dup_words"),
         count(lit(1)).as("n_runs"))
+      .join(members, Seq("th"))
       .select(col("doc_id"), col("n_words"), col("dup_words"), col("n_runs"),
         round(col("dup_words").cast("double") /
           col("n_words").cast("double"), 6).as("dup_frac"))
