@@ -99,13 +99,25 @@ object TextAnalysis {
     * shift-invariance and mutation sensitivity.
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // exact-dup pre-collapse (d02/d03/d10's discipline): the fingerprint
+    // is a pure function of the text, so shingling+hashing runs once per
+    // DISTINCT text and joins back to doc ids — on a high-dup corpus
+    // (the sf1 rehearsal is 10×-verbatim) that is a 10× cut of the
+    // dominant md5-per-shingle work. Output is byte-identical.
+    val members = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("th"))
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
+      .select(md5(col("text")).as("th"), col("text"))
+      .dropDuplicates("th")
+      .select(col("th"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("th"),
         Shingles.hashes(col("ws"), col("text"), 4, Shingles.md5Hash60)
           .as("sh"))
-      .select(col("doc_id"), array_min(col("sh")).as("fp_min"),
+      .select(col("th"), array_min(col("sh")).as("fp_min"),
         array_max(col("sh")).as("fp_max"), size(col("sh")).as("n_shingles"))
+      .join(members, Seq("th"))
+      .select(col("doc_id"), col("fp_min"), col("fp_max"),
+        col("n_shingles"))
       .orderBy(col("doc_id"))
   }
 
