@@ -253,7 +253,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
-    val cents = Similarity.trainCentroids(e,
+    // quantizer trains on the bounded deterministic sample (gate-SF
+    // identical; see Similarity.trainSample), assignment is full-corpus
+    val cents = Similarity.trainCentroids(Similarity.trainSample(e),
       e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
       iters = 2)

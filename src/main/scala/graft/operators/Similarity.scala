@@ -94,6 +94,19 @@ object Similarity {
     * bucket) are bit-stable run to run. One assign pass + one two-level
     * agg per iteration; empty cells drop (standard k-means dropout).
     */
+  /** Bounded deterministic training sample (≤2048 vectors, every
+    * step-th id): quantizers converge on a sample regardless of corpus
+    * size, so TRAINING cost stays constant while assignment/encoding
+    * stays full-corpus. At the gate SFs (n ≤ 2048) the sample IS the
+    * corpus — results there are unchanged. Deterministic (id-stepped,
+    * no RNG) so trained codebooks stay bit-stable run to run. */
+  private[operators] def trainSample(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val step = math.max(1L, n / 2048L)
+    if (step == 1L) e
+    else e.filter(pmod(col("vec_id"), lit(step)) === 0)
+  }
+
   private[operators] def trainCentroids(e: DataFrame, seed: DataFrame,
       iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -126,7 +139,7 @@ object Similarity {
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
     // seed with the first 16 vectors, then actually TRAIN the quantizer —
     // two deterministic Lloyd iterations (see trainCentroids)
-    val cents = trainCentroids(e,
+    val cents = trainCentroids(trainSample(e),
       e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
       iters = 2)
@@ -230,15 +243,19 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    // --- codebook: seed + one deterministic Lloyd refinement ---
+    // --- codebook: seed + one deterministic Lloyd refinement, trained
+    // on the bounded sample (trainSample — Jégou et al. train on ~100k
+    // for billion-vector indexes); ENCODING, which must see every
+    // vector, stays full-corpus ---
     val sv = subs(e, "vid")
+    val svTrain = subs(trainSample(e), "vid")
     var cb = subs(e.filter(col("vec_id") < k), "cid")
       .select(col("sub"), col("cid"), col("sv").as("cemb"))
     val aw = Window.partitionBy(col("vid"), col("sub"))
       .orderBy(col("d2"), col("cid"))
     locally {
       import org.apache.spark.sql.types.DecimalType
-      val assigned = sv.join(broadcast(cb), Seq("sub"))
+      val assigned = svTrain.join(broadcast(cb), Seq("sub"))
         .select(col("vid"), col("sub"), col("sv"), col("cid"),
           l2(col("sv"), col("cemb")).as("d2"))
         .withColumn("crnk", row_number().over(aw))
