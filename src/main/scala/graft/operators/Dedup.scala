@@ -199,37 +199,70 @@ object Dedup {
   def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.lsh_sign_bits
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
-    // Band width SCALES WITH THE CORPUS so per-bucket occupancy stays
-    // ~bounded (~64 vectors) and the bucket join stays linear in n — a
-    // FIXED width is a hidden n²/2^bits quadratic that the sf1 rehearsal
-    // measured as a 300 s cliff at 20k vectors (16 buckets/band). The
-    // count() is metadata-only (parquet row-group stats). Recall for
-    // borderline-τ pairs decays as bands widen — the standard (b,r)
-    // trade; exact/near-exact dups (the 100 TB bulk) collide at any
-    // width, and the d05 exact path stays the τ-complete baseline.
-    val n = e.count()
-    val bandBits = math.min(8, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64 - 1))))
+    // EXACT-DUP PRE-COLLAPSE (d02/d03/d10's discipline, keyed on the
+    // embedding payload): verbatim vector copies share buckets and a
+    // cosine of exactly cos(rep, rep), so banding and verification run
+    // once per DISTINCT embedding; member pairs expand back afterwards.
+    val ehOf = md5(concat_ws(",", col("embedding")).cast("binary"))
+    val members = e.select(col("vec_id"), ehOf.as("eh"))
+      .localCheckpoint(true)
+    val reps = e.select(ehOf.as("eh"), col("embedding"))
+      .dropDuplicates("eh")
+    // Band geometry SCALES WITH THE DISTINCT-VECTOR COUNT so per-bucket
+    // occupancy stays ~bounded (~64): first widen bits, then — once the
+    // 64-plane signature caps 8×8 — trade bands for width (the sf10
+    // rehearsal showed the capped 8-bit bands going n²/256-quadratic at
+    // 200k vectors; bands×bits ≤ 64 keeps buckets ∝ n up to 2^16/band).
+    // The count() is metadata-only. Recall for borderline-τ pairs decays
+    // as bands widen/shrink — the standard (b,r) trade; exact/near-exact
+    // dups (the 100 TB bulk) collide at any geometry, and the d05 exact
+    // path stays the τ-complete baseline.
+    val n = reps.count()
+    val bandBits = math.min(16, math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64 - 1)))).toInt
+    val nBands = math.max(2, math.min(8, 64 / bandBits))
     val mask = (1L << bandBits) - 1
-    val bands = e
-      .select(col("vec_id"),
-        lsh_sign_bits(col("embedding"), 8 * bandBits).as("sig"))
-      .select(col("vec_id"), posexplode(array((0 to 7).map(b =>
+    val bands = reps
+      .select(col("eh"),
+        lsh_sign_bits(col("embedding"), nBands * bandBits).as("sig"))
+      .select(col("eh"), posexplode(array((0 until nBands).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
-      .dropDuplicates("a", "b")
-    cand
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
-      .select(col("a"), col("b"),
+          col("a.eh") < col("b.eh"))
+      .select(col("a.eh").as("ha"), col("b.eh").as("hb"))
+      .dropDuplicates("ha", "hb")
+    val repPairs = cand
+      .join(reps.select(col("eh").as("ha"), col("embedding").as("ea")),
+        Seq("ha"))
+      .join(reps.select(col("eh").as("hb"), col("embedding").as("eb")),
+        Seq("hb"))
+      .select(col("ha"), col("hb"),
         graft.functions.cosine_similarity(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= 0.45)
+    val cross = repPairs
+      .join(members.select(col("eh").as("ha"), col("vec_id").as("ia")),
+        Seq("ha"))
+      .join(members.select(col("eh").as("hb"), col("vec_id").as("ib")),
+        Seq("hb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("cos"))
+    // within-group pairs carry the rep's self-cosine (bit-identical to
+    // the pairwise kernel on two verbatim copies)
+    val selfCos = reps.select(col("eh"),
+      graft.functions.cosine_similarity(col("embedding"), col("embedding"))
+        .as("cos"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.eh") === col("y.eh") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.eh").as("eh"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"))
+      .join(selfCos, Seq("eh"))
+      .select(col("a"), col("b"), col("cos"))
+    cross.unionByName(within)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("a"), col("b"))
   }
@@ -253,31 +286,56 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
-    // quantizer trains on the bounded deterministic sample (gate-SF
-    // identical; see Similarity.trainSample), assignment is full-corpus
+    // EXACT-DUP PRE-COLLAPSE: verbatim vector copies always share a
+    // cluster and are mutual τ-neighbors (cos = cos(rep, rep) ≈ 1), so
+    // the drop rule "∃ earlier same-cluster member at cos ≥ τ" reduces
+    // to group-min arithmetic — a non-head copy always drops; a group
+    // HEAD drops iff some τ-neighbor group's earliest member precedes
+    // it. Clustering and the intra-cluster quadratic run on DISTINCT
+    // embeddings only (the sf10 rehearsal measured the raw form at
+    // 279 s; this is the same keep/drop decision bit for bit).
+    val ehOf = md5(concat_ws(",", col("embedding")).cast("binary"))
+    val members = e.select(col("vec_id"), ehOf.as("eh"))
+      .localCheckpoint(true)
+    val groupMin = members.groupBy(col("eh"))
+      .agg(min(col("vec_id")).as("gmin"))
+    val reps = e.select(ehOf.as("eh"), col("embedding"))
+      .dropDuplicates("eh")
+    // K SCALES WITH THE DISTINCT COUNT (the SemDeDup paper's own rule —
+    // K≈100k on LAION — which the old fixed K=8 ignored): ~256 vectors
+    // per cluster keeps each local quadratic bounded. Gate SFs
+    // (n ≤ 2048) keep K=8, so results there are unchanged.
+    val nDistinct = reps.count()
+    val k = math.max(8L, math.min(1024L, nDistinct / 256L)).toInt
     val cents = Similarity.trainCentroids(Similarity.trainSample(e),
-      e.filter(col("vec_id") < 8)
+      e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
       iters = 2)
-    val w = Window.partitionBy(col("vec_id"))
+    val w = Window.partitionBy(col("eh"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"),
+    val assigned = reps.join(broadcast(cents))
+      .select(col("eh"), col("embedding"),
         graft.functions.cosine_similarity(col("embedding"), col("cemb"))
           .as("ccos"),
         col("cid"))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") === 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
-    val dropped = assigned.as("a")
+      .select(col("cid"), col("eh"), col("embedding"))
+      .join(groupMin, Seq("eh"))
+    // earliest member id over a group's τ-neighbor groups in-cluster
+    val minNeighbor = assigned.as("a")
       .join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cid") === col("b.cid") && col("a.eh") =!= col("b.eh"))
       .filter(graft.functions
         .cosine_similarity(col("a.embedding"), col("b.embedding")) >= 0.45)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned
-      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+      .groupBy(col("b.eh").as("eh"))
+      .agg(min(col("a.gmin")).as("mn"))
+    members
+      .join(assigned.select(col("eh"), col("cid"), col("gmin")), Seq("eh"))
+      .join(minNeighbor, Seq("eh"), "left")
+      .select(col("vec_id"), col("cid"),
+        (col("vec_id") === col("gmin") &&
+          (col("mn").isNull || col("mn") > col("gmin"))).as("kept"))
       .orderBy(col("vec_id"))
   }
 
@@ -501,16 +559,24 @@ object Dedup {
   }
 
   /** (doc_id, band, bucket, mh) banding rows — the d02 construction,
-    * shared with d12's persisted index. */
+    * shared with d12's persisted index. Signatures compute once per
+    * DISTINCT text (the d02/d03 pre-collapse: identical texts have
+    * identical minhashes) and expand back to doc rows, so the emitted
+    * index is row-for-row what the per-doc form produced. */
   private def bandRows(docs: DataFrame): DataFrame = {
+    val members = docs.select(col("doc_id"), md5(col("text")).as("th"))
     val sigs = docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
+      .select(md5(col("text")).as("th"), col("text"))
+      .dropDuplicates("th")
+      .select(col("th"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("th"),
         minhashes(Shingles.hashes(col("ws"), col("text"), 3), 16).as("mh"))
-    sigs.select(col("doc_id"), col("mh"),
+    sigs.select(col("th"), col("mh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
         .as(Seq("band", "bucket")))
+      .join(members, Seq("th"))
+      .select(col("doc_id"), col("mh"), col("band"), col("bucket"))
   }
 
   /** Minhash-estimated jaccard between two stored 16-hash signatures —
