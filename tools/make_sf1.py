@@ -17,7 +17,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1"
-COPIES = 10
+COPIES = int(__import__("os").environ.get("GRAFT_SF_COPIES", "10"))
 
 con = duckdb.connect()
 stride = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
