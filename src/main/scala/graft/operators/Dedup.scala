@@ -33,14 +33,61 @@ object Dedup {
     * survivors. The only shuffle is the band-bucket join; candidate pairs
     * stay ~linear because only same-bucket docs ever meet. Rows-only
     * (DedupSpec pins recall on planted near-dups).
+    *
+    * DUP-DENSITY GATE (round 6): the exact-dup pre-collapse is a 3–8×
+    * win on high-dup corpora (sf1 10×-verbatim rehearsal) but pure
+    * join overhead on a ~unique one; a one-aggregate probe chooses the
+    * path. Outputs are bit-identical either way (DupGateSpec).
     */
   def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // EXACT-DUP PRE-COLLAPSE (same discipline as d03, measured there at
-    // 8× on the sf1 10×-verbatim rehearsal): identical texts share
-    // shingle sets, minhash signatures and buckets, so shingling,
-    // banding AND the exact-jaccard verify run once per DISTINCT text;
-    // member pairs expand afterwards with equi-joins. Identical-text
-    // pairs are jaccard 1.0 by definition — no verify needed.
+    val docs = Tables(spark, dir).documents
+    if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
+      d02Collapsed(spark, dir)
+    else d02Direct(spark, dir)
+  }
+
+  /** The direct per-doc path — right when the corpus is ~unique: no
+    * dropDuplicates of text payloads, no expansion joins. */
+  private[graft] def d02Direct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        minhashes(col("sh"), Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
+    // candidate generation shuffles ONLY (doc_id, band, bucket) — the
+    // shingle arrays (≈ the corpus itself) never enter the band join
+    val bands = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Lsh.MinhashBands - 1)),
+        b => xxhash64(slice(col("mh"), b * Lsh.MinhashRows + 1,
+          lit(Lsh.MinhashRows)))))
+        .as(Seq("band", "bucket")))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val shingles = docs.select(col("doc_id"), col("sh"))
+    pairs
+      .join(shingles.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shingles.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(array_distinct(col("sha")), array_distinct(col("shb"))))
+          .cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** The EXACT-DUP PRE-COLLAPSE path — right on high-dup corpora:
+    * identical texts share shingle sets, minhash signatures and buckets,
+    * so shingling, banding AND the exact-jaccard verify run once per
+    * DISTINCT text; member pairs expand afterwards with equi-joins.
+    * Identical-text pairs are jaccard 1.0 by definition — no verify
+    * needed. */
+  private[graft] def d02Collapsed(spark: SparkSession, dir: String): DataFrame = {
     val members = Tables(spark, dir).documents
       .select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint(true)
@@ -49,15 +96,17 @@ object Dedup {
       .dropDuplicates("th")
       .select(col("th"), split(col("text"), " ").as("ws"), col("text"))
       .select(col("th"), Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
-      .select(col("th"), col("sh"), minhashes(col("sh"), 16).as("mh"))
+      .select(col("th"), col("sh"),
+        minhashes(col("sh"), Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
     // candidate generation shuffles ONLY (th, band, bucket). The shingle
     // arrays (≈ the corpus itself) never enter the band join; they're
     // fetched per *surviving distinct-text pair* afterwards. At 100 TB
     // that's the difference between shuffling 100 TB twice and
     // shuffling a few TB of keys.
     val bands = reps.select(col("th"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
+      posexplode(transform(sequence(lit(0), lit(Lsh.MinhashBands - 1)),
+        b => xxhash64(slice(col("mh"), b * Lsh.MinhashRows + 1,
+          lit(Lsh.MinhashRows)))))
         .as(Seq("band", "bucket")))
     val thPairs = bands.as("a")
       .join(bands.as("b"),
@@ -95,23 +144,60 @@ object Dedup {
     */
   def d03DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // DUP-DENSITY GATE — see d02; outputs bit-identical on both paths.
+    // The key is the SIGNATURE itself (cheaper than md5(text), and
+    // exactly the collapse key the collapsed path groups on).
+    val sig = simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
+    if (DupDensity.probe(docs, sig).collapseWorthIt)
+      d03Collapsed(spark, dir)
+    else d03Direct(spark, dir)
+  }
+
+  /** Pigeonhole band split for the 64-bit SimHash — CORRECTNESS-pinned
+    * (hamming ≤ 3 ⇒ one of the 4 bands collides), so unlike d06/s02 it
+    * never scales with the corpus. */
+  private val simhashBands = Lsh.pigeonhole(64, maxHamming = 3)
+
+  /** Direct per-doc path — no collapse machinery when the corpus is
+    * ~unique. */
+  private[graft] def d03Direct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
+          .as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      posexplode(simhashBands.bucketArray(col("sig")))
+        .as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE path (the standard crawl-dedup order: exact
+    * before near): verbatim copies share a signature, and a high-dup
+    * corpus makes every duplicated doc re-verify against every bucket
+    * mate — the sf1 rehearsal (10× verbatim density) measured 34 s.
+    * Band-join and hamming-verify once per DISTINCT signature, then
+    * expand sig-pairs back to doc pairs with two equi-joins: the
+    * quadratic work is now sized to the distinct-signature set and the
+    * OUTPUT (which is inherently pair-quadratic in dup multiplicity —
+    * d08 is the cluster-output form when pairs are not required). */
+  private[graft] def d03Collapsed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
       .select(col("doc_id"),
         simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
           .as("sig"))
       .localCheckpoint(true) // read twice below (band join + expansion)
-    // EXACT-DUP PRE-COLLAPSE (the standard crawl-dedup order: exact
-    // before near): verbatim copies share a signature, and a high-dup
-    // corpus makes every duplicated doc re-verify against every bucket
-    // mate — the sf1 rehearsal (10× verbatim density) measured 34 s.
-    // Band-join and hamming-verify once per DISTINCT signature, then
-    // expand sig-pairs back to doc pairs with two equi-joins: the
-    // quadratic work is now sized to the distinct-signature set and the
-    // OUTPUT (which is inherently pair-quadratic in dup multiplicity —
-    // d08 is the cluster-output form when pairs are not required).
     val sigs = docs.select(col("sig")).distinct()
     val bands = sigs.select(col("sig"),
-      posexplode(array((0 to 3).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(simhashBands.bucketArray(col("sig")))
         .as(Seq("band", "bucket")))
     val sigPairs = bands.as("a")
       .join(bands.as("b"),
@@ -196,37 +282,70 @@ object Dedup {
     * quadratic anywhere. Rows-only (seeded hash family); LlmOpsSpec pins
     * containment in the exact pair set and recall on it.
     */
+  /** The one collapse key for embedding payloads (d06/d09). */
+  private def ehOf: Column = md5(concat_ws(",", col("embedding")).cast("binary"))
+
   def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    // DUP-DENSITY GATE — see d02. Band geometry (Lsh.scaled, shared by
+    // both paths) SCALES WITH THE DISTINCT-VECTOR COUNT so per-bucket
+    // occupancy stays ~bounded (~64): the sf10 rehearsal showed fixed
+    // 8-bit bands going n²/256-quadratic at 200k vectors. Both paths
+    // take the probe's HLL estimate, so the chosen geometry — and
+    // therefore the output — is path-independent (DupGateSpec). Recall
+    // for borderline-τ pairs decays as bands widen/shrink — the
+    // standard (b,r) trade; exact/near-exact dups (the 100 TB bulk)
+    // collide at any geometry, and the d05 exact path stays the
+    // τ-complete baseline.
+    val den = DupDensity.probe(e, ehOf)
+    val g = Lsh.scaled(den.distinctEst)
+    if (den.collapseWorthIt) d06Collapsed(spark, dir, g)
+    else d06Direct(spark, dir, g)
+  }
+
+  /** Direct per-vector path: one linear signature pass +
+    * hash-partitioned bucket joins on ids only; exact-cosine verify on
+    * survivors; no quadratic anywhere. */
+  private[graft] def d06Direct(spark: SparkSession, dir: String,
+      g: Lsh.BandGeometry): DataFrame = {
     import graft.functions.lsh_sign_bits
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
-    // EXACT-DUP PRE-COLLAPSE (d02/d03/d10's discipline, keyed on the
-    // embedding payload): verbatim vector copies share buckets and a
-    // cosine of exactly cos(rep, rep), so banding and verification run
-    // once per DISTINCT embedding; member pairs expand back afterwards.
-    val ehOf = md5(concat_ws(",", col("embedding")).cast("binary"))
+    val bands = e
+      .select(col("vec_id"), lsh_sign_bits(col("embedding"), g.planes).as("sig"))
+      .select(col("vec_id"), posexplode(g.bucketArray(col("sig")))
+        .as(Seq("band", "bucket")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.cosine_similarity(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE path (d02/d03/d10's discipline, keyed on
+    * the embedding payload): verbatim vector copies share buckets and a
+    * cosine of exactly cos(rep, rep), so banding and verification run
+    * once per DISTINCT embedding; member pairs expand back afterwards. */
+  private[graft] def d06Collapsed(spark: SparkSession, dir: String,
+      g: Lsh.BandGeometry): DataFrame = {
+    import graft.functions.lsh_sign_bits
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
     val members = e.select(col("vec_id"), ehOf.as("eh"))
       .localCheckpoint(true)
     val reps = e.select(ehOf.as("eh"), col("embedding"))
       .dropDuplicates("eh")
-    // Band geometry SCALES WITH THE DISTINCT-VECTOR COUNT so per-bucket
-    // occupancy stays ~bounded (~64): first widen bits, then — once the
-    // 64-plane signature caps 8×8 — trade bands for width (the sf10
-    // rehearsal showed the capped 8-bit bands going n²/256-quadratic at
-    // 200k vectors; bands×bits ≤ 64 keeps buckets ∝ n up to 2^16/band).
-    // The count() is metadata-only. Recall for borderline-τ pairs decays
-    // as bands widen/shrink — the standard (b,r) trade; exact/near-exact
-    // dups (the 100 TB bulk) collide at any geometry, and the d05 exact
-    // path stays the τ-complete baseline.
-    val n = reps.count()
-    val bandBits = math.min(16, math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64 - 1)))).toInt
-    val nBands = math.max(2, math.min(8, 64 / bandBits))
-    val mask = (1L << bandBits) - 1
     val bands = reps
-      .select(col("eh"),
-        lsh_sign_bits(col("embedding"), nBands * bandBits).as("sig"))
-      .select(col("eh"), posexplode(array((0 until nBands).map(b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+      .select(col("eh"), lsh_sign_bits(col("embedding"), g.planes).as("sig"))
+      .select(col("eh"), posexplode(g.bucketArray(col("sig")))
         .as(Seq("band", "bucket")))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -250,11 +369,15 @@ object Dedup {
         Seq("hb"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("cos"))
-    // within-group pairs carry the rep's self-cosine (bit-identical to
-    // the pairwise kernel on two verbatim copies)
+    // within-group pairs carry the rep's self-cosine AND pass the same
+    // τ filter the pairwise kernel applies — a degenerate (all-zero)
+    // embedding whose self-cosine is NaN must be dropped here exactly
+    // as the direct path drops its verbatim pair (one row per rep, so
+    // the filter is free)
     val selfCos = reps.select(col("eh"),
       graft.functions.cosine_similarity(col("embedding"), col("embedding"))
         .as("cos"))
+      .filter(col("cos") >= 0.45)
     val within = members.as("x")
       .join(members.as("y"),
         col("x.eh") === col("y.eh") && col("x.vec_id") < col("y.vec_id"))
@@ -283,34 +406,82 @@ object Dedup {
     * re-checks every keep/drop decision.
     */
   def d09SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // DUP-DENSITY GATE — see d02. K SCALES WITH THE DISTINCT COUNT (the
+    // SemDeDup paper's own rule — K≈100k on LAION — which the old fixed
+    // K=8 ignored): ~256 vectors per cluster keeps each local quadratic
+    // bounded. Both paths take K from the probe's HLL estimate, so the
+    // clustering — and the keep/drop output — is path-independent
+    // (DupGateSpec). Gate SFs (n ≤ 2048) keep K=8, results unchanged.
+    val den = DupDensity.probe(e, ehOf)
+    val k = math.max(8L, math.min(1024L, den.distinctEst / 256L)).toInt
+    if (den.collapseWorthIt) d09Collapsed(spark, dir, k)
+    else d09Direct(spark, dir, k)
+  }
+
+  /** Shared quantizer: s03's decimal-deterministic Lloyd centroids,
+    * trained on the bounded deterministic sample, seeded from the first
+    * k vectors — identical in both paths by construction. */
+  private def d09Centroids(e: DataFrame, k: Int): DataFrame =
+    Similarity.trainCentroids(Similarity.trainSample(e),
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
+      iters = 2)
+
+  /** Direct per-vector path: assign every vector, drop rule evaluated
+    * pairwise within each cluster — K local quadratics of ~N/K. */
+  private[graft] def d09Direct(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
-    // EXACT-DUP PRE-COLLAPSE: verbatim vector copies always share a
-    // cluster and are mutual τ-neighbors (cos = cos(rep, rep) ≈ 1), so
-    // the drop rule "∃ earlier same-cluster member at cos ≥ τ" reduces
-    // to group-min arithmetic — a non-head copy always drops; a group
-    // HEAD drops iff some τ-neighbor group's earliest member precedes
-    // it. Clustering and the intra-cluster quadratic run on DISTINCT
-    // embeddings only (the sf10 rehearsal measured the raw form at
-    // 279 s; this is the same keep/drop decision bit for bit).
-    val ehOf = md5(concat_ws(",", col("embedding")).cast("binary"))
+    val cents = d09Centroids(e, k)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.cosine_similarity(col("embedding"), col("cemb"))
+          .as("ccos"),
+        col("cid"))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions
+        .cosine_similarity(col("a.embedding"), col("b.embedding")) >= 0.45)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE path: verbatim vector copies always share a
+    * cluster and (for well-formed vectors) are mutual τ-neighbors with
+    * cos = cos(rep, rep), so the drop rule "∃ earlier same-cluster
+    * member at cos ≥ τ" reduces to group-min arithmetic. Clustering and
+    * the intra-cluster quadratic run on DISTINCT embeddings only (the
+    * sf10 rehearsal measured the raw form at 279 s) — same keep/drop
+    * decision bit for bit. The rep's SELF-cosine gates the within-group
+    * implication (a degenerate all-zero embedding fails its own τ test
+    * exactly as the direct path's pairwise filter does), so:
+    * kept ⟺ no earlier neighbor-group member (mn null or > vec_id)
+    *        AND (not a self-dup group, or this is the group head). */
+  private[graft] def d09Collapsed(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
     val members = e.select(col("vec_id"), ehOf.as("eh"))
       .localCheckpoint(true)
     val groupMin = members.groupBy(col("eh"))
       .agg(min(col("vec_id")).as("gmin"))
     val reps = e.select(ehOf.as("eh"), col("embedding"))
       .dropDuplicates("eh")
-    // K SCALES WITH THE DISTINCT COUNT (the SemDeDup paper's own rule —
-    // K≈100k on LAION — which the old fixed K=8 ignored): ~256 vectors
-    // per cluster keeps each local quadratic bounded. Gate SFs
-    // (n ≤ 2048) keep K=8, so results there are unchanged.
-    val nDistinct = reps.count()
-    val k = math.max(8L, math.min(1024L, nDistinct / 256L)).toInt
-    val cents = Similarity.trainCentroids(Similarity.trainSample(e),
-      e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cemb")),
-      iters = 2)
+    val cents = d09Centroids(e, k)
     val w = Window.partitionBy(col("eh"))
       .orderBy(col("ccos").desc, col("cid"))
     val assigned = reps.join(broadcast(cents))
@@ -330,12 +501,20 @@ object Dedup {
         .cosine_similarity(col("a.embedding"), col("b.embedding")) >= 0.45)
       .groupBy(col("b.eh").as("eh"))
       .agg(min(col("a.gmin")).as("mn"))
+    // does the group's rep pass its own τ test? (one row per rep; the
+    // SAME comparison operator as the pairwise filter, so NaN behaves
+    // identically on both paths)
+    val selfDup = assigned.select(col("eh"),
+      (graft.functions.cosine_similarity(col("embedding"), col("embedding"))
+        >= 0.45).as("selfdup"))
     members
       .join(assigned.select(col("eh"), col("cid"), col("gmin")), Seq("eh"))
       .join(minNeighbor, Seq("eh"), "left")
+      .join(selfDup, Seq("eh"))
       .select(col("vec_id"), col("cid"),
-        (col("vec_id") === col("gmin") &&
-          (col("mn").isNull || col("mn") > col("gmin"))).as("kept"))
+        ((col("mn").isNull || col("mn") > col("vec_id")) &&
+          (!coalesce(col("selfdup"), lit(false)) ||
+            col("vec_id") === col("gmin"))).as("kept"))
       .orderBy(col("vec_id"))
   }
 
@@ -454,14 +633,65 @@ object Dedup {
     * W=15 words ≈ the paper's 50-BPE-token threshold.
     */
   def d10SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val W = 15
+    // DUP-DENSITY GATE — see d02: the distinct-text collapse cut the
+    // sf1 10×-verbatim run 35 → 10.4 s but costs two extra joins a
+    // ~unique corpus shouldn't pay. Outputs bit-identical (DupGateSpec;
+    // also proven by the full d10 SQL oracle on both gate SFs).
+    val docs = Tables(spark, dir).documents
+    if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
+      d10Collapsed(spark, dir)
+    else d10Direct(spark, dir)
+  }
+
+  private val d10W = 15
+
+  /** Direct per-doc path: window-hash explode straight off doc_id. */
+  private[graft] def d10Direct(spark: SparkSession, dir: String): DataFrame = {
+    val W = d10W
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
-    // EXACT-DUP PRE-COLLAPSE (d02/d03's discipline): a doc's span map
-    // depends only on its TEXT and the corpus-wide duplicated-window
-    // set, so the window explode, dup marking, and islands pass all run
-    // once per DISTINCT text. Corpus-wide occurrence counts stay exact
-    // via multiplicity weights (a window in a unique text that exists
-    // as 2 verbatim copies IS duplicated).
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"))
+      .filter(col("n_words") >= W)
+    val pos = docs.select(col("doc_id"), col("n_words"),
+      explode(transform(sequence(lit(1), col("n_words") - (W - 1)),
+        i => struct(i.as("p"),
+          md5(concat_ws(" ", slice(col("ws"), i, lit(W)))).as("fp")))).as("w"))
+      .select(col("doc_id"), col("n_words"), col("w.p").as("p"),
+        col("w.fp").as("fp"))
+    val dupFp = pos.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("fp"))
+    val spans = pos.join(dupFp, "fp")
+      .select(col("doc_id"), col("n_words"), col("p")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    // equal-width spans sorted by start: a new island begins where the
+    // gap to the previous start is >= W (previous span's end)
+    val seg = spans
+      .withColumn("newseg",
+        when(lag(col("p"), 1).over(w).isNull ||
+          col("p") >= lag(col("p"), 1).over(w) + W, 1).otherwise(0))
+      .withColumn("sid", sum(col("newseg")).over(w))
+    seg.groupBy(col("doc_id"), col("n_words"), col("sid"))
+      .agg((max(col("p")) + W - min(col("p"))).as("run_len"))
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(sum(col("run_len")).as("dup_words"),
+        count(lit(1)).as("n_runs"))
+      .select(col("doc_id"), col("n_words"), col("dup_words"), col("n_runs"),
+        round(col("dup_words").cast("double") /
+          col("n_words").cast("double"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE path (d02/d03's discipline): a doc's span
+    * map depends only on its TEXT and the corpus-wide duplicated-window
+    * set, so the window explode, dup marking, and islands pass all run
+    * once per DISTINCT text. Corpus-wide occurrence counts stay exact
+    * via multiplicity weights (a window in a unique text that exists
+    * as 2 verbatim copies IS duplicated). */
+  private[graft] def d10Collapsed(spark: SparkSession, dir: String): DataFrame = {
+    val W = d10W
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
     val members = Tables(spark, dir).documents
       .select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint(true)
@@ -559,22 +789,41 @@ object Dedup {
   }
 
   /** (doc_id, band, bucket, mh) banding rows — the d02 construction,
-    * shared with d12's persisted index. Signatures compute once per
-    * DISTINCT text (the d02/d03 pre-collapse: identical texts have
-    * identical minhashes) and expand back to doc rows, so the emitted
-    * index is row-for-row what the per-doc form produced. */
-  private def bandRows(docs: DataFrame): DataFrame = {
+    * shared with d12's persisted index. DUP-DENSITY GATED like d02:
+    * on a high-dup input signatures compute once per DISTINCT text and
+    * expand back to doc rows; on a ~unique input they compute straight
+    * off doc_id. The emitted index is row-for-row identical either way
+    * (and d12's in-query self-oracle re-proves it every run). */
+  private def bandRows(docs: DataFrame): DataFrame =
+    if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
+      bandRowsCollapsed(docs)
+    else bandRowsDirect(docs)
+
+  private def minhashBandExplode(mh: Column): Column =
+    posexplode(transform(sequence(lit(0), lit(Lsh.MinhashBands - 1)),
+      b => xxhash64(slice(mh, b * Lsh.MinhashRows + 1, lit(Lsh.MinhashRows)))))
+
+  private[graft] def bandRowsDirect(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        minhashes(Shingles.hashes(col("ws"), col("text"), 3),
+          Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
+      .select(col("doc_id"), col("mh"),
+        minhashBandExplode(col("mh")).as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("mh"), col("band"), col("bucket"))
+
+  private[graft] def bandRowsCollapsed(docs: DataFrame): DataFrame = {
     val members = docs.select(col("doc_id"), md5(col("text")).as("th"))
     val sigs = docs
       .select(md5(col("text")).as("th"), col("text"))
       .dropDuplicates("th")
       .select(col("th"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("th"),
-        minhashes(Shingles.hashes(col("ws"), col("text"), 3), 16).as("mh"))
+        minhashes(Shingles.hashes(col("ws"), col("text"), 3),
+          Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
     sigs.select(col("th"), col("mh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => xxhash64(slice(col("mh"), b * 4 + 1, lit(4)))))
-        .as(Seq("band", "bucket")))
+      minhashBandExplode(col("mh")).as(Seq("band", "bucket")))
       .join(members, Seq("th"))
       .select(col("doc_id"), col("mh"), col("band"), col("bucket"))
   }
@@ -632,15 +881,22 @@ object Dedup {
   }
 
   /** d13 — near-dup method EVALUATION as an operator ("measure, don't
-    * guess" made first-class): precision/recall of the scalable
-    * candidate paths (d02 MinHash-LSH, d03 SimHash) against the exact
-    * jaccard ≥ 0.6 ground truth on d04's bounded audit subset. At scale
-    * this runs on exactly such a bounded sample — the audit job a
-    * pipeline schedules after retuning bands/thresholds, not a
-    * full-corpus pass. d03 is measured against the SAME jaccard truth
-    * it does not optimize for (hamming proxies it), which is the honest
-    * comparison a tuning decision needs. Driver touches only the
-    * per-method counts.
+    * guess" made first-class): precision/recall of the two scalable
+    * candidate-generation families — minhash-LSH (d02's shape: 4 bands
+    * × 4 rows, exact-jaccard verify at τ=0.6) and SimHash hamming ≤ 3
+    * (d03's shape: pigeonhole bands) — against the exact jaccard ≥ 0.6
+    * ground truth on d04's bounded audit subset. At scale this runs on
+    * exactly such a bounded sample — the audit job a pipeline schedules
+    * after retuning bands/thresholds, not a full-corpus pass.
+    *
+    * The evaluated methods run on an ENGINE-PORTABLE md5-derived hash
+    * family (Shingles.md5Hash60 — t04's kernel) instead of xxhash64,
+    * which is what lets the whole eval be a full DuckDB oracle (round-6
+    * promotion): truth, both candidate sets, and the metric arithmetic
+    * are recomputed independently by the oracle and must match exactly.
+    * Same method families, same band geometries, same verify thresholds
+    * as the production d02/d03 paths — only the hash kernel is the
+    * portable one. Driver touches only the per-method counts.
     */
   def d13DedupEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -649,22 +905,80 @@ object Dedup {
       .select(col("a"), col("b"))
       .localCheckpoint(true)
     val nTruth = truth.count()
-    def inAudit(df: DataFrame) =
-      df.filter(col("a") < 200 && col("b") < 200).select(col("a"), col("b"))
     val methods = Seq(
-      "d02_minhash_lsh" -> inAudit(d02DedupMinhash(spark, dir)),
-      "d03_simhash" -> inAudit(d03DedupSimhash(spark, dir)))
+      "minhash_lsh_md5" -> d13MinhashMd5(spark, dir),
+      "simhash_md5" -> d13SimhashMd5(spark, dir))
     val rows = methods.map { case (name, pairs) =>
       evalPairs(name, pairs, truth, nTruth)
     }
     truth.unpersist()
-    rows.toDF("method", "n_truth", "n_found", "n_tp", "precision", "recall")
+    rows.toDF("method", "n_truth", "n_found", "n_tp", "prec", "recall")
       .orderBy(col("method"))
+  }
+
+  /** Verified minhash-LSH with the portable hash family: 16 minhashes
+    * (min over md5Hash60("i:" + shingle)), 4 bands of 4, band-bucket
+    * candidates, exact-jaccard ≥ 0.6 verify — d02's pipeline shape. */
+  private[graft] def d13MinhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = Lsh.MinhashBands * Lsh.MinhashRows
+    val docs = Tables(spark, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(Shingles.strings(col("ws"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mh = docs.select(col("doc_id") +: col("sh") +:
+      (0 until nHashes).map(i =>
+        array_min(transform(col("sh"),
+          s => Shingles.md5Hash60(concat_ws(":", lit(i.toString), s))))
+          .as(s"mh$i")): _*)
+    val bands = mh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until Lsh.MinhashBands).map(b =>
+        concat_ws(":", (0 until Lsh.MinhashRows).map(r =>
+          col(s"mh${b * Lsh.MinhashRows + r}")): _*)): _*))
+        .as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("a", "b")
+      .filter((size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb")))) >= 0.6)
+      .select(col("a"), col("b"))
+  }
+
+  /** SimHash hamming ≤ 3 with the portable hash family: 60-bit
+    * signature over md5Hash60 token hashes, pigeonhole 4×15-bit bands
+    * (hamming ≤ 3 ⇒ one band collides) — d03's pipeline shape. */
+  private[graft] def d13SimhashMd5(spark: SparkSession, dir: String): DataFrame = {
+    val g = Lsh.pigeonhole(60, maxHamming = 3)
+    val docs = Tables(spark, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        simhash64(transform(split(col("text"), " "),
+          w => Shingles.md5Hash60(w))).as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      posexplode(g.bucketArray(col("sig"))).as(Seq("band", "bucket")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"))
   }
 
   /** One method's precision/recall against a truth pair set — exposed
     * for the spec, which pins the metric math on hand-built pair sets
-    * (including the empty-found precision=1 convention). */
+    * (including the empty-found precision=1 convention). Ratios are
+    * RAW double divisions of small integer counts — bit-identical in
+    * any IEEE engine, so the DuckDB oracle needs no rounding fudge. */
   private[graft] def evalPairs(name: String, pairs: DataFrame,
       truth: DataFrame, nTruth: Long)
       : (String, Long, Long, Long, Double, Double) = {
@@ -674,11 +988,100 @@ object Dedup {
     found.unpersist()
     val precision = if (nFound == 0) 1.0 else tp.toDouble / nFound
     val recall = if (nTruth == 0) 1.0 else tp.toDouble / nTruth
-    (name, nTruth, nFound, tp,
-      math.rint(precision * 1e6) / 1e6, math.rint(recall * 1e6) / 1e6)
+    (name, nTruth, nFound, tp, precision, recall)
   }
 
   val oracle: Map[String, String] = Map(
+    // d13: the full method-eval twin — truth, BOTH candidate sets
+    // (portable md5Hash60 hash family), and the metric arithmetic all
+    // recomputed independently. prec/recall are raw double divisions of
+    // counts, bit-identical across engines.
+    "d13_dedup_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) >= 3
+        |         THEN string_split(text,' ') ELSE [text] END AS ws,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ')
+        |      for i in range(1, len(ws)-1)]) AS s
+        |  FROM d),
+        |truth AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |mh AS (
+        |  SELECT doc_id,
+        |    [list_min(list_transform(s, x ->
+        |       CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || x),
+        |         1, 15)) AS BIGINT)))
+        |     for i in range(0, 16)] AS m
+        |  FROM shn),
+        |bandsm AS (
+        |  SELECT doc_id, bi,
+        |    CAST(m[4*bi+1] AS VARCHAR) || ':' ||
+        |    CAST(m[4*bi+2] AS VARCHAR) || ':' ||
+        |    CAST(m[4*bi+3] AS VARCHAR) || ':' ||
+        |    CAST(m[4*bi+4] AS VARCHAR) AS bucket
+        |  FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS bi)),
+        |candm AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM bandsm a JOIN bandsm b
+        |    ON a.bi = b.bi AND a.bucket = b.bucket
+        |      AND a.doc_id < b.doc_id),
+        |foundm AS (
+        |  SELECT c.a, c.b
+        |  FROM candm c JOIN shn x ON x.doc_id = c.a
+        |    JOIN shn y ON y.doc_id = c.b
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.s, y.s))) >= 0.6),
+        |tokh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM d, LATERAL (SELECT unnest(toks) AS w)),
+        |bitsv AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tokh, LATERAL (SELECT unnest(range(0, 60)) AS j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT d.doc_id, COALESCE(s2.sg, 0) AS sg
+        |  FROM d LEFT JOIN (
+        |    SELECT doc_id,
+        |      CAST(SUM(CASE WHEN v > 0
+        |        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sg
+        |    FROM bitsv GROUP BY doc_id) s2 ON d.doc_id = s2.doc_id),
+        |bandss AS (
+        |  SELECT doc_id, sg, bi, (sg >> (bi*15)) & 32767 AS bucket
+        |  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS bi)),
+        |founds AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM bandss a JOIN bandss b
+        |    ON a.bi = b.bi AND a.bucket = b.bucket
+        |      AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sg, b.sg)) <= 3),
+        |m0 AS (
+        |  SELECT 'minhash_lsh_md5' AS method,
+        |    (SELECT COUNT(*) FROM truth) AS n_truth,
+        |    (SELECT COUNT(*) FROM foundm) AS n_found,
+        |    (SELECT COUNT(*) FROM foundm f
+        |       JOIN truth t ON f.a = t.a AND f.b = t.b) AS n_tp
+        |  UNION ALL
+        |  SELECT 'simhash_md5',
+        |    (SELECT COUNT(*) FROM truth),
+        |    (SELECT COUNT(*) FROM founds),
+        |    (SELECT COUNT(*) FROM founds f
+        |       JOIN truth t ON f.a = t.a AND f.b = t.b))
+        |SELECT method, n_truth, n_found, n_tp,
+        |  CASE WHEN n_found = 0 THEN 1.0
+        |       ELSE CAST(n_tp AS DOUBLE) / n_found END AS prec,
+        |  CASE WHEN n_truth = 0 THEN 1.0
+        |       ELSE CAST(n_tp AS DOUBLE) / n_truth END AS recall
+        |FROM m0 ORDER BY method""".stripMargin,
     // d11: the genuine semi-join twin — a batch row is a dup iff its
     // content hash appears in history (simulated re-crawls AND any
     // organic cross-split dup the corpus carries; sf0.1 has one). The

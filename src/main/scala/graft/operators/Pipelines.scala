@@ -366,8 +366,15 @@ object Pipelines {
     * batch loop, but each chunk's work is one distributed job; at 100 TB
     * the chunk size is the memory/retry granularity knob.
     */
-  def p12Backfill(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Scratch.dir("p12_")
+  def p12Backfill(spark: SparkSession, dir: String): DataFrame =
+    p12BackfillAt(spark, dir, graft.Scratch.dir("p12_"))
+
+  /** `root` is a parameter so the manifest RESUME branch is a real,
+    * exercisable path (OrchestratorSpec runs two backfills against one
+    * root and a corrupted-manifest case), not dead code behind a
+    * fresh-per-call temp dir. */
+  private[graft] def p12BackfillAt(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("value"))
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -384,16 +391,30 @@ object Pipelines {
         val in = fs.open(manifest)
         val line = try scala.io.Source.fromInputStream(in).mkString.trim
           finally in.close()
-        val Array(c, m) = line.split(",").map(_.toLong)
-        (c, m)
+        // a manifest that exists but doesn't parse is NOT a first run —
+        // silently regenerating the grid is exactly the skip/overlap
+        // hazard the manifest prevents, so fail loudly instead
+        line match {
+          case s"$c,$m" if c.forall(_.isDigit) && m.forall(_.isDigit) &&
+              c.nonEmpty && m.nonEmpty =>
+            (c.toLong, m.toLong)
+          case _ => throw new IllegalStateException(
+            s"corrupt backfill manifest $manifest: '$line' — refusing to " +
+              "re-derive the chunk grid; repair or remove the run dir")
+        }
       } else {
         val m = ev.agg(max(col("event_id"))).head().getLong(0)
         // chunk size scales with the key range so the chunk COUNT (the
         // driver-paced job count) stays ~constant at any SF — at a real
         // deployment this is the retry-granularity knob, not a row count
         val c = math.max(2000L, m / 6)
-        val out = fs.create(manifest, true)
+        // temp-file + rename: the manifest appears atomically — a crash
+        // mid-write leaves no half manifest to poison the resume
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/_MANIFEST.tmp")
+        val out = fs.create(tmp, true)
         out.write(s"$c,$m".getBytes("UTF-8")); out.close()
+        require(fs.rename(tmp, manifest) || fs.exists(manifest),
+          s"could not publish backfill manifest $manifest")
         (c, m)
       }
     def marker(lo: Long) =

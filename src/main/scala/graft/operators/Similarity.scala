@@ -43,20 +43,26 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** s02 — LSH-bucketed ANN: 16-bit sign-random-projection signature,
-    * 4 bands of 4 bits; query meets only candidates sharing a band bucket,
-    * then exact cosine re-ranks survivors. Same query/k contract as s01 so
-    * SimilaritySpec can measure recall of the approximate path against the
-    * exact one. Rows-only (hash-family op).
+  /** s02 — LSH-bucketed ANN: sign-random-projection signature, CORPUS-
+    * SCALED band geometry (Lsh.scaled — the round-5 d06 fix applied
+    * here too): bucket width grows with n so per-bucket occupancy stays
+    * ~bounded and the candidate fraction SHRINKS as the corpus grows,
+    * instead of pinning at a fixed ~25% of brute force. Query meets
+    * only candidates sharing a band bucket, then exact cosine re-ranks
+    * survivors. The corpus count is metadata-only (parquet row-group
+    * stats). Same query/k contract as s01 so SimilaritySpec can measure
+    * recall of the approximate path against the exact one. Rows-only
+    * (hash-family op).
     */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val e0 = Tables(spark, dir).embeddings
+    val g = Lsh.scaled(e0.count())
+    val e = e0
       .select(col("vec_id"), col("embedding"),
-        lsh_sign_bits(col("embedding"), 16).as("sig"))
+        lsh_sign_bits(col("embedding"), g.planes).as("sig"))
     def bands(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embCol),
-        posexplode(array((0 to 3).map(b =>
-          shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*))
+        posexplode(g.bucketArray(col("sig")))
           .as(Seq("band", "bucket")))
     val q = bands(e.filter(col("vec_id") < 10), "qid", "qe")
     val n = bands(e, "nid", "ne")

@@ -99,11 +99,28 @@ object TextAnalysis {
     * shift-invariance and mutation sensitivity.
     */
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    // exact-dup pre-collapse (d02/d03/d10's discipline): the fingerprint
-    // is a pure function of the text, so shingling+hashing runs once per
-    // DISTINCT text and joins back to doc ids — on a high-dup corpus
-    // (the sf1 rehearsal is 10×-verbatim) that is a 10× cut of the
-    // dominant md5-per-shingle work. Output is byte-identical.
+    // DUP-DENSITY GATE (see Dedup.d02): the distinct-text collapse is a
+    // 10× cut of the dominant md5-per-shingle work on a 10×-verbatim
+    // corpus, but pure join overhead on a ~unique one. Output is
+    // byte-identical on both paths (the fingerprint is a pure function
+    // of the text; DupGateSpec + the full t04 oracle prove it).
+    val docs = Tables(spark, dir).documents
+    if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
+      t04Collapsed(spark, dir)
+    else t04Direct(spark, dir)
+  }
+
+  private[graft] def t04Direct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        Shingles.hashes(col("ws"), col("text"), 4, Shingles.md5Hash60)
+          .as("sh"))
+      .select(col("doc_id"), array_min(col("sh")).as("fp_min"),
+        array_max(col("sh")).as("fp_max"), size(col("sh")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  private[graft] def t04Collapsed(spark: SparkSession, dir: String): DataFrame = {
     val members = Tables(spark, dir).documents
       .select(col("doc_id"), md5(col("text")).as("th"))
     Tables(spark, dir).documents
@@ -124,22 +141,42 @@ object TextAnalysis {
   /** t05 — corpus-level statistics via mergeable sketches: HLL++ distinct
     * counts and quantile summaries per source. This is how a 100 TB corpus
     * gets profiled — sketches merge associatively across partitions, so
-    * the shuffle carries KB-sized summaries instead of raw values
-    * (exact distinct/percentile would shuffle every row). Rows-only:
-    * sketch estimates are engine-specific; TextAnalysisSpec bounds them
-    * against exact values at test scale.
+    * the shuffle carries KB-sized summaries instead of raw values.
+    *
+    * TOLERANCE-BANDED ORACLE (round-6 promotion from rows-only): sketch
+    * estimates are engine-specific, so the gated output carries (a) the
+    * exact per-source facts DuckDB recomputes value-for-value (n_docs,
+    * n_langs_exact, total_chars) and (b) one boolean per sketch
+    * asserting |estimate − exact| ≤ ε, with the exact reference
+    * computed in the SAME query by Spark's exact aggregates. The oracle
+    * pins the booleans to TRUE — a sketch drifting outside its
+    * advertised error band fails the hash compare exactly like a wrong
+    * value. ε: HLL at rsd 0.05 → max(1, 10%); quantile sketch at
+    * accuracy 1000 → 5% + 2 chars. The ONE exact pass here is the gate
+    * harness, not the scale path — at 100 TB you ship only the sketch
+    * columns and this query IS the audit job you run on a sample.
     */
   def t05CorpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(col("doc_id"), col("source"), col("lang"),
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         length(col("text")).as("n_chars_m"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("lang")).as("n_langs_est"),
-        percentile_approx(col("n_chars_m"), lit(0.5), lit(1000))
-          .as("median_chars_est"),
-        percentile_approx(col("n_chars_m"), lit(0.99), lit(1000))
-          .as("p99_chars_est"))
+        countDistinct(col("lang")).as("n_langs_exact"),
+        sum(col("n_chars")).as("total_chars"),
+        approx_count_distinct(col("lang")).as("langs_est"),
+        percentile_approx(col("n_chars_m"), lit(0.5), lit(1000)).as("med_est"),
+        percentile_approx(col("n_chars_m"), lit(0.99), lit(1000)).as("p99_est"),
+        expr("percentile(n_chars_m, 0.5)").as("med_exact"),
+        expr("percentile(n_chars_m, 0.99)").as("p99_exact"))
+      .select(col("source"), col("n_docs"), col("n_langs_exact"),
+        col("total_chars"),
+        (abs(col("langs_est") - col("n_langs_exact")) <=
+          greatest(lit(1L), col("n_langs_exact") / 10)).as("langs_ok"),
+        (abs(col("med_est") - col("med_exact")) <=
+          col("med_exact") * 0.05 + 2).as("median_ok"),
+        (abs(col("p99_est") - col("p99_exact")) <=
+          col("p99_exact") * 0.05 + 2).as("p99_ok"))
       .orderBy(col("source"))
 
   /** t06 — intra-document segment dedup (the C4/RefinedWeb repeated-line
@@ -833,6 +870,15 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // t05: exact facts value-checked; the sketch-error booleans are
+    // pinned TRUE — the tolerance contract (see the t05 Scaladoc) is
+    // what the oracle asserts
+    "t05_corpus_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs_exact,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  TRUE AS langs_ok, TRUE AS median_ok, TRUE AS p99_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // t04: the md5Hash60 kernel spelled identically — DuckDB's 0x-cast
     // parses the same 15 md5 hex digits Spark's conv does; shingle
     // windows are 1-based 4-wide slices in both engines

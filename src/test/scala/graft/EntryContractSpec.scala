@@ -18,15 +18,16 @@ class EntryContractSpec extends AnyFunSuite {
     // (each of these is backed by a behavior spec) — not a forgotten
     // oracle silently downgrading the gate to rows>0
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // r5 promoted t04 (md5Hash60 kernel), f03/f09 (known-answer VALUES
-    // oracles) out of this list — 14 remain, each hash-family or
-    // sketch-bound, each backed by a named behavior spec
+    // r5 promoted t04/f03/f09; r6 promoted d13 (portable md5 hash
+    // family → full method-eval oracle) and t05 (tolerance-banded
+    // oracle) — 12 remain, each hash-family or engine-specific, each
+    // backed by a named behavior spec
     val expected = Set(
       "d02_dedup_minhash", "d03_dedup_simhash", "d06_dedup_embedding_lsh",
-      "d09_semdedup", "d12_incremental_lsh_index", "d13_dedup_eval",
+      "d09_semdedup", "d12_incremental_lsh_index",
       "m07_phash_dedup",
       "s02_ann_lsh", "s03_ann_ivf", "s04_ann_quantized", "s05_ann_pq",
-      "t05_corpus_stats", "t17_bpe_train", "t18_bpe_encode")
+      "t17_bpe_train", "t18_bpe_encode")
     assert(rowsOnly === expected,
       "rows-only set drifted — add the oracle or update this list " +
         "WITH a backing spec")

@@ -127,4 +127,75 @@ class OrchestratorSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("no_such_col"))
   }
+
+  test("provider endpoints resolve by kind — golden cases (main.py:160-189)") {
+    import graft.pipeline.Providers
+    import graft.pipeline.Providers._
+    // HYPERSYNC: url templated straight from the chain id
+    assert(makeEvmProvider(Hypersync, 1L) ===
+      ProviderConfig(Hypersync, "https://1.hypersync.xyz", 2))
+    assert(makeEvmProvider(Hypersync, 42161L, bufferSize = 8).url ===
+      "https://42161.hypersync.xyz")
+    // SQD: dataset name from the public network registry
+    assert(makeEvmProvider(Sqd, 1L).url ===
+      "https://portal.sqd.dev/datasets/ethereum-mainnet")
+    assert(makeEvmProvider(Sqd, 137L).url ===
+      "https://portal.sqd.dev/datasets/polygon-mainnet")
+    assert(makeEvmProvider(Sqd, 8453L).url ===
+      "https://portal.sqd.dev/datasets/base-mainnet")
+    // solana: fixed solana-beta dataset, SQD kind
+    assert(makeSvmProvider() ===
+      ProviderConfig(Sqd, "https://portal.sqd.dev/datasets/solana-beta", 2))
+    // unknown chain on the SQD path fails fast with the id named
+    val e = intercept[IllegalArgumentException](makeEvmProvider(Sqd, 424242L))
+    assert(e.getMessage.contains("424242"))
+    // unknown kind string fails fast too (main.py _to_provider_kind)
+    assert(parseKind("sqd") === Sqd && parseKind("hypersync") === Hypersync)
+    val ke = intercept[IllegalArgumentException](parseKind("thegraph"))
+    assert(ke.getMessage.contains("thegraph"))
+    // registry sanity: every dataset name is a well-formed slug and the
+    // map carries the reference's full table
+    assert(Providers.sqdEvmDatasets.size === 137)
+    Providers.sqdEvmDatasets.foreach { case (id, name) =>
+      assert(id > 0 && name.matches("[a-z0-9-]+"), s"$id -> $name")
+    }
+  }
+
+  test("solana from_block clamps to the dataset start (main.py:252-260)") {
+    import graft.pipeline.Providers.clampFromBlock
+    assert(clampFromBlock(datasetStartBlock = 250000000L,
+      requestedFromBlock = 0L) === 250000000L)       // default 0 → floor
+    assert(clampFromBlock(250000000L, 100L) === 250000000L) // stale resume
+    assert(clampFromBlock(250000000L, 300000000L) === 300000000L) // past it
+  }
+
+  test("p12 resume branch: pinned grid survives a second run; corrupt " +
+      "manifest fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-p12-resume").toString
+    val first = graft.operators.Pipelines
+      .p12BackfillAt(spark, sfDir, root).collect()
+    // second run against the SAME root: the manifest READ branch is the
+    // live path now — grid must come from the manifest and the output
+    // must be identical
+    val second = graft.operators.Pipelines
+      .p12BackfillAt(spark, sfDir, root).collect()
+    assert(first.map(_.toString).sorted.toSeq ===
+      second.map(_.toString).sorted.toSeq)
+    // a torn/garbage manifest must refuse to run, naming the file —
+    // regenerating the grid would silently shift chunk boundaries.
+    // (Written through the Hadoop FS so the checksum sidecar stays
+    // consistent — the corruption under test is CONTENT, not bitrot.)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_MANIFEST"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    val err = intercept[IllegalStateException] {
+      graft.operators.Pipelines.p12BackfillAt(spark, sfDir, root)
+    }
+    assert(err.getMessage.contains("_MANIFEST") &&
+      err.getMessage.contains("garbage"))
+  }
 }

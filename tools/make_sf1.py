@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1"
+DST = __import__("os").environ.get("GRAFT_SF_DST", "/tmp/sf1")
 COPIES = int(__import__("os").environ.get("GRAFT_SF_COPIES", "10"))
 
 con = duckdb.connect()
