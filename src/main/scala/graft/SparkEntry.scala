@@ -32,7 +32,8 @@ object SparkEntry {
       sinks.Writers.queries ++
       sinks.ClickHouseDdl.queries ++
       pipeline.Incremental.queries ++
-      pipeline.Orchestrator.queries
+      pipeline.Orchestrator.queries ++
+      pipeline.Providers.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -49,5 +50,6 @@ object SparkEntry {
       sinks.Writers.oracle ++
       sinks.ClickHouseDdl.oracle ++
       pipeline.Incremental.oracle ++
-      pipeline.Orchestrator.oracle
+      pipeline.Orchestrator.oracle ++
+      pipeline.Providers.oracle
 }

@@ -1,5 +1,8 @@
 package graft.pipeline
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Provider-endpoint resolution — the scripts/main.py:160-189 twin.
   *
   * The reference resolves WHERE an ingest request goes from two pure
@@ -70,6 +73,54 @@ object Providers {
     * reports; injected because resolution must stay pure. */
   def clampFromBlock(datasetStartBlock: Long, requestedFromBlock: Long): Long =
     math.max(datasetStartBlock, requestedFromBlock)
+
+  /** k25 — endpoint resolution as a query (k05's dictGet pattern applied
+    * to main.py's provider dispatch): every registered EVM chain is
+    * resolved through [[makeEvmProvider]] under BOTH kinds, the registry
+    * becomes a broadcast dim, and events acquire a chain via a dense
+    * index — one broadcast join, counts per chain. The oracle re-derives
+    * both URL templates INDEPENDENTLY in SQL from (chain_id, dataset)
+    * pairs, so the Scala templating logic is genuinely cross-checked,
+    * not echoed. Driver-side resolution is registry-sized (137 rows) —
+    * metadata, not data. */
+  def k25ProviderResolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = sqdEvmDatasets.keys.toSeq.sorted
+    val dict = ids.zipWithIndex.map { case (id, i) =>
+      (i, id, makeEvmProvider(Hypersync, id).url, makeEvmProvider(Sqd, id).url)
+    }.toDF("idx", "chain_id", "hypersync_url", "sqd_url")
+    val n = ids.size
+    val counts = graft.sources.Tables(spark, dir).events
+      .select(pmod(col("event_id"), lit(n)).cast("int").as("idx"))
+      .groupBy(col("idx")).agg(count(lit(1)).as("c"))
+    broadcast(dict).join(counts, Seq("idx"), "left")
+      .select(col("chain_id"), col("hypersync_url"), col("sqd_url"),
+        coalesce(col("c"), lit(0L)).as("n_events"))
+      .orderBy(col("chain_id"))
+  }
+
+  private def datasetValuesSql: String =
+    sqdEvmDatasets.keys.toSeq.sorted.zipWithIndex.map { case (id, i) =>
+      s"($i, $id, '${sqdEvmDatasets(id)}')"
+    }.mkString(", ")
+
+  // lazy: datasetValuesSql reads sqdEvmDatasets, declared below
+  lazy val oracle: Map[String, String] = Map(
+    "k25_provider_resolve" ->
+      s"""SELECT t.chain_id,
+         |  'https://' || CAST(t.chain_id AS VARCHAR) || '.hypersync.xyz'
+         |    AS hypersync_url,
+         |  'https://portal.sqd.dev/datasets/' || t.dataset AS sqd_url,
+         |  COUNT(e.event_id) AS n_events
+         |FROM (VALUES $datasetValuesSql) AS t(idx, chain_id, dataset)
+         |LEFT JOIN events e ON e.event_id % ${sqdEvmDatasets.size} = t.idx
+         |GROUP BY t.chain_id, t.dataset
+         |ORDER BY t.chain_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k25_provider_resolve" -> (k25ProviderResolve _)
+  )
 
   /** The public SQD network dataset registry for EVM chains
     * (main.py:18-158; https://docs.sqd.ai/subsquid-network/reference/networks/).
