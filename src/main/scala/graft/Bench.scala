@@ -157,7 +157,14 @@ object Bench {
     def qmap(f: R => String, keep: String => Boolean): String =
       results.collect { case r if keep(r.name) =>
         "\"" + r.name + "\":" + f(r) }.mkString("{", ",", "}")
-    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
+    val failedNames = results.filterNot(_.ok).map(_.name)
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The driver's tail window is ~2000 chars; a long failure list would
+    // push the front of the headline JSON out of it and break parsing.
+    // The headline line carries a bounded sample + count; BENCH_FULL.json
+    // keeps the full list.
+    val failedBrief = (failedNames.take(8).map("\"" + _ + "\"") ++
+      (if (failedNames.size > 8) Seq("\"...\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.filter(_.ok).map(_.median).sum
     val totalMin = results.filter(_.ok).map(_.min).sum
@@ -190,6 +197,6 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size}%d,"queries":${qmap(med, headline)},"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size}%d,"queries":${qmap(med, headline)},"n_failed":${failedNames.size}%d,"failed":$failedBrief,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

@@ -12,17 +12,26 @@ import org.apache.spark.sql.functions.expr
   * unchanged against a directory of many files.
   */
 object Tables {
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. The ONE copy of the load-time contract every events reader
-    * (batch loader, file stream, pipeline demos) shares: read nanos as
-    * long (legacy conf) and rebuild a microsecond timestamp — lossless
-    * for this data, and µs is what the DuckDB oracle uses anyway.
+  /** Older driver-generated events.parquet stored TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects unless nanos are read as long (legacy
+    * conf); newer generations store plain TIMESTAMP(MICROS), which Spark
+    * reads as TIMESTAMP_NTZ. The ONE copy of the load-time contract every
+    * events reader (batch loader, file stream, pipeline demos) shares:
+    * whatever the file holds, `ts` comes out as a session-zone (UTC)
+    * microsecond TimestampType — the type the DuckDB oracle compares at.
     */
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ: session tz is pinned UTC, so the cast
+                // preserves the wall-clock value the oracle sees
+        df.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
