@@ -18,6 +18,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A 161-query suite in one JVM accumulates weakly-referenced state
+      // (localCheckpoint blocks, shuffle files) that Spark's
+      // ContextCleaner only reaps after a JVM GC; on a large heap GC may
+      // not fire for the whole run and late queries degrade behind the
+      // pile-up (measured: the same 4 queries 293 s inside a full sf1
+      // sweep vs 12 s isolated). The default periodic-GC interval is
+      // 30 min — longer than the suite; force a reap every 2 min.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -104,6 +112,9 @@ object Bench {
       val exec = myRuns
         .map(id => Option(execByRun.get(id)).map(_.longValue()).getOrElse(0L))
         .sum / 1e3 / reps
+      // a query's cached tables must not ride into the next query's
+      // measurement (or occupy storage memory for the rest of the suite)
+      spark.catalog.clearCache()
       R(name, median, min, max, exec, ok)
     }
     // Sustained-rate streaming benchmark: the st-family entries above are

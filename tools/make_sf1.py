@@ -3,9 +3,11 @@
 
 Fact tables replicate with per-copy key offsets (lineitem/orders share one
 stride so their join keys stay consistent); dimension tables copy as-is.
-events.ts must keep its parquet TIMESTAMP(NANOS) physical type (Spark reads
-it via nanosAsLong + Tables.normalizeEventTs), so events goes through
-pyarrow, not DuckDB (which rewrites ns->us and breaks the ts contract).
+events goes through pyarrow rather than DuckDB so the source file's exact
+timestamp physical type is preserved whatever the generation (older driver
+data used TIMESTAMP(NANOS), current data TIMESTAMP(MICROS);
+Tables.normalizeEventTs handles both, but the rehearsal data should
+exercise the same type the driver ships).
 
 The replicated corpus is deliberately adversarial for dedup: every doc/
 embedding exists 10x verbatim — the high-dup regime a crawl corpus shows.
