@@ -281,8 +281,10 @@ object Multimodal {
     * (no SQL twin); the spec plants near-identical and unrelated
     * payloads.
     */
-  def m07PhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = mediaTable(spark, dir)
+  /** The decode-stage hash table m07's both paths read: aHash per
+    * payload, plus the simulated re-encode variant every 25th doc. */
+  private[graft] def m07Hashed(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
       .mapPartitions(_.flatMap { r =>
         val orig = MediaHash(r.doc_id, aHash64(r.payload))
         if (r.doc_id % 25 == 0) {
@@ -296,9 +298,31 @@ object Multimodal {
         } else Iterator(orig)
       })(org.apache.spark.sql.Encoders.product[MediaHash])
       .toDF()
+      // decoded exactly once: the probe and whichever path wins both
+      // read the hash table, never the payloads again
+      .localCheckpoint(true)
+
+  def m07PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = m07Hashed(spark, dir)
+    // DUP-DENSITY GATE — see d02/d03. Verbatim payload copies share an
+    // aHash, so a high-dup corpus turns the band join quadratic in copy
+    // multiplicity (the sf10 rehearsal at 100×-verbatim density measured
+    // 324 s); band-join + hamming-verify once per DISTINCT hash, then
+    // expand member pairs with equi-joins. The OUTPUT stays
+    // pair-quadratic in multiplicity — inherent to pair semantics (m04
+    // is the collapse-output form).
+    if (DupDensity.probe(hashed, col("ahash")).collapseWorthIt)
+      m07Collapsed(hashed)
+    else m07Direct(hashed)
+  }
+
+  /** d03's 4×16-bit pigeonhole over the 64-bit aHash: hamming ≤ 3 ⇒ at
+    * least one band identical — correctness-pinned, never scales. */
+  private val phashBands = Lsh.pigeonhole(64, maxHamming = 3)
+
+  private[graft] def m07Direct(hashed: DataFrame): DataFrame = {
     val bands = hashed.select(col("doc_id"), col("ahash"),
-      posexplode(array((0 to 3).map(b =>
-        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(phashBands.bucketArray(col("ahash")))
         .as(Seq("band", "bucket")))
     bands.as("a")
       .join(bands.as("b"),
@@ -310,6 +334,38 @@ object Multimodal {
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= 3)
       .orderBy(col("a"), col("b"))
+  }
+
+  private[graft] def m07Collapsed(hashed: DataFrame): DataFrame = {
+    val sigs = hashed.select(col("ahash")).distinct()
+    val bands = sigs.select(col("ahash"),
+      posexplode(phashBands.bucketArray(col("ahash")))
+        .as(Seq("band", "bucket")))
+    val sigPairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .dropDuplicates("ha", "hb")
+      .filter(col("hamming") <= 3)
+    // cross-group expansion: every member pair of a near-dup hash pair
+    val cross = sigPairs
+      .join(hashed.select(col("ahash").as("ha"), col("doc_id").as("ia")),
+        Seq("ha"))
+      .join(hashed.select(col("ahash").as("hb"), col("doc_id").as("ib")),
+        Seq("hb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    // within-group pairs: identical hashes, hamming 0
+    val within = hashed.as("x")
+      .join(hashed.as("y"),
+        col("x.ahash") === col("y.ahash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionByName(within).orderBy(col("a"), col("b"))
   }
 
   /** Per-doc audio stats from the stub "decoder": 32-sample windowed

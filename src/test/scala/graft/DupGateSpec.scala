@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, DupDensity, Lsh, TextAnalysis}
+import graft.operators.{Dedup, DupDensity, Lsh, Multimodal, TextAnalysis}
 
 /** The dup-density gate's two contracts:
   *
@@ -169,6 +169,14 @@ class DupGateSpec extends AnyFunSuite {
     Seq(dupHeavyDocs, uniqueDocs).foreach { dir =>
       assert(rowsOf(TextAnalysis.t04Direct(spark, dir)) ===
         rowsOf(TextAnalysis.t04Collapsed(spark, dir)), s"dir=$dir")
+    }
+  }
+
+  test("m07 direct == collapsed on dup-heavy and unique corpora") {
+    Seq(dupHeavyDocs, uniqueDocs).foreach { dir =>
+      val hashed = Multimodal.m07Hashed(spark, dir)
+      assert(rowsOf(Multimodal.m07Direct(hashed)) ===
+        rowsOf(Multimodal.m07Collapsed(hashed)), s"dir=$dir")
     }
   }
 
