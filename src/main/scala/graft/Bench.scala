@@ -115,6 +115,9 @@ object Bench {
       // a query's cached tables must not ride into the next query's
       // measurement (or occupy storage memory for the rest of the suite)
       spark.catalog.clearCache()
+      // stderr progress line: long full-suite runs (sf1/sf10 rehearsals)
+      // are otherwise silent until the final headline JSON
+      System.err.println(f"[bench] $name%-28s median $median%7.2f s  min $min%7.2f s")
       R(name, median, min, max, exec, ok)
     }
     // Sustained-rate streaming benchmark: the st-family entries above are

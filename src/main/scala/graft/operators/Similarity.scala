@@ -51,8 +51,10 @@ object Similarity {
     * only candidates sharing a band bucket, then exact cosine re-ranks
     * survivors. The corpus count is metadata-only (parquet row-group
     * stats). Same query/k contract as s01 so SimilaritySpec can measure
-    * recall of the approximate path against the exact one. Rows-only
-    * (hash-family op).
+    * recall of the approximate path against the exact one. Full DuckDB
+    * oracle (round 8): the hash family is deterministic, so the oracle
+    * re-derives signatures/bands/verify independently — see
+    * [[s02OracleSql]].
     */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Tables(spark, dir).embeddings
@@ -191,7 +193,9 @@ object Similarity {
     * codegen'd cosine_similarity_i8 kernel ranks on the RAW int8 codes —
     * no dequantization anywhere. Same query/k contract as s01 so
     * SimilaritySpec measures the quantization recall loss directly
-    * (int8 on 64-dim keeps cosine nearly intact). Rows-only.
+    * (int8 on 64-dim keeps cosine nearly intact). Full DuckDB oracle
+    * (round 8): quantization replayed in FLOAT arithmetic + the i8
+    * kernel mirrored term-for-term — see the oracle map.
     */
   def s04AnnQuantized(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.cosine_similarity_i8
@@ -450,7 +454,104 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s02's DuckDB oracle, GENERATED: the sign-random-projection family is
+    * fully deterministic (ExprImpl.mix64 hyperplanes), so the oracle
+    * re-derives the whole pipeline independently in SQL — the ±1
+    * hyperplane matrix is embedded as literals produced by the SAME
+    * mix64 the production kernel uses (they cannot drift), band geometry
+    * is recomputed in SQL from the exact corpus count (Lsh.scaled's
+    * integer arithmetic 1:1 — bit-length via bin(), // division), and
+    * per-plane projections use list_inner_product, whose sequential
+    * double accumulation is bit-identical to the kernel loop (verified
+    * offline: all 64 per-vector accumulators bit-equal across sf0.001/
+    * 0.01/0.1; the accumulator closest to a sign flip sits at |acc| ≈
+    * 4e-6 — nine orders of magnitude of margin). Bucket values are
+    * rebuilt bit-by-bit from the accumulator signs, sidestepping any
+    * cross-engine 64-bit shift-semantics question. Embedding dim is
+    * pinned at 64 by the testdata contract; a dim change fails the
+    * oracle loudly (list_inner_product length mismatch), never silently.
+    */
+  private def s02OracleSql: String = {
+    val dim = 64
+    def w(p: Int, d: Int): String =
+      if ((graft.functions.ExprImpl.mix64(p.toLong * 1000003L + d) & 1L) == 0L)
+        "1.0" else "-1.0"
+    val accTerms = (0 until 64).map { p =>
+      (0 until dim).map(d => w(p, d))
+        .mkString("list_inner_product(emb,[", ",", "])")
+    }.mkString(",")
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |             FROM embeddings),
+       |geo AS (
+       |  SELECT least(16, greatest(4,
+       |           length(bin(greatest(1, (COUNT(*) // 64) - 1))))) AS bits,
+       |         greatest(2, least(8, 64 // least(16, greatest(4,
+       |           length(bin(greatest(1, (COUNT(*) // 64) - 1))))))) AS bands
+       |  FROM raw),
+       |sigs AS (SELECT vec_id, emb, [$accTerms] AS accs FROM raw),
+       |bnd AS (
+       |  SELECT s.vec_id, t.b AS band,
+       |    (SELECT SUM(CASE WHEN s.accs[t.b * g.bits + i.i + 1] > 0
+       |                     THEN 1 << i.i ELSE 0 END)
+       |     FROM range(16) i(i), geo g WHERE i.i < g.bits) AS bucket
+       |  FROM sigs s, range(8) t(b), geo g WHERE t.b < g.bands),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM bnd q JOIN bnd c
+       |    ON q.band = c.band AND q.bucket = c.bucket
+       |   AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_cosine_similarity(a.emb, b.emb) AS cos
+       |  FROM cand JOIN raw a ON a.vec_id = cand.qid
+       |            JOIN raw b ON b.vec_id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, rnk, round(cos, 6) AS cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "s02_ann_lsh" -> s02OracleSql,
+    // s04: the quantization arithmetic is replayed in FLOAT (x/mx*127
+    // exactly as the Spark expression computes it — DuckDB keeps
+    // FLOAT/FLOAT arithmetic in FLOAT, and both engines round half away
+    // from zero), then the cosineSimI8 kernel is mirrored TERM FOR TERM:
+    // integer dot/norms are exact in double at |code| ≤ 127, and the
+    // final dot/sqrt(na*nb) repeats the kernel's op sequence rather than
+    // trusting list_cosine_similarity's sqrt(na)*sqrt(nb) rounding.
+    // Verified offline: every quantized code equal across sf0.001/0.01/
+    // 0.1 (128k roundings, zero boundary disagreements).
+    "s04_ann_quantized" ->
+      """WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(x / greatest(list_max(list_transform(
+        |             embedding, y -> abs(y))), CAST(1e-12 AS FLOAT))
+        |             * CAST(127.0 AS FLOAT)) AS DOUBLE)) AS q
+        |  FROM raw),
+        |q AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, e.vec_id AS nid,
+        |    CASE WHEN list_inner_product(qq, qq) = 0
+        |           OR list_inner_product(e.q, e.q) = 0 THEN 0.0
+        |         ELSE list_inner_product(qq, e.q)
+        |           / sqrt(list_inner_product(qq, qq)
+        |                  * list_inner_product(e.q, e.q))
+        |    END AS cos
+        |  FROM q CROSS JOIN e WHERE qid <> e.vec_id),
+        |ranked AS (
+        |  SELECT qid, nid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rnk
+        |  FROM scored)
+        |SELECT qid, nid, rnk, round(cos, 6) AS cos
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "s08_mips" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
