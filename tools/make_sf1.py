@@ -21,6 +21,8 @@ SRC = "/root/testdata/sf0.1"
 DST = __import__("os").environ.get("GRAFT_SF_DST", "/tmp/sf1")
 COPIES = int(__import__("os").environ.get("GRAFT_SF_COPIES", "10"))
 
+__import__("os").makedirs(DST, exist_ok=True)
+
 con = duckdb.connect()
 stride = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
 dc = con.sql(f"SELECT MAX(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
