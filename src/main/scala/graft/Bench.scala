@@ -115,6 +115,15 @@ object Bench {
       // a query's cached tables must not ride into the next query's
       // measurement (or occupy storage memory for the rest of the suite)
       spark.catalog.clearCache()
+      // localCheckpoint blocks (the d-family loops, pre-collapse stages)
+      // are NOT cleared by clearCache() — they sit in the unified memory
+      // region until the weak-ref cleaner happens to reap them, squeezing
+      // execution memory for every later query (measured at sf10: the
+      // same flagged queries run 2-5x faster isolated than late in the
+      // suite). Drop them eagerly; nothing holds a reference across
+      // queries by design.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       // stderr progress line: long full-suite runs (sf1/sf10 rehearsals)
       // are otherwise silent until the final headline JSON
       System.err.println(f"[bench] $name%-28s median $median%7.2f s  min $min%7.2f s")

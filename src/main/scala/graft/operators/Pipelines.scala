@@ -264,15 +264,35 @@ object Pipelines {
     * strip) and the sample→quality→contamination stages as a reusable
     * batch transform — p11 applies them to the whole corpus, st12 applies
     * the SAME function to each streaming micro-batch. */
-  private[graft] def evalGramsOf(docs: DataFrame): DataFrame = {
+  private[graft] def evalGramsOf(docs: DataFrame,
+      collapsed: Boolean = false): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
-    docs.filter(pmod(col("doc_id"), lit(50)) === 0)
-      .select(explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
-      .distinct()
+    val ev = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val src =
+      if (collapsed)
+        // grams are a function of (text, planted) — gram each distinct
+        // class once instead of every verbatim copy
+        ev.select(col("text"),
+            (pmod(col("doc_id"), lit(37)) === 0).as("pl"))
+          .dropDuplicates("pl", "text")
+          .select(explode(TA.grams13(
+            split(TA.augmentedTextOf(col("text"), col("pl")), " ")))
+            .as("gram"))
+      else
+        ev.select(explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+    src.distinct()
   }
 
-  private[graft] def curateBatch(batch: DataFrame,
-      evalGrams: DataFrame): DataFrame = {
+  /** `collapsed` switches the contamination stage to the exact-dup
+    * pre-collapse (gram once per distinct (md5(text), planted) class,
+    * anti-join members on the class key) — chosen by the caller's
+    * dup-density probe. Both paths are output-identical (the
+    * contamination decision is a class function; DupGateSpec pins it).
+    * p11 probes its corpus directly; st12 probes its STATIC table once
+    * at query build and reuses the decision every micro-batch, so
+    * streaming never pays a per-trigger probe job. */
+  private[graft] def curateBatch(batch: DataFrame, evalGrams: DataFrame,
+      collapsed: Boolean = false): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
     val filtered = batch
       .filter(pmod(col("doc_id"), lit(50)) =!= 0) // eval docs never train
@@ -281,18 +301,39 @@ object Pipelines {
         TA.qualityOf(col("text")).as("quality"))
       .filter(col("bucket") <= TA.sampleThreshold &&
         col("quality") >= 0.5)
-    val contaminated = filtered
-      .select(col("doc_id"),
-        explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
-      .join(evalGrams, Seq("gram"))
-      .select(col("doc_id")).distinct()
-    filtered.join(contaminated, Seq("doc_id"), "left_anti")
+    if (collapsed) {
+      val keyed = filtered
+        .withColumn("th", md5(col("text")))
+        .withColumn("pl", pmod(col("doc_id"), lit(37)) === 0)
+      val contamClasses = keyed.select(col("th"), col("pl"), col("text"))
+        .dropDuplicates("th", "pl")
+        .select(col("th"), col("pl"),
+          explode(TA.grams13(
+            split(TA.augmentedTextOf(col("text"), col("pl")), " ")))
+            .as("gram"))
+        .join(evalGrams, Seq("gram"))
+        .select(col("th"), col("pl")).distinct()
+      keyed.join(contamClasses, Seq("th", "pl"), "left_anti")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("bucket"), col("quality"))
+    } else {
+      val contaminated = filtered
+        .select(col("doc_id"),
+          explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+        .join(evalGrams, Seq("gram"))
+        .select(col("doc_id")).distinct()
+      filtered.join(contaminated, Seq("doc_id"), "left_anti")
+    }
   }
 
   def p11CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    val clean = curateBatch(docs, evalGramsOf(docs))
+    // one density probe chooses the contamination path for BOTH the eval
+    // gram build and the batch strip (the d-family gate pattern)
+    val collapse =
+      graft.operators.DupDensity.probe(docs, md5(col("text"))).collapseWorthIt
+    val clean = curateBatch(docs, evalGramsOf(docs, collapse), collapse)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     clean
       .withColumn("rn", row_number().over(w))

@@ -328,8 +328,14 @@ object TextAnalysis {
   /** Probe-phrase augmentation + distinct 13-grams, shared by t10 and the
     * p11 curation pipeline so detector and pipeline cannot drift. */
   private[graft] def augmentedText: Column =
-    when(pmod(col("doc_id"), lit(37)) === 0,
-      concat(col("text"), lit(" " + probePhrase))).otherwise(col("text"))
+    augmentedTextOf(col("text"), pmod(col("doc_id"), lit(37)) === 0)
+
+  /** The augmentation as a pure function of (text, planted-flag) — the
+    * form the exact-dup pre-collapse needs: contamination grams depend on
+    * the doc ONLY through this pair, so (md5(text), planted) is a valid
+    * collapse key for the whole gram stage. */
+  private[graft] def augmentedTextOf(text: Column, planted: Column): Column =
+    when(planted, concat(text, lit(" " + probePhrase))).otherwise(text)
 
   private[graft] def grams13(ws: Column): Column = {
     val k = 13
@@ -340,6 +346,15 @@ object TextAnalysis {
   }
 
   def t10Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
+      t10Collapsed(spark, dir)
+    else t10Direct(spark, dir)
+  }
+
+  /** Direct per-doc path — right on ~unique corpora: no payload dedup,
+    * every doc grams itself. */
+  private[graft] def t10Direct(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir).documents
       .select(col("doc_id"), split(augmentedText, " ").as("ws"))
     val grams = grams13(col("ws"))
@@ -350,6 +365,44 @@ object TextAnalysis {
     corpusGrams.join(evalGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE path — right on high-dup corpora: the gram
+    * stage (split → 13-gram window → explode → eval join → count) depends
+    * on a doc only through (text, planted-flag), so it runs once per
+    * DISTINCT (md5(text), planted) class and the per-class contaminated
+    * count expands back to members with one equi-join. On the 100×-
+    * verbatim sf10 rehearsal this cuts the gram shuffle (13-word strings,
+    * the fat rows of this plan) by the copy factor; output is identical
+    * because the count is a class function (DupGateSpec pins both paths
+    * equal on dup-heavy and unique corpora).
+    */
+  private[graft] def t10Collapsed(spark: SparkSession, dir: String): DataFrame = {
+    val mem = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("th"),
+        (pmod(col("doc_id"), lit(37)) === 0).as("pl"))
+    val rep = Tables(spark, dir).documents
+      .select(md5(col("text")).as("th"),
+        (pmod(col("doc_id"), lit(37)) === 0).as("pl"), col("text"))
+      .dropDuplicates("th", "pl")
+    val repGrams = rep.select(col("th"), col("pl"),
+      grams13(split(augmentedTextOf(col("text"), col("pl")), " ")).as("g"))
+    // eval membership is doc_id-based, so the eval CLASS set comes from
+    // the member table (cheap: ids+hashes only), then grams come from the
+    // class representatives — eval texts are never re-grammed per copy
+    val evalClasses = mem.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("th"), col("pl")).dropDuplicates("th", "pl")
+    val evalGrams = repGrams.join(evalClasses, Seq("th", "pl"))
+      .select(explode(col("g")).as("gram")).distinct()
+    val classCounts = repGrams
+      .select(col("th"), col("pl"), explode(col("g")).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("th"), col("pl"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+    mem.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .join(classCounts, Seq("th", "pl"))
+      .select(col("doc_id"), col("n_contaminated_grams"))
       .orderBy(col("doc_id"))
   }
 

@@ -522,8 +522,17 @@ object EventStreams {
   def st12StreamCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pipelines
     val sink = graft.Scratch.dir("st12_") + "/sink"
+    val staticDocs = graft.sources.Tables(spark, dir).documents
+    // the density probe runs ONCE against the static table at query
+    // build (the p11 pattern) — never per micro-batch, so streaming pays
+    // no extra per-trigger job; each batch is a slice of the same corpus,
+    // so the corpus-level decision is the right per-batch one too, and
+    // both curateBatch paths are output-identical regardless (DupGateSpec)
+    val collapse = graft.operators.DupDensity
+      .probe(staticDocs, org.apache.spark.sql.functions.md5(col("text")))
+      .collapseWorthIt
     val evalGrams = Pipelines
-      .evalGramsOf(graft.sources.Tables(spark, dir).documents)
+      .evalGramsOf(staticDocs, collapse)
       .localCheckpoint(true) // computed ONCE, reused every micro-batch
     val schema = schemaCache.computeIfAbsent(s"$dir/documents.parquet",
       p => spark.read.parquet(p).schema)
@@ -531,7 +540,7 @@ object EventStreams {
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        Pipelines.curateBatch(batch, evalGrams)
+        Pipelines.curateBatch(batch, evalGrams, collapse)
           .drop("text")
           .write.mode("append").parquet(sink): Unit
       }

@@ -188,6 +188,25 @@ class DupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("t10 direct == collapsed on dup-heavy and unique corpora") {
+    Seq(dupHeavyDocs, uniqueDocs).foreach { dir =>
+      assert(rowsOf(TextAnalysis.t10Direct(spark, dir)) ===
+        rowsOf(TextAnalysis.t10Collapsed(spark, dir)), s"dir=$dir")
+    }
+  }
+
+  test("curation contamination strip: direct == collapsed paths") {
+    import graft.operators.Pipelines
+    Seq(dupHeavyDocs, uniqueDocs).foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val d = Pipelines.curateBatch(docs,
+        Pipelines.evalGramsOf(docs, collapsed = false), collapsed = false)
+      val c = Pipelines.curateBatch(docs,
+        Pipelines.evalGramsOf(docs, collapsed = true), collapsed = true)
+      assert(rowsOf(d) === rowsOf(c), s"dir=$dir")
+    }
+  }
+
   // ---- path equality, embedding operators (incl. the degenerate
   //      all-zero vector the round-5 advisory flagged) ----
 
