@@ -30,6 +30,58 @@ object TextAnalysis {
 
   private def words(c: Column): Column = split(lower(c), " ")
 
+  /** The t-family dup-density probe (the d-family gate applied to the
+    * row-local text operators): collapse per-doc text work to distinct
+    * payloads only when verbatim copies dominate the corpus. */
+  private[graft] def textDupGate(spark: SparkSession, dir: String): Boolean =
+    DupDensity.probe(Tables(spark, dir).documents, md5(col("text")))
+      .collapseWorthIt
+
+  /** Density-gated distinct-payload evaluation for operators whose
+    * output depends on a doc only through (text, flags(doc_id)).
+    *
+    * `body` transforms a frame of (gid, text, flag...) rows into
+    * (gid, out...) rows — the op's whole per-document computation, keyed
+    * by an opaque group id instead of doc_id and WITHOUT the final sort.
+    * Direct path: gid = doc_id, one body run per doc — the right plan on
+    * ~unique corpora (no payload dedup, no expansion join; row-local ops
+    * stay shuffle-free). Collapsed path: gid = md5(text)+flags, the body
+    * runs once per DISTINCT class and members expand back with one
+    * equi-join — on a high-dup crawl corpus every downstream token/gram/
+    * regex kernel and every body-internal shuffle shrinks by the copy
+    * factor. Both paths emit identical (doc_id, out...) rows (the body
+    * output is a class function by the flags contract; DupGateSpec pins
+    * equality per op).
+    */
+  private[graft] def perTextPath(spark: SparkSession, dir: String,
+      collapsed: Boolean, flags: Seq[(String, Column)] = Nil)(
+      body: DataFrame => DataFrame): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val withFlags = docs.select(
+      (col("doc_id") +: col("text") +:
+        flags.map { case (n, c) => c.as(n) }): _*)
+    if (collapsed) {
+      // md5 is fixed-width hex, so appending the flag renderings cannot
+      // collide across classes
+      val gidCol = concat(
+        (md5(col("text")) +: flags.map(f => col(f._1).cast("string"))): _*)
+      val mem = withFlags.select(col("doc_id"), gidCol.as("gid"))
+      val rep = withFlags.select(
+        (gidCol.as("gid") +: col("text") +: flags.map(f => col(f._1))): _*)
+        .dropDuplicates("gid")
+      val classOut = body(rep)
+      val outCols = classOut.columns.filter(_ != "gid").map(col)
+      mem.join(classOut, Seq("gid"))
+        .select((col("doc_id") +: outCols): _*)
+        .orderBy(col("doc_id"))
+    } else {
+      val out = body(withFlags.withColumn("gid", col("doc_id")))
+      val outCols = out.columns.filter(_ != "gid").map(col)
+      out.select((col("gid").as("doc_id") +: outCols): _*)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   private def stopHits(ws: Column, lang: String): Column = {
     val set = array(stopwords(lang).map(lit): _*)
     size(filter(ws, w => array_contains(set, w)))
@@ -41,18 +93,19 @@ object TextAnalysis {
     * Rows-only: the heuristic itself is pinned by TextAnalysisSpec on
     * real en/de/es/fr sentences.
     */
-  def t01LangId(spark: SparkSession, dir: String): DataFrame = {
+  def t01LangId(spark: SparkSession, dir: String): DataFrame =
+    perTextPath(spark, dir, textDupGate(spark, dir))(t01Body)
+
+  private[graft] def t01Body(df: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val scored = array(stopwords.keys.toSeq.sorted.map { lang =>
       struct(stopHits(ws, lang).as("score"), lit(lang).as("lang"))
     }: _*)
-    Tables(spark, dir).documents
-      .select(col("doc_id"), array_max(scored).as("best"))
-      .select(col("doc_id"),
+    df.select(col("gid"), array_max(scored).as("best"))
+      .select(col("gid"),
         when(col("best.score") > 0, col("best.lang")).otherwise(lit("unknown"))
           .as("lang_pred"),
         col("best.score").as("stop_hits"))
-      .orderBy(col("doc_id"))
   }
 
   /** t02 — quality score from length / word-shape / stopword-density
@@ -60,12 +113,15 @@ object TextAnalysis {
     * verbatim in the DuckDB oracle; all terms are exact-rational or
     * single-rounded doubles so both engines agree bitwise.
     */
-  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
+    perTextPath(spark, dir, textDupGate(spark, dir))(t02Body)
+
+  private[graft] def t02Body(df: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    Tables(spark, dir).documents
-      .select(col("doc_id"), length(col("text")).as("n_chars_m"),
+    df
+      .select(col("gid"), length(col("text")).as("n_chars_m"),
         size(ws).as("n_words"), stopHits(ws, "en").as("stop_cnt"))
-      .select(col("doc_id"), col("n_chars_m"), col("n_words"), col("stop_cnt"),
+      .select(col("gid"), col("n_chars_m"), col("n_words"), col("stop_cnt"),
         (col("n_chars_m").cast("double") / col("n_words")).as("avg_wlen"),
         (lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 120.0) +
           lit(0.3) * when(
@@ -75,20 +131,27 @@ object TextAnalysis {
           lit(0.3) * least(lit(1.0),
             col("stop_cnt").cast("double") / col("n_words") * 5.0))
           .as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** t03 — token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (runs of letters / runs of digits / single other symbols — the
     * pre-tokenization split GPT-2-style BPE applies before merges).
     */
+  // t03 stays on the DIRECT path unconditionally: its body is one cheap
+  // codegen'd projection, and the collapse's payload-dedup shuffle costs
+  // more than the regex work it saves even at 100x-verbatim dup density
+  // (measured at sf10: direct 14.3 s, collapsed 19.4 s). The density
+  // gate is a dup-mass probe, not a body-cost model — ops whose per-row
+  // kernel is trivial opt out statically.
   def t03TokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
+    perTextPath(spark, dir, collapsed = false)(t03Body)
+
+  private[graft] def t03Body(df: DataFrame): DataFrame =
+    df
+      .select(col("gid"),
         size(split(col("text"), " ")).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
           .as("bpe_tokens"))
-      .orderBy(col("doc_id"))
 
   /** t04 — document fingerprint: min/max sampling over rolling 4-word
     * shingle hashes (the winnowing-style content fingerprint used for
@@ -202,22 +265,24 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     }
 
-  def t06SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  def t06SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    perTextPath(spark, dir, textDupGate(spark, dir))(t06Body)
+
+  private[graft] def t06Body(df: DataFrame): DataFrame = {
     val ws = col("ws")
-    Tables(spark, dir).documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
+    df
+      .select(col("gid"), split(col("text"), " ").as("ws"))
+      .select(col("gid"),
         posexplode(segments8(ws, includeTail = true))
           .as(Seq("pos", "seg")))
-      .groupBy(col("doc_id"), col("seg"))
+      .groupBy(col("gid"), col("seg"))
       .agg(min(col("pos")).as("pos"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("gid"))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
           s => s.getField("seg"))).as("clean_text"))
-      .select(col("doc_id"), col("clean_text"),
+      .select(col("gid"), col("clean_text"),
         length(col("clean_text")).as("n_chars_c"))
-      .orderBy(col("doc_id"))
   }
 
   /** t07 — Gopher-style repetition filter (Rae et al. 2021 §A1.1: docs
@@ -229,21 +294,23 @@ object TextAnalysis {
     * t06 pattern). Thresholds flag the doc. All ratios are single-rounded
     * double divisions mirrored verbatim in the DuckDB oracle.
     */
-  def t07RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir).documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  def t07RepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    perTextPath(spark, dir, textDupGate(spark, dir))(t07Body)
+
+  private[graft] def t07Body(df: DataFrame): DataFrame = {
+    val base = df.select(col("gid"), split(col("text"), " ").as("ws"))
     val ws = col("ws")
     val segs = segments8(ws, includeTail = true)
-    val segStats = base.select(col("doc_id"), size(segs).as("n_segs"),
+    val segStats = base.select(col("gid"), size(segs).as("n_segs"),
       size(array_distinct(segs)).as("n_distinct_segs"))
     // explode_outer keeps <2-word docs as a null-gram row so the join
     // below stays an inner join on a complete key set
-    val grams = base.select(col("doc_id"),
+    val grams = base.select(col("gid"),
       explode_outer(when(size(ws) >= 2,
         transform(sequence(lit(0), size(ws) - 2),
           i => concat_ws(" ", slice(ws, i + 1, lit(2)))))).as("gram"))
-    val gramStats = grams.groupBy(col("doc_id"), col("gram")).count()
-      .groupBy(col("doc_id"))
+    val gramStats = grams.groupBy(col("gid"), col("gram")).count()
+      .groupBy(col("gid"))
       .agg(sum(when(col("gram").isNotNull, col("count")).otherwise(0L))
         .as("n_grams"),
         max(when(col("gram").isNotNull, col("count")).otherwise(0L))
@@ -252,11 +319,10 @@ object TextAnalysis {
       col("n_distinct_segs").cast("double") / col("n_segs")
     val topFrac = when(col("n_grams") > 0,
       col("top_cnt").cast("double") / col("n_grams")).otherwise(lit(0.0))
-    segStats.join(gramStats, Seq("doc_id"))
-      .select(col("doc_id"), col("n_segs"), col("n_distinct_segs"),
+    segStats.join(gramStats, Seq("gid"))
+      .select(col("gid"), col("n_segs"), col("n_distinct_segs"),
         dupFrac.as("dup_seg_frac"), topFrac.as("top2gram_frac"),
         (dupFrac > 0.3 || topFrac > 0.18).cast("long").as("flagged"))
-      .orderBy(col("doc_id"))
   }
 
   /** t08 — PII scrub (the redaction pass every training-data pipeline
@@ -455,23 +521,25 @@ object TextAnalysis {
     * codegen'd, embarrassingly parallel at 100 TB — model-based filtering
     * costs one corpus pass regardless of scale.
     */
-  def t13QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def t13QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    perTextPath(spark, dir, textDupGate(spark, dir))(t13Body)
+
+  private[graft] def t13Body(df: DataFrame): DataFrame = {
     // ws materialized as a real column BEFORE the lambda: an expression
     // referenced inside transform() re-evaluates per element
     val tokWeight = (w: Column) =>
       conv(substring(md5(w), 1, 4), 16, 10).cast("long") % 2001L - 1000L
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
+    df
+      .select(col("gid"),
         filter(split(lower(col("text")), " "), w => length(w) > 0).as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+      .select(col("gid"), size(col("ws")).as("n_tokens"),
         aggregate(col("ws"), lit(0L), (acc, w) => acc + tokWeight(w))
           .as("wsum"))
       .where(col("n_tokens") > 0)
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("gid"), col("n_tokens"),
         (col("wsum").cast("double") / (col("n_tokens") * 1000.0))
           .as("clf_score"))
       .withColumn("keep", col("clf_score") > 0.0)
-      .orderBy(col("doc_id"))
   }
 
   /** One whitespace token count as a Column (t13/t14/t15 share it so the
@@ -636,7 +704,11 @@ object TextAnalysis {
     * gram-keyed hash join back, one doc-keyed agg — all linear,
     * no N² anywhere.
     */
-  def t16LmSurprise(spark: SparkSession, dir: String): DataFrame = {
+  def t16LmSurprise(spark: SparkSession, dir: String): DataFrame =
+    if (textDupGate(spark, dir)) t16Collapsed(spark, dir)
+    else t16Direct(spark, dir)
+
+  private[graft] def t16Direct(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables(spark, dir).documents
       .select(col("doc_id"),
         filter(split(lower(col("text")), " "), w => length(w) > 0).as("ws"))
@@ -653,6 +725,44 @@ object TextAnalysis {
         expr("(1000000 * c1) DIV c2").as("surp"))
       .groupBy(col("doc_id"))
       .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ssum").cast("double") / col("n_bigrams")).as("avg_surprise"),
+        (col("ssum").cast("double") / col("n_bigrams") >
+          lit(surpriseThreshold)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT-DUP PRE-COLLAPSE form of t16. Unlike the row-local t-ops, the
+    * bigram model is CORPUS-level, so the collapse must preserve it
+    * exactly: bigram occurrence rows come from DISTINCT texts only, and
+    * the model counts weight each row by its class multiplicity —
+    * sum(m) over class-occurrence rows equals the per-copy count the
+    * direct path computes, term for term, so c1/c2 and every integer
+    * DIV result are identical at ANY dup profile (not just uniform
+    * replication). Per-doc scoring then runs once per class and expands.
+    */
+  private[graft] def t16Collapsed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val mem = docs.select(col("doc_id"), md5(col("text")).as("th"))
+    val mult = mem.groupBy(col("th")).agg(count(lit(1)).as("m"))
+    val tok = docs.select(md5(col("text")).as("th"), col("text"))
+      .dropDuplicates("th")
+      .select(col("th"),
+        filter(split(lower(col("text")), " "), w => length(w) > 0).as("ws"))
+      .where(size(col("ws")) >= 2)
+    val g = tok.select(col("th"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("th"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val gw = g.join(mult, Seq("th"))
+    val bc = gw.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c2"))
+    val cc = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val perClass = g.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+      .select(col("th"), expr("(1000000 * c1) DIV c2").as("surp"))
+      .groupBy(col("th"))
+      .agg(sum(col("surp")).as("ssum"), count(lit(1)).as("n_bigrams"))
+    mem.join(perClass, Seq("th"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("ssum").cast("double") / col("n_bigrams")).as("avg_surprise"),
         (col("ssum").cast("double") / col("n_bigrams") >
@@ -874,22 +984,28 @@ object TextAnalysis {
     * the presentation sort; the DuckDB oracle repeats the identical
     * translate+count pipeline.
     */
-  def t19BlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+  def t19BlocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    perTextPath(spark, dir, textDupGate(spark, dir), t19Flags)(t19Body)
+
+  /** The planting depends on doc_id only through these two flags, so
+    * (md5(text), p7, p11) is the valid collapse class. */
+  private[graft] val t19Flags: Seq[(String, Column)] = Seq(
+    "p7" -> (pmod(col("doc_id"), lit(7)) === 0),
+    "p11" -> (pmod(col("doc_id"), lit(11)) === 0))
+
+  private[graft] def t19Body(df: DataFrame): DataFrame = {
     val blocked = Seq("slow", "stream") // stand-in listed terms
-    val planted = when(pmod(col("doc_id"), lit(7)) === 0,
-        concat(col("text"), lit(" sl0w")))
-      .otherwise(when(pmod(col("doc_id"), lit(11)) === 0,
-        concat(col("text"), lit(" s7ream")))
+    val planted = when(col("p7"), concat(col("text"), lit(" sl0w")))
+      .otherwise(when(col("p11"), concat(col("text"), lit(" s7ream")))
         .otherwise(col("text")))
     val folded = translate(lower(planted), "013457@$", "oieastas")
     val ws = filter(split(folded, " "), w => length(w) > 0)
     val set = array(blocked.map(lit): _*)
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
+    df
+      .select(col("gid"),
         size(filter(ws, w => array_contains(set, w))).as("n_hits"))
-      .select(col("doc_id"), col("n_hits"),
+      .select(col("gid"), col("n_hits"),
         (col("n_hits") === 0).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** t20 — boilerplate STRIP (the apply half of t09, as t18 is to t17):
@@ -902,24 +1018,32 @@ object TextAnalysis {
     * oracle). One explode + one broadcast join + one groupBy: the
     * rewrite costs what the detection cost.
     */
-  def t20BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+  def t20BoilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    t20Path(spark, dir, textDupGate(spark, dir))
+
+  /** The strip list is corpus-level (t09 counts DISTINCT doc_ids, so it
+    * is dup-profile-exact as-is); the per-doc strip+reassemble half is a
+    * pure function of text given that broadcast list — collapsible. */
+  private[graft] def t20Path(spark: SparkSession, dir: String,
+      collapsed: Boolean): DataFrame = {
     val strip = t09Boilerplate(spark, dir).select(col("seg"))
       .withColumn("blocked", lit(true))
-    val segs = Tables(spark, dir).documents
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("words_before"),
-        posexplode(segments8(col("ws"), includeTail = true))
-          .as(Seq("i", "seg")))
-    segs.join(broadcast(strip), Seq("seg"), "left")
-      .filter(col("blocked").isNull)
-      .groupBy(col("doc_id"), col("words_before"))
-      .agg(
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("i"), col("seg")))),
-          s => s.getField("seg")), " ").cast("binary")).as("cleaned_md5"),
-        sum(size(filter(split(col("seg"), " "), w => length(w) > 0)))
-          .as("words_after"))
-      .orderBy(col("doc_id"))
+    perTextPath(spark, dir, collapsed) { df =>
+      val segs = df
+        .select(col("gid"), split(col("text"), " ").as("ws"))
+        .select(col("gid"), size(col("ws")).as("words_before"),
+          posexplode(segments8(col("ws"), includeTail = true))
+            .as(Seq("i", "seg")))
+      segs.join(broadcast(strip), Seq("seg"), "left")
+        .filter(col("blocked").isNull)
+        .groupBy(col("gid"), col("words_before"))
+        .agg(
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("seg")))),
+            s => s.getField("seg")), " ").cast("binary")).as("cleaned_md5"),
+          sum(size(filter(split(col("seg"), " "), w => length(w) > 0)))
+            .as("words_after"))
+    }
   }
 
   val oracle: Map[String, String] = Map(

@@ -188,6 +188,27 @@ class DupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("t-family per-text collapse: direct == collapsed per op") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{TextAnalysis => TA}
+    Seq(dupHeavyDocs, uniqueDocs).foreach { dir =>
+      val cases: Seq[(String, Boolean => DataFrame)] = Seq(
+        ("t01", c => TA.perTextPath(spark, dir, c)(TA.t01Body)),
+        ("t02", c => TA.perTextPath(spark, dir, c)(TA.t02Body)),
+        ("t03", c => TA.perTextPath(spark, dir, c)(TA.t03Body)),
+        ("t06", c => TA.perTextPath(spark, dir, c)(TA.t06Body)),
+        ("t07", c => TA.perTextPath(spark, dir, c)(TA.t07Body)),
+        ("t13", c => TA.perTextPath(spark, dir, c)(TA.t13Body)),
+        ("t19", c => TA.perTextPath(spark, dir, c, TA.t19Flags)(TA.t19Body)),
+        ("t16", c => if (c) TA.t16Collapsed(spark, dir)
+                     else TA.t16Direct(spark, dir)),
+        ("t20", c => TA.t20Path(spark, dir, c)))
+      cases.foreach { case (n, f) =>
+        assert(rowsOf(f(false)) === rowsOf(f(true)), s"op=$n dir=$dir")
+      }
+    }
+  }
+
   test("t10 direct == collapsed on dup-heavy and unique corpora") {
     Seq(dupHeavyDocs, uniqueDocs).foreach { dir =>
       assert(rowsOf(TextAnalysis.t10Direct(spark, dir)) ===
