@@ -26,6 +26,12 @@ object Bench {
       // sweep vs 12 s isolated). The default periodic-GC interval is
       // 30 min — longer than the suite; force a reap every 2 min.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // split small files finer than the 128 MB default: the rehearsal
+      // corpora are single parquet files (documents at sf10 is 60 MB),
+      // and one scan partition serializes every per-doc kernel behind
+      // one core. 8 MB splits give the 32 cores work at every SF; at
+      // real scale a table is many files and this knob is moot.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -268,6 +268,9 @@ object Pipelines {
       collapsed: Boolean = false): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
     val ev = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    // ws is materialized as a column BEFORE grams13 on both branches: an
+    // expression referenced inside the transform lambda re-evaluates per
+    // element, so an inline split() grams in O(n²) per doc
     val src =
       if (collapsed)
         // grams are a function of (text, planted) — gram each distinct
@@ -275,11 +278,12 @@ object Pipelines {
         ev.select(col("text"),
             (pmod(col("doc_id"), lit(37)) === 0).as("pl"))
           .dropDuplicates("pl", "text")
-          .select(explode(TA.grams13(
-            split(TA.augmentedTextOf(col("text"), col("pl")), " ")))
-            .as("gram"))
+          .select(split(TA.augmentedTextOf(col("text"), col("pl")), " ")
+            .as("ws"))
+          .select(explode(TA.grams13(col("ws"))).as("gram"))
       else
-        ev.select(explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+        ev.select(split(TA.augmentedText, " ").as("ws"))
+          .select(explode(TA.grams13(col("ws"))).as("gram"))
     src.distinct()
   }
 
@@ -308,9 +312,9 @@ object Pipelines {
       val contamClasses = keyed.select(col("th"), col("pl"), col("text"))
         .dropDuplicates("th", "pl")
         .select(col("th"), col("pl"),
-          explode(TA.grams13(
-            split(TA.augmentedTextOf(col("text"), col("pl")), " ")))
-            .as("gram"))
+          split(TA.augmentedTextOf(col("text"), col("pl")), " ").as("ws"))
+        .select(col("th"), col("pl"),
+          explode(TA.grams13(col("ws"))).as("gram"))
         .join(evalGrams, Seq("gram"))
         .select(col("th"), col("pl")).distinct()
       keyed.join(contamClasses, Seq("th", "pl"), "left_anti")
@@ -318,8 +322,8 @@ object Pipelines {
           col("bucket"), col("quality"))
     } else {
       val contaminated = filtered
-        .select(col("doc_id"),
-          explode(TA.grams13(split(TA.augmentedText, " "))).as("gram"))
+        .select(col("doc_id"), split(TA.augmentedText, " ").as("ws"))
+        .select(col("doc_id"), explode(TA.grams13(col("ws"))).as("gram"))
         .join(evalGrams, Seq("gram"))
         .select(col("doc_id")).distinct()
       filtered.join(contaminated, Seq("doc_id"), "left_anti")

@@ -32,7 +32,13 @@ def rep(table, key, k):
     sels = " UNION ALL ".join(
         f"SELECT {key} + {i*k} AS {key}, * EXCLUDE ({key}) FROM '{SRC}/{table}.parquet'"
         for i in range(COPIES))
-    con.sql(f"COPY ({sels}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    # bounded row groups: a real 100 TB table is many files/row groups, so
+    # Spark's scan parallelism is a given; DuckDB's default (~122k rows per
+    # group) leaves a 500k-row rehearsal file with ~4 groups, which caps
+    # the scan at 4 partitions and serializes per-row kernels behind a few
+    # cores — unrepresentative of the scale this rehearses
+    con.sql(f"COPY ({sels}) TO '{DST}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 20000)")
 
 rep("lineitem", "l_orderkey", stride)
 rep("orders", "o_orderkey", stride)
@@ -44,7 +50,8 @@ ev = con.sql(f"SELECT MAX(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0
 parts = [src.set_column(src.schema.get_field_index("event_id"), "event_id",
                         pa.compute.add(src.column("event_id"), i * ev))
          for i in range(COPIES)]
-pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet")
+pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet",
+               row_group_size=100000)
 
 for t in ["customer", "supplier", "part", "nation", "region"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
