@@ -259,4 +259,57 @@ class DupGateSpec extends AnyFunSuite {
     assert(Dedup.d06DedupEmbeddingLsh(spark, sfDir).count() >= 0)
     assert(Dedup.d09SemDedup(spark, sfDir).count() > 0)
   }
+
+  test("COLLAPSED plans pass the scale-killer sweep too") {
+    // The suite-wide ExplainAudit sweep builds plans at the gate SF,
+    // where the density probe always picks the DIRECT path — so the
+    // collapsed plans (the ones that actually run on a dup-heavy 100 TB
+    // corpus) would otherwise carry no plan audit at all. Build every
+    // collapsed variant on the dup-heavy fixtures and apply the same
+    // two contracts: no CartesianProductExec, no unbounded
+    // unpartitioned WindowExec.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import graft.operators.{Pipelines, TextAnalysis => TA}
+    def bounded(p: SparkPlan): Boolean = {
+      val s = p.toString
+      s.contains("TakeOrderedAndProject") || s.contains("CollectLimit") ||
+        s.contains("GlobalLimit") || s.contains("LocalLimit")
+    }
+    val dir = dupHeavyDocs
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val g = Lsh.scaled(18)
+    val plans: Seq[(String, DataFrame)] = Seq(
+      "d02" -> Dedup.d02Collapsed(spark, dir),
+      "d03" -> Dedup.d03Collapsed(spark, dir),
+      "d06" -> Dedup.d06Collapsed(spark, dupHeavyEmbs, g),
+      "d09" -> Dedup.d09Collapsed(spark, dupHeavyEmbs, 8),
+      "d10" -> Dedup.d10Collapsed(spark, dir),
+      "d12bands" -> Dedup.bandRowsCollapsed(docsDf),
+      "t04" -> TA.t04Collapsed(spark, dir),
+      "t10" -> TA.t10Collapsed(spark, dir),
+      "t16" -> TA.t16Collapsed(spark, dir),
+      "t20" -> TA.t20Path(spark, dir, collapsed = true),
+      "t01" -> TA.perTextPath(spark, dir, collapsed = true)(TA.t01Body),
+      "t07" -> TA.perTextPath(spark, dir, collapsed = true)(TA.t07Body),
+      "t13" -> TA.perTextPath(spark, dir, collapsed = true)(TA.t13Body),
+      "t19" -> TA.perTextPath(spark, dir, collapsed = true,
+        TA.t19Flags)(TA.t19Body),
+      "p11curate" -> Pipelines.curateBatch(docsDf,
+        Pipelines.evalGramsOf(docsDf, collapsed = true), collapsed = true),
+      "m07" -> Multimodal.m07Collapsed(Multimodal.m07Hashed(spark, dir)))
+    val offenders = plans.flatMap { case (name, df) =>
+      val plan = df.queryExecution.sparkPlan
+      (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          s"$name: unbounded unpartitioned WindowExec over ${w.child.nodeName}"
+        case c: CartesianProductExec =>
+          s"$name: CartesianProductExec (${c.left.nodeName} × ${c.right.nodeName})"
+      })
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
