@@ -112,6 +112,22 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected one scan:\n$p")
   }
 
+  test("p10: the sort survives the subquery and runs below the u256 " +
+      "projection") {
+    // the SQL sorts a narrow subquery and projects the wide u256
+    // strings outside it — assert the optimizer (a) kept the Sort
+    // (EliminateSorts must not drop the ORDER BY contract) and (b) left
+    // the u256 projection ABOVE it, so the range exchange moves five
+    // narrow columns, not 64-char strings
+    val df = graft.operators.Pipelines.p10SqlPipeline(spark, sfDir)
+    val p = df.queryExecution.sparkPlan.toString
+    val sortAt = p.indexOf("Sort [")
+    val u256At = p.indexOf("u256")
+    assert(sortAt >= 0, s"ORDER BY was optimized away:\n$p")
+    assert(u256At >= 0 && u256At < sortAt,
+      s"u256 projection must sit above (before) the sort:\n$p")
+  }
+
   test("p08 composite: adjacency via ONE window exchange, no self-join") {
     val p = plan(graft.operators.SvmInstr.p08SwapTransferMatch(spark, sfDir))
     assert(!p.toLowerCase.contains("join"),
