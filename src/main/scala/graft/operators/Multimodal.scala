@@ -512,6 +512,60 @@ object Multimodal {
         |    for i in range(0, LEAST(64, n))], '') AS BLOB))) AS thumb,
         |  CAST(LEAST(64, n) AS INT) AS thumb_bytes
         |FROM src ORDER BY doc_id""".stripMargin,
+    // m07's oracle (round 8): the whole perceptual-hash pipeline is
+    // integer/double-exact arithmetic over the ASCII payload bytes, so
+    // DuckDB re-derives it end to end — the noisy re-encode variants
+    // (xor 8 on every 31st byte of every 25th doc, shifted ids), the
+    // 64-bucket average hash (integer bucket index i*64//n, double
+    // mean-vs-global-mean threshold — both engines' doubles agree on
+    // integer-valued ratios), the 4×16-bit pigeonhole bands rebuilt
+    // bit-by-bit (sidestepping cross-engine shift semantics, the s02
+    // trick), candidate pairs via the band-bucket join, and hamming as
+    // the count of differing bits. Matching the engine's typed
+    // mapPartitions kernel proves decode∘hash∘band∘verify is the same
+    // function on both sides.
+    "m07_phash_dedup" ->
+      """WITH variants AS (
+        |  SELECT doc_id AS id, text, FALSE AS noisy FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, text, TRUE AS noisy
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |bytes AS (
+        |  SELECT id, n, i,
+        |    CASE WHEN noisy AND i % 31 = 0 THEN xor(v, 8) ELSE v END AS val
+        |  FROM (
+        |    SELECT id, noisy, len(text) AS n,
+        |      unnest(range(len(text))) AS i,
+        |      unnest([ascii(text[k]) for k in range(1, len(text)+1)]) AS v
+        |    FROM variants)),
+        |buckets AS (
+        |  SELECT id, i * 64 // n AS b, SUM(val) AS s, COUNT(*) AS c
+        |  FROM bytes GROUP BY id, i * 64 // n),
+        |gm AS (
+        |  SELECT id, SUM(val)::DOUBLE / COUNT(*) AS g
+        |  FROM bytes GROUP BY id),
+        |bits AS (
+        |  SELECT g.id, j.j AS j,
+        |    COALESCE(b.s::DOUBLE / b.c > g.g, FALSE) AS bit
+        |  FROM gm g CROSS JOIN range(64) j(j)
+        |  LEFT JOIN buckets b ON b.id = g.id AND b.b = j.j),
+        |bb AS (
+        |  SELECT id, j // 16 AS band,
+        |    SUM(CASE WHEN bit THEN 1 << (j % 16) ELSE 0 END) AS bucket
+        |  FROM bits GROUP BY id, j // 16),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.id < y.id),
+        |ham AS (
+        |  SELECT c.a, c.b,
+        |    SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS h
+        |  FROM cand c
+        |  JOIN bits p ON p.id = c.a
+        |  JOIN bits q ON q.id = c.b AND q.j = p.j
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, CAST(h AS INTEGER) AS hamming
+        |FROM ham WHERE h <= 3 ORDER BY a, b""".stripMargin,
     "m02_frame_sample" ->
       """WITH idx AS (
         |  SELECT doc_id, text,

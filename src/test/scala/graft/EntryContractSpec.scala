@@ -21,16 +21,16 @@ class EntryContractSpec extends AnyFunSuite {
     // r5 promoted t04/f03/f09; r6 promoted d13 (portable md5 hash
     // family → full method-eval oracle) and t05 (tolerance-banded
     // oracle); r8 promoted s02 (deterministic hyperplane matrix
-    // embedded in generated SQL) and s04 (FLOAT quantization + i8
-    // kernel mirrored) — 10 remain, each blocked by a genuinely
-    // non-portable dependency (xxhash64 family: d02/d03/d12/m07;
-    // trained-quantizer state: d09/s03/s05; iterative merges: t17/t18;
-    // HLL-estimate-dependent geometry: d06), each backed by a named
-    // behavior spec
+    // embedded in generated SQL), s04 (FLOAT quantization + i8 kernel
+    // mirrored), and m07 (average-hash + noise synthesis + pigeonhole
+    // bands re-derived over the ASCII payload bytes) — 9 remain, each
+    // blocked by a genuinely non-portable dependency (xxhash64 family:
+    // d02/d03/d12; trained-quantizer state: d09/s03/s05; iterative
+    // merges: t17/t18; HLL-estimate-dependent geometry: d06), each
+    // backed by a named behavior spec
     val expected = Set(
       "d02_dedup_minhash", "d03_dedup_simhash", "d06_dedup_embedding_lsh",
       "d09_semdedup", "d12_incremental_lsh_index",
-      "m07_phash_dedup",
       "s03_ann_ivf", "s05_ann_pq",
       "t17_bpe_train", "t18_bpe_encode")
     assert(rowsOnly === expected,
