@@ -13,9 +13,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions must scale with DATA, not cores: 32 partitions
+    // of a 600M-row sort are ~19M wide rows each and 32 of them run
+    // concurrently — the sf100 rehearsal OOM'd exactly there. The knob
+    // defaults to cores (right at the driver's SFs) and is raised per
+    // run at rehearsal scale; AQE coalesces small shuffles back down, so
+    // over-provisioning costs little.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // A 161-query suite in one JVM accumulates weakly-referenced state

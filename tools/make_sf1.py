@@ -17,7 +17,7 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+SRC = __import__("os").environ.get("GRAFT_SF_SRC", "/root/testdata/sf0.1")
 DST = __import__("os").environ.get("GRAFT_SF_DST", "/tmp/sf1")
 COPIES = int(__import__("os").environ.get("GRAFT_SF_COPIES", "10"))
 
