@@ -941,9 +941,10 @@ object TextAnalysis {
 
   /** t17 — BPE tokenizer training over the documents corpus: the first
     * 12 learned merges with their frequency-weighted pair counts.
-    * Rows-only (iterative, not SQL-expressible); the merge sequence and
-    * the overlap rule are pinned by LlmOpsSpec on a hand-computed
-    * planted corpus.
+    * Full DuckDB oracle (round 9): the fixed merge count lets the
+    * training loop unroll into chained CTEs — see [[bpeVocabCtes]];
+    * the merge sequence and the overlap rule are additionally pinned by
+    * LlmOpsSpec on a hand-computed planted corpus.
     */
   def t17BpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables(spark, dir).documents.select(col("text")), 12)
@@ -954,7 +955,8 @@ object TextAnalysis {
     * table IS the encoded vocabulary — each merge round already applied
     * its fold during training, so encode adds no per-word work at all;
     * per-doc token counts come from one word join + groupBy over the
-    * corpus. Rows-only; the hug/pug spec pins hand-computed counts.
+    * corpus. Full DuckDB oracle (round 9, via the same unrolled CTE
+    * chain as t17); the hug/pug spec pins hand-computed counts.
     */
   def t18BpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(Tables(spark, dir).documents, 12)
@@ -1057,7 +1059,79 @@ object TextAnalysis {
     }
   }
 
+  /** t17/t18's DuckDB twin: the 12-round BPE training loop UNROLLED into
+    * chained CTEs (fixed merge count ⇒ no recursion needed). Each word's
+    * symbol list is carried as a chr(31)-delimited string with every
+    * symbol wrapped in its own separators ("␟a␟␟b␟…"), because SQL
+    * replace() then IS the mergePair fold: replace scans left-to-right
+    * and resumes AFTER each replacement, which reproduces the fold's
+    * skip-after-merge rule exactly (verified on the aaa/aaaa overlap
+    * cases), and the double separator keeps adjacent pair patterns from
+    * sharing a delimiter character. Ties break (cnt DESC, a, b) in both
+    * engines' binary string order. chr(31) never occurs in corpus text
+    * (space-split words; the oracle would fail LOUDLY if it did). */
+  private def bpeVocabCtes(nMerges: Int): String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""bpe_base AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS freq
+         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |          w -> length(w) > 0)) AS word FROM documents)
+         |  GROUP BY word),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    $S || array_to_string(list_append(string_split(word, ''),
+         |      '</w>'), $S || $S) || $S AS rep
+         |  FROM bpe_base)""".stripMargin)
+    for (r <- 1 to nMerges) sb.append(
+      s""",
+         |p$r AS MATERIALIZED (
+         |  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(rep, $S), $S || $S) AS s
+         |        FROM v${r - 1}) t,
+         |    LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(rep, $S || m$r.a || $S || $S || m$r.b || $S,
+         |      $S || m$r.a || m$r.b || $S) AS rep
+         |  FROM v${r - 1}, m$r)""".stripMargin)
+    sb.toString
+  }
+
+  private def t17OracleSql: String =
+    "WITH " + bpeVocabCtes(12) + "\n" +
+      (1 to 12).map(r =>
+        s"""SELECT $r AS rank, a AS "left", b AS "right", cnt AS pair_count
+           |FROM m$r""".stripMargin).mkString("\nUNION ALL\n") +
+      "\nORDER BY rank"
+
+  private def t18OracleSql: String =
+    "WITH " + bpeVocabCtes(12) +
+      s""",
+         |enc AS (
+         |  SELECT word,
+         |    len(string_split(trim(rep, chr(31)), chr(31) || chr(31)))
+         |      AS n_sub
+         |  FROM v12),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split(lower(text), ' '),
+         |      w -> length(w) > 0)) AS word
+         |  FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS tokens_per_word
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t17_bpe_train" -> t17OracleSql,
+    "t18_bpe_encode" -> t18OracleSql,
     // t05: exact facts value-checked; the sketch-error booleans are
     // pinned TRUE — the tolerance contract (see the t05 Scaladoc) is
     // what the oracle asserts
