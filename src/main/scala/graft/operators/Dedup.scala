@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{minhashes, simhash64}
+import graft.functions.simhash64
 import graft.sources.Tables
 
 /** Deduplication operators d01–d05 (SURVEY.md §2): exact + the three
@@ -28,11 +28,14 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("h"))
 
-  /** d02 — MinHash+LSH near-dup. shingle→16 minhashes (one pass, custom
-    * codegen'd expression)→4 bands of 4→bucket equi-join→exact Jaccard on
-    * survivors. The only shuffle is the band-bucket join; candidate pairs
-    * stay ~linear because only same-bucket docs ever meet. Rows-only
-    * (DedupSpec pins recall on planted near-dups).
+  /** d02 — MinHash+LSH near-dup. shingle→16 minhashes (one md5 digest
+    * per shingle, scrambled-linear family — [[Lsh.minhashSignature]])
+    * →4 bands of 4→bucket equi-join→exact Jaccard on survivors. The only
+    * shuffle is the band-bucket join; candidate pairs stay ~linear
+    * because only same-bucket docs ever meet. Full DuckDB oracle
+    * (round 9): the whole pipeline — shingles, digests, family
+    * arithmetic, banding, verify — replays in SQL; DedupSpec
+    * additionally pins recall on planted near-dups.
     *
     * DUP-DENSITY GATE (round 6): the exact-dup pre-collapse is a 3–8×
     * win on high-dup corpora (sf1 10×-verbatim rehearsal) but pure
@@ -46,21 +49,37 @@ object Dedup {
     else d02Direct(spark, dir)
   }
 
+  /** Shared d02/d12 signature prep: shingle strings (whole-text
+    * fallback) → ONE md5 per shingle → four 28-bit chunks → the
+    * 16-member portable family ([[Lsh.minhashSignature]]). Emits
+    * (`idCol`, sh, mh): `sh` is the 60-bit digest-front array, which
+    * doubles as the exact-jaccard verify input. Each stage materializes
+    * as a column so the digest runs once per shingle, not once per
+    * family member. */
+  private[graft] def portableSig(docs: DataFrame, idCol: Column): DataFrame =
+    docs
+      .select(idCol.as("_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("_id"),
+        Shingles.stringsWithFallback(col("ws"), col("text"), 3).as("shs"))
+      .select(col("_id"), transform(col("shs"), s => md5(s)).as("hex"))
+      .select(col("_id") +:
+        transform(col("hex"), x => Shingles.md5Hash60Of(x)).as("sh") +:
+        (0 until 4).map(k =>
+          transform(col("hex"), x => Shingles.md5Chunk28(x, k))
+            .as(s"x${k + 1}")): _*)
+      .select(col("_id"), col("sh"),
+        Lsh.minhashSignature(col("x1"), col("x2"), col("x3"), col("x4"))
+          .as("mh"))
+
   /** The direct per-doc path — right when the corpus is ~unique: no
     * dropDuplicates of text payloads, no expansion joins. */
   private[graft] def d02Direct(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        minhashes(col("sh"), Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
+    val docs = portableSig(Tables(spark, dir).documents, col("doc_id"))
+      .withColumnRenamed("_id", "doc_id")
     // candidate generation shuffles ONLY (doc_id, band, bucket) — the
     // shingle arrays (≈ the corpus itself) never enter the band join
     val bands = docs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Lsh.MinhashBands - 1)),
-        b => xxhash64(slice(col("mh"), b * Lsh.MinhashRows + 1,
-          lit(Lsh.MinhashRows)))))
+      posexplode(Lsh.minhashBuckets(col("mh")))
         .as(Seq("band", "bucket")))
     val pairs = bands.as("a")
       .join(bands.as("b"),
@@ -91,22 +110,18 @@ object Dedup {
     val members = Tables(spark, dir).documents
       .select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint(true)
-    val reps = Tables(spark, dir).documents
-      .select(md5(col("text")).as("th"), col("text"))
-      .dropDuplicates("th")
-      .select(col("th"), split(col("text"), " ").as("ws"), col("text"))
-      .select(col("th"), Shingles.hashes(col("ws"), col("text"), 3).as("sh"))
-      .select(col("th"), col("sh"),
-        minhashes(col("sh"), Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
+    val reps = portableSig(
+      Tables(spark, dir).documents
+        .select(md5(col("text")).as("th"), col("text"))
+        .dropDuplicates("th"),
+      col("th")).withColumnRenamed("_id", "th")
     // candidate generation shuffles ONLY (th, band, bucket). The shingle
     // arrays (≈ the corpus itself) never enter the band join; they're
     // fetched per *surviving distinct-text pair* afterwards. At 100 TB
     // that's the difference between shuffling 100 TB twice and
     // shuffling a few TB of keys.
     val bands = reps.select(col("th"),
-      posexplode(transform(sequence(lit(0), lit(Lsh.MinhashBands - 1)),
-        b => xxhash64(slice(col("mh"), b * Lsh.MinhashRows + 1,
-          lit(Lsh.MinhashRows)))))
+      posexplode(Lsh.minhashBuckets(col("mh")))
         .as(Seq("band", "bucket")))
     val thPairs = bands.as("a")
       .join(bands.as("b"),
@@ -137,34 +152,40 @@ object Dedup {
     cross.unionByName(within).orderBy(col("a"), col("b"))
   }
 
-  /** d03 — SimHash near-dup: 64-bit per-token-majority signature, bucketed
-    * by 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one band
-    * collides — no candidate is missed), verified with bit_count(xor) ≤ 3.
-    * Rows-only (DedupSpec pins the signature math + recall).
+  /** d03 — SimHash near-dup: 60-bit per-token-majority signature (the
+    * portable md5Hash60 token hash — round 9's oracle promotion; the
+    * simhash64 expression's bits 60–63 stay zero on 60-bit inputs),
+    * bucketed by 4×15-bit bands (pigeonhole: hamming ≤ 3 ⇒ at least one
+    * band collides — no candidate is missed), verified with
+    * bit_count(xor) ≤ 3. Full DuckDB oracle; DedupSpec additionally
+    * pins the signature math + recall.
     */
   def d03DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     // DUP-DENSITY GATE — see d02; outputs bit-identical on both paths.
     // The key is the SIGNATURE itself (cheaper than md5(text), and
     // exactly the collapse key the collapsed path groups on).
-    val sig = simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
-    if (DupDensity.probe(docs, sig).collapseWorthIt)
+    if (DupDensity.probe(docs, d03Sig).collapseWorthIt)
       d03Collapsed(spark, dir)
     else d03Direct(spark, dir)
   }
 
-  /** Pigeonhole band split for the 64-bit SimHash — CORRECTNESS-pinned
+  /** The d03 signature kernel: majority vote over portable 60-bit token
+    * hashes (every occurrence votes, d13's simhash twin full-corpus). */
+  private def d03Sig: Column =
+    simhash64(transform(split(col("text"), " "),
+      w => Shingles.md5Hash60(w)))
+
+  /** Pigeonhole band split for the 60-bit SimHash — CORRECTNESS-pinned
     * (hamming ≤ 3 ⇒ one of the 4 bands collides), so unlike d06/s02 it
     * never scales with the corpus. */
-  private val simhashBands = Lsh.pigeonhole(64, maxHamming = 3)
+  private val simhashBands = Lsh.pigeonhole(60, maxHamming = 3)
 
   /** Direct per-doc path — no collapse machinery when the corpus is
     * ~unique. */
   private[graft] def d03Direct(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
-          .as("sig"))
+      .select(col("doc_id"), d03Sig.as("sig"))
     val bands = docs.select(col("doc_id"), col("sig"),
       posexplode(simhashBands.bucketArray(col("sig")))
         .as(Seq("band", "bucket")))
@@ -191,9 +212,7 @@ object Dedup {
     * d08 is the cluster-output form when pairs are not required). */
   private[graft] def d03Collapsed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        simhash64(transform(split(col("text"), " "), w => xxhash64(w)))
-          .as("sig"))
+      .select(col("doc_id"), d03Sig.as("sig"))
       .localCheckpoint(true) // read twice below (band join + expansion)
     val sigs = docs.select(col("sig")).distinct()
     val bands = sigs.select(col("sig"),
@@ -799,31 +818,20 @@ object Dedup {
       bandRowsCollapsed(docs)
     else bandRowsDirect(docs)
 
-  private def minhashBandExplode(mh: Column): Column =
-    posexplode(transform(sequence(lit(0), lit(Lsh.MinhashBands - 1)),
-      b => xxhash64(slice(mh, b * Lsh.MinhashRows + 1, lit(Lsh.MinhashRows)))))
-
   private[graft] def bandRowsDirect(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        minhashes(Shingles.hashes(col("ws"), col("text"), 3),
-          Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
+    portableSig(docs, col("doc_id"))
+      .withColumnRenamed("_id", "doc_id")
       .select(col("doc_id"), col("mh"),
-        minhashBandExplode(col("mh")).as(Seq("band", "bucket")))
+        posexplode(Lsh.minhashBuckets(col("mh"))).as(Seq("band", "bucket")))
       .select(col("doc_id"), col("mh"), col("band"), col("bucket"))
 
   private[graft] def bandRowsCollapsed(docs: DataFrame): DataFrame = {
     val members = docs.select(col("doc_id"), md5(col("text")).as("th"))
-    val sigs = docs
-      .select(md5(col("text")).as("th"), col("text"))
-      .dropDuplicates("th")
-      .select(col("th"), col("text"), split(col("text"), " ").as("ws"))
-      .select(col("th"),
-        minhashes(Shingles.hashes(col("ws"), col("text"), 3),
-          Lsh.MinhashBands * Lsh.MinhashRows).as("mh"))
+    val sigs = portableSig(
+      docs.select(md5(col("text")).as("th"), col("text")).dropDuplicates("th"),
+      col("th")).withColumnRenamed("_id", "th")
     sigs.select(col("th"), col("mh"),
-      minhashBandExplode(col("mh")).as(Seq("band", "bucket")))
+      posexplode(Lsh.minhashBuckets(col("mh"))).as(Seq("band", "bucket")))
       .join(members, Seq("th"))
       .select(col("doc_id"), col("mh"), col("band"), col("bucket"))
   }
@@ -991,7 +999,124 @@ object Dedup {
     (name, nTruth, nFound, tp, precision, recall)
   }
 
+  /** Shared oracle CTE chain re-deriving [[portableSig]] in SQL over a
+    * `sigsrc(id, text)` CTE the caller prepends: shingles (whole-text
+    * fallback), one md5 per shingle, 28-bit chunk split, the 16-member
+    * scrambled-linear family (constants emitted by
+    * [[Lsh.minhashSigSqlList]] from the kernel's own derivation), and
+    * ":"-joined band buckets. MATERIALIZED on mh — the verify joins
+    * reference it three times. */
+  private def sigCtes: String =
+    s"""srcw AS (SELECT id, text, string_split(text, ' ') AS ws
+       |         FROM sigsrc),
+       |shs AS (
+       |  SELECT id,
+       |    CASE WHEN len(ws) >= 3
+       |         THEN [array_to_string(ws[i:i+2], ' ')
+       |               for i in range(1, len(ws)-1)]
+       |         ELSE [text] END AS s
+       |  FROM srcw),
+       |hh AS (SELECT id, list_transform(s, x -> md5(x)) AS hex FROM shs),
+       |hsplit AS (
+       |  SELECT id,
+       |    list_transform(hex,
+       |      x -> CAST('0x' || substr(x, 1, 15) AS BIGINT)) AS h1,
+       |    list_transform(hex,
+       |      x -> CAST('0x' || substr(x, 1, 7) AS BIGINT)) AS x1,
+       |    list_transform(hex,
+       |      x -> CAST('0x' || substr(x, 8, 7) AS BIGINT)) AS x2,
+       |    list_transform(hex,
+       |      x -> CAST('0x' || substr(x, 15, 7) AS BIGINT)) AS x3,
+       |    list_transform(hex,
+       |      x -> CAST('0x' || substr(x, 22, 7) AS BIGINT)) AS x4
+       |  FROM hh),
+       |mh AS MATERIALIZED (
+       |  SELECT id, h1,
+       |    ${Lsh.minhashSigSqlList} AS m
+       |  FROM hsplit),
+       |bands AS (
+       |  SELECT id, bi,
+       |    CAST(m[4*bi+1] AS VARCHAR) || ':' ||
+       |    CAST(m[4*bi+2] AS VARCHAR) || ':' ||
+       |    CAST(m[4*bi+3] AS VARCHAR) || ':' ||
+       |    CAST(m[4*bi+4] AS VARCHAR) AS bucket
+       |  FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS bi))""".stripMargin
+
+  private def d02OracleSql: String =
+    "WITH sigsrc AS (SELECT doc_id AS id, text FROM documents),\n" +
+      sigCtes +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a, b.id AS b
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT c.a, c.b,
+        |  CAST(len(list_intersect(list_distinct(x.h1), list_distinct(y.h1)))
+        |      AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.h1, y.h1))) AS jaccard
+        |FROM cand c JOIN mh x ON x.id = c.a JOIN mh y ON y.id = c.b
+        |WHERE CAST(len(list_intersect(list_distinct(x.h1),
+        |        list_distinct(y.h1))) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.h1, y.h1))) >= 0.6
+        |ORDER BY a, b""".stripMargin
+
+  private def d12OracleSql: String =
+    "WITH sigsrc AS (SELECT doc_id AS id, text FROM documents),\n" +
+      sigCtes +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT h.id AS hist_id, n.id AS new_id
+        |  FROM bands h JOIN bands n
+        |    ON h.bi = n.bi AND h.bucket = n.bucket
+        |  WHERE h.id < 400 AND n.id >= 400)
+        |SELECT c.hist_id, c.new_id,
+        |  round(CAST(len([j for j in range(1, 17) if x.m[j] = y.m[j]])
+        |      AS DOUBLE) / 16.0, 6) AS est_jaccard
+        |FROM cand c JOIN mh x ON x.id = c.hist_id
+        |            JOIN mh y ON y.id = c.new_id
+        |WHERE CAST(len([j for j in range(1, 17) if x.m[j] = y.m[j]])
+        |      AS DOUBLE) / 16.0 >= 0.5
+        |ORDER BY hist_id, new_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // d02: the whole near-dup pipeline replayed — portable signatures,
+    // banding, candidate join, exact-jaccard verify (ratios of integer
+    // set sizes — engine-exact doubles)
+    "d02_dedup_minhash" -> d02OracleSql,
+    // d12: same signature chain; candidates are hist(<400)×batch(≥400)
+    // band collisions, verified by the 16-component signature estimate
+    // (k/16 — exact doubles)
+    "d12_incremental_lsh_index" -> d12OracleSql,
+    // d03: d13's simhash replay at full corpus — portable 60-bit token
+    // hashes, per-bit majority, 4×15-bit pigeonhole bands, hamming ≤ 3
+    "d03_dedup_simhash" ->
+      """WITH tokh AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |bitsv AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tokh, LATERAL (SELECT unnest(range(0, 60)) AS j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT d.doc_id, COALESCE(s2.sg, 0) AS sg
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN (
+        |    SELECT doc_id,
+        |      CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+        |        ELSE 0 END) AS BIGINT) AS sg
+        |    FROM bitsv GROUP BY doc_id) s2 ON d.doc_id = s2.doc_id),
+        |bands AS (
+        |  SELECT doc_id, sg, bi, (sg >> (bi * 15)) & 32767 AS bucket
+        |  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS bi))
+        |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+        |  bit_count(xor(a.sg, b.sg)) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.bi = b.bi AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // d13: the full method-eval twin — truth, BOTH candidate sets
     // (portable md5Hash60 hash family), and the metric arithmetic all
     // recomputed independently. prec/recall are raw double divisions of

