@@ -298,8 +298,11 @@ object Dedup {
     * — the regime dedup cares about (the τ≈0.35 weak-similarity tail is
     * d05's bounded exact baseline's job, not LSH's). At 100 TB this is
     * one linear signature pass + hash-partitioned bucket joins; no
-    * quadratic anywhere. Rows-only (seeded hash family); LlmOpsSpec pins
-    * containment in the exact pair set and recall on it.
+    * quadratic anywhere. Full DuckDB oracle (round 9): hyperplane ±1
+    * literals and band geometry are re-derived by the oracle from the
+    * same mix64/COUNT(*) the kernel uses — see [[d06OracleSql]];
+    * LlmOpsSpec additionally pins containment in the exact pair set and
+    * recall on it.
     */
   /** The one collapse key for embedding payloads (d06/d09). */
   private def ehOf: Column = md5(concat_ws(",", col("embedding")).cast("binary"))
@@ -307,17 +310,20 @@ object Dedup {
   def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
     // DUP-DENSITY GATE — see d02. Band geometry (Lsh.scaled, shared by
-    // both paths) SCALES WITH THE DISTINCT-VECTOR COUNT so per-bucket
-    // occupancy stays ~bounded (~64): the sf10 rehearsal showed fixed
-    // 8-bit bands going n²/256-quadratic at 200k vectors. Both paths
-    // take the probe's HLL estimate, so the chosen geometry — and
-    // therefore the output — is path-independent (DupGateSpec). Recall
-    // for borderline-τ pairs decays as bands widen/shrink — the
-    // standard (b,r) trade; exact/near-exact dups (the 100 TB bulk)
-    // collide at any geometry, and the d05 exact path stays the
-    // τ-complete baseline.
+    // both paths) SCALES WITH THE CORPUS so per-bucket occupancy stays
+    // ~bounded (~64): the sf10 rehearsal showed fixed 8-bit bands going
+    // n²/256-quadratic at 200k vectors. Round 9: geometry sizes to the
+    // probe's EXACT row count, not the HLL distinct estimate — exact n
+    // is what the DuckDB oracle can recompute (COUNT(*)), and since
+    // n ≥ distinct the buckets are never NARROWER than distinct-based
+    // sizing chose, so the quadratic cliff cannot return (the trade is
+    // slightly lower borderline-τ recall on dup-heavy corpora). Both
+    // paths take the same count, so the chosen geometry — and
+    // therefore the output — stays path-independent (DupGateSpec).
+    // Exact/near-exact dups (the 100 TB bulk) collide at any geometry,
+    // and the d05 exact path stays the τ-complete baseline.
     val den = DupDensity.probe(e, ehOf)
-    val g = Lsh.scaled(den.distinctEst)
+    val g = Lsh.scaled(den.rows)
     if (den.collapseWorthIt) d06Collapsed(spark, dir, g)
     else d06Direct(spark, dir, g)
   }
@@ -1042,6 +1048,41 @@ object Dedup {
        |    CAST(m[4*bi+4] AS VARCHAR) AS bucket
        |  FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS bi))""".stripMargin
 
+  /** d06's generated oracle: s02's hyperplane/geometry replay (shared
+    * Lsh generators) over ALL pairs, with the exact-cosine verify
+    * mirroring the CosineSimilarity kernel TERM FOR TERM (zero-norm
+    * guard, dot / sqrt(na·nb) — one sqrt of the product, exactly the
+    * kernel's op sequence). */
+  private def d06OracleSql: String =
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |             FROM embeddings),
+       |${Lsh.scaledGeoCteSql("raw")},
+       |sigs AS (SELECT vec_id, emb, [${Lsh.signAccTermsSql()}] AS accs
+       |         FROM raw),
+       |bnd AS (
+       |  SELECT s.vec_id, t.b AS band,
+       |    (SELECT SUM(CASE WHEN s.accs[t.b * g.bits + i.i + 1] > 0
+       |                     THEN 1 << i.i ELSE 0 END)
+       |     FROM range(16) i(i), geo g WHERE i.i < g.bits) AS bucket
+       |  FROM sigs s, range(8) t(b), geo g WHERE t.b < g.bands),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS a, q.vec_id AS b
+       |  FROM bnd p JOIN bnd q
+       |    ON p.band = q.band AND p.bucket = q.bucket
+       |   AND p.vec_id < q.vec_id),
+       |scored AS (
+       |  SELECT cand.a, cand.b,
+       |    CASE WHEN list_inner_product(x.emb, x.emb) = 0
+       |           OR list_inner_product(y.emb, y.emb) = 0 THEN 0.0
+       |         ELSE list_inner_product(x.emb, y.emb)
+       |           / sqrt(list_inner_product(x.emb, x.emb)
+       |                  * list_inner_product(y.emb, y.emb))
+       |    END AS cos
+       |  FROM cand JOIN raw x ON x.vec_id = cand.a
+       |            JOIN raw y ON y.vec_id = cand.b)
+       |SELECT a, b, round(cos, 6) AS cos
+       |FROM scored WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+
   private def d02OracleSql: String =
     "WITH sigsrc AS (SELECT doc_id AS id, text FROM documents),\n" +
       sigCtes +
@@ -1083,6 +1124,9 @@ object Dedup {
     // banding, candidate join, exact-jaccard verify (ratios of integer
     // set sizes — engine-exact doubles)
     "d02_dedup_minhash" -> d02OracleSql,
+    // d06: hyperplanes + scaled geometry re-derived (shared with s02),
+    // kernel-mirrored cosine verify at τ=0.45
+    "d06_dedup_embedding_lsh" -> d06OracleSql,
     // d12: same signature chain; candidates are hist(<400)×batch(≥400)
     // band collisions, verified by the 16-component signature estimate
     // (k/16 — exact doubles)

@@ -127,6 +127,32 @@ object Lsh {
   private[operators] def xorConst(i: Int, k: Int): Long =
     graft.functions.ExprImpl.mix64(15485863L * (i * 4 + k + 1)) & 0xFFFFFFFL
 
+  /** The 64 per-plane projection terms of the sign-random-projection
+    * kernel (ExprImpl.lshSignBits), as SQL over an `emb` DOUBLE[]
+    * column: ±1 hyperplane literals produced by the SAME mix64 the
+    * kernel evaluates, so oracle and kernel cannot drift (s02's round-8
+    * promotion; shared by d06's round-9 one). list_inner_product's
+    * sequential double accumulation is bit-identical to the kernel loop
+    * (verified offline in round 8). */
+  def signAccTermsSql(dim: Int = 64): String =
+    (0 until 64).map { p =>
+      (0 until dim).map(d =>
+        if ((graft.functions.ExprImpl.mix64(p.toLong * 1000003L + d)
+          & 1L) == 0L) "1.0" else "-1.0")
+        .mkString("list_inner_product(emb,[", ",", "])")
+    }.mkString(",")
+
+  /** [[scaled]] geometry replayed in SQL (integer arithmetic 1:1 —
+    * bit-length via bin(), // division) as a `geo(bits, bands)` CTE
+    * body over relation `src`'s exact row count. */
+  def scaledGeoCteSql(src: String): String =
+    s"""geo AS (
+       |  SELECT least(16, greatest(4,
+       |           length(bin(greatest(1, (COUNT(*) // 64) - 1))))) AS bits,
+       |         greatest(2, least(8, 64 // least(16, greatest(4,
+       |           length(bin(greatest(1, (COUNT(*) // 64) - 1))))))) AS bands
+       |  FROM $src)""".stripMargin
+
   /** The SQL spelling of [[minhashSignature]] over chunk-array columns
     * x1..x4 — one `list_min(...)` term per family member, constants
     * emitted from the same derivation as the kernel. */

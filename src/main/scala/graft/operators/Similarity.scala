@@ -472,23 +472,11 @@ object Similarity {
     * oracle loudly (list_inner_product length mismatch), never silently.
     */
   private def s02OracleSql: String = {
-    val dim = 64
-    def w(p: Int, d: Int): String =
-      if ((graft.functions.ExprImpl.mix64(p.toLong * 1000003L + d) & 1L) == 0L)
-        "1.0" else "-1.0"
-    val accTerms = (0 until 64).map { p =>
-      (0 until dim).map(d => w(p, d))
-        .mkString("list_inner_product(emb,[", ",", "])")
-    }.mkString(",")
     s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS emb
        |             FROM embeddings),
-       |geo AS (
-       |  SELECT least(16, greatest(4,
-       |           length(bin(greatest(1, (COUNT(*) // 64) - 1))))) AS bits,
-       |         greatest(2, least(8, 64 // least(16, greatest(4,
-       |           length(bin(greatest(1, (COUNT(*) // 64) - 1))))))) AS bands
-       |  FROM raw),
-       |sigs AS (SELECT vec_id, emb, [$accTerms] AS accs FROM raw),
+       |${Lsh.scaledGeoCteSql("raw")},
+       |sigs AS (SELECT vec_id, emb, [${Lsh.signAccTermsSql()}] AS accs
+       |         FROM raw),
        |bnd AS (
        |  SELECT s.vec_id, t.b AS band,
        |    (SELECT SUM(CASE WHEN s.accs[t.b * g.bits + i.i + 1] > 0
