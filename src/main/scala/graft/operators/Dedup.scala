@@ -426,21 +426,26 @@ object Dedup {
     * member sits at cosine ≥ τ — the keep-first contract the spec
     * re-verifies exhaustively. The intra-cluster join is an equi-join on
     * cid (hash-partitionable); cross-cluster near-dups are the quantizer
-    * miss rate, which is the SemDeDup trade by design. Rows-only (the
-    * trained quantizer has no DuckDB twin); LlmOpsSpec brute-force
-    * re-checks every keep/drop decision.
+    * miss rate, which is the SemDeDup trade by design. Full DuckDB
+    * oracle (round 9): the trained quantizer replays via
+    * [[Similarity.lloydCtesSql]] — decimal-deterministic Lloyd is
+    * engine-portable — and the keep/drop rule re-derives on top;
+    * LlmOpsSpec additionally brute-force re-checks every decision.
     */
   def d09SemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"))
-    // DUP-DENSITY GATE — see d02. K SCALES WITH THE DISTINCT COUNT (the
+    // DUP-DENSITY GATE — see d02. K SCALES WITH THE CORPUS (the
     // SemDeDup paper's own rule — K≈100k on LAION — which the old fixed
     // K=8 ignored): ~256 vectors per cluster keeps each local quadratic
-    // bounded. Both paths take K from the probe's HLL estimate, so the
-    // clustering — and the keep/drop output — is path-independent
-    // (DupGateSpec). Gate SFs (n ≤ 2048) keep K=8, results unchanged.
+    // bounded. Round 9: K derives from the probe's EXACT row count, not
+    // the HLL distinct estimate — exact n is what the DuckDB oracle
+    // recomputes (COUNT(*)), and the paper's rule scales K with dataset
+    // size anyway. Both paths take the same count, so the clustering —
+    // and the keep/drop output — stays path-independent (DupGateSpec).
+    // Gate SFs (n ≤ 2048) keep K=8, results unchanged.
     val den = DupDensity.probe(e, ehOf)
-    val k = math.max(8L, math.min(1024L, den.distinctEst / 256L)).toInt
+    val k = math.max(8L, math.min(1024L, den.rows / 256L)).toInt
     if (den.collapseWorthIt) d09Collapsed(spark, dir, k)
     else d09Direct(spark, dir, k)
   }
@@ -1083,6 +1088,33 @@ object Dedup {
        |SELECT a, b, round(cos, 6) AS cos
        |FROM scored WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
 
+  /** d09's generated oracle — Lloyd replay (shared generator) + the
+    * direct-path keep/drop semantics (paths are output-identical, so
+    * one replay covers both). */
+  private def d09OracleSql: String = {
+    val centEmb = "list_transform(c.cemb, v -> CAST(v AS DOUBLE))"
+    s"""WITH ${Similarity.lloydCtesSql(
+           "greatest(8, least(1024, n // 256))", 2)},
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, emb, cid FROM (
+       |    SELECT vec_id, emb, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cid) AS crnk
+       |    FROM (
+       |      SELECT r.vec_id, r.emb, c.cid,
+       |        ${Similarity.cosSql("r.emb", centEmb)} AS ccos
+       |      FROM raw r CROSS JOIN cents2 c))
+       |  WHERE crnk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${Similarity.cosSql("a.emb", "b.emb")} >= 0.45)
+       |SELECT v.vec_id, v.cid, d.vec_id IS NULL AS kept
+       |FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
+
   private def d02OracleSql: String =
     "WITH sigsrc AS (SELECT doc_id AS id, text FROM documents),\n" +
       sigCtes +
@@ -1120,6 +1152,10 @@ object Dedup {
         |ORDER BY hist_id, new_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // d09: SemDeDup fully re-derived — the Lloyd quantizer replay
+    // (shared with s03), top-1-cell assignment, and the keep-first drop
+    // rule as a self-join EXISTS with the kernel-mirrored cosine
+    "d09_semdedup" -> d09OracleSql,
     // d02: the whole near-dup pipeline replayed — portable signatures,
     // banding, candidate join, exact-jaccard verify (ratios of integer
     // set sizes — engine-exact doubles)

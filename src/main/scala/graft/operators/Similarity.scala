@@ -503,8 +503,110 @@ object Similarity {
        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** The CosineSimilarity kernel mirrored TERM FOR TERM in SQL over
+    * DOUBLE[] operands: zero-norm guard → 0.0, else dot / sqrt(na·nb)
+    * (one sqrt of the product — the kernel's exact op sequence;
+    * list_inner_product's sequential accumulation is bit-identical to
+    * the kernel loop, verified round 8). */
+  private[operators] def cosSql(a: String, b: String): String =
+    s"""CASE WHEN list_inner_product($a, $a) = 0
+       |            OR list_inner_product($b, $b) = 0 THEN 0.0
+       |          ELSE list_inner_product($a, $b)
+       |            / sqrt(list_inner_product($a, $a)
+       |                   * list_inner_product($b, $b)) END""".stripMargin
+
+  /** [[trainCentroids]]+[[trainSample]] replayed in SQL (round 9 — what
+    * promoted s03/d09 to full oracles): `iters` Lloyd rounds unrolled
+    * into chained CTEs over `raw(vec_id, emb DOUBLE[])`. Per round:
+    * kernel-mirrored cosine argmax assignment (ties → lowest cid, both
+    * engines), then per-(cid, dim) means through DECIMAL(38,12) — the
+    * sum is Spark's order-independent decimal aggregation replayed
+    * exactly; the quotient re-rounds at scale 12 (Spark's decimal
+    * division scale, HALF_UP = round-half-away on both engines) before
+    * the FLOAT cast, so the trained centroid floats are bit-equal.
+    * Ends with `cents$iters(cid, cemb REAL[])`; cast cemb back to
+    * DOUBLE per use (the kernel widens floats the same way). `kSql` is
+    * the seed count over `nrow(n)` — a constant for s03 (16), the
+    * corpus-scaled rule for d09. */
+  private[operators] def lloydCtesSql(kSql: String, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""raw AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |nrow AS (SELECT COUNT(*) AS n FROM raw),
+         |kv AS (SELECT $kSql AS k FROM nrow),
+         |samp AS MATERIALIZED (
+         |  SELECT vec_id, emb FROM raw, nrow
+         |  WHERE vec_id % greatest(1, n // 2048) = 0),
+         |cents0 AS (
+         |  SELECT vec_id AS cid, emb AS cemb FROM raw, kv
+         |  WHERE vec_id < k)""".stripMargin)
+    for (r <- 1 to iters) {
+      val prevEmb =
+        if (r == 1) "c.cemb"
+        else "list_transform(c.cemb, v -> CAST(v AS DOUBLE))"
+      sb.append(
+        s""",
+           |asg$r AS (
+           |  SELECT vec_id, emb, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, cid) AS rnk
+           |  FROM (
+           |    SELECT s.vec_id, s.emb, c.cid,
+           |      ${cosSql("s.emb", prevEmb)} AS ccos
+           |    FROM samp s CROSS JOIN cents${r - 1} c)),
+           |cents$r AS MATERIALIZED (
+           |  SELECT cid, list(mf ORDER BY dim) AS cemb
+           |  FROM (
+           |    SELECT cid, dim,
+           |      CAST(round(CAST(SUM(CAST(x AS DECIMAL(38, 12)))
+           |          AS DOUBLE) / COUNT(*), 12) AS REAL) AS mf
+           |    FROM (SELECT cid, i - 1 AS dim, emb[i] AS x
+           |          FROM asg$r,
+           |            LATERAL (SELECT
+           |              unnest(generate_series(1, len(emb))) AS i)
+           |          WHERE rnk = 1)
+           |    GROUP BY cid, dim)
+           |  GROUP BY cid)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** s03's generated oracle: the Lloyd replay, then corpus top-2-cell /
+    * probe top-6-cell assignment, cell equi-join, kernel-mirrored exact
+    * re-rank — every stage of the operator re-derived. */
+  private def s03OracleSql: String = {
+    val centEmb = "list_transform(c.cemb, v -> CAST(v AS DOUBLE))"
+    s"""WITH ${lloydCtesSql("16", 2)},
+       |asgfull AS MATERIALIZED (
+       |  SELECT vec_id, emb, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS crnk
+       |  FROM (
+       |    SELECT r.vec_id, r.emb, c.cid,
+       |      ${cosSql("r.emb", centEmb)} AS ccos
+       |    FROM raw r CROSS JOIN cents2 c)),
+       |corpus AS (SELECT cid, vec_id AS nid, emb AS ne FROM asgfull
+       |           WHERE crnk <= 2),
+       |probes AS (SELECT cid, vec_id AS qid, emb AS qe FROM asgfull
+       |           WHERE vec_id < 10 AND crnk <= 6),
+       |scored AS (
+       |  SELECT DISTINCT qid, nid, ${cosSql("qe", "ne")} AS cos
+       |  FROM probes p JOIN corpus c USING (cid)
+       |  WHERE qid <> nid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, rnk, round(cos, 6) AS cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "s02_ann_lsh" -> s02OracleSql,
+    // s03: trained-quantizer IVF fully re-derived — see s03OracleSql
+    "s03_ann_ivf" -> s03OracleSql,
     // s04: the quantization arithmetic is replayed in FLOAT (x/mx*127
     // exactly as the Spark expression computes it — DuckDB keeps
     // FLOAT/FLOAT arithmetic in FLOAT, and both engines round half away
