@@ -23,16 +23,13 @@ class EntryContractSpec extends AnyFunSuite {
     // oracle); r8 promoted s02 (deterministic hyperplane matrix
     // embedded in generated SQL), s04 (FLOAT quantization + i8 kernel
     // mirrored), and m07 (average-hash + noise synthesis + pigeonhole
-    // bands re-derived over the ASCII payload bytes) — 9 remain, each
-    // blocked by a genuinely non-portable dependency (xxhash64 family:
-    // d02/d03/d12; trained-quantizer state: d09/s03/s05; iterative
-    // merges: t17/t18; HLL-estimate-dependent geometry: d06), each
-    // backed by a named behavior spec
-    val expected = Set(
-      "d02_dedup_minhash", "d03_dedup_simhash", "d06_dedup_embedding_lsh",
-      "d09_semdedup", "d12_incremental_lsh_index",
-      "s03_ann_ivf", "s05_ann_pq",
-      "t17_bpe_train", "t18_bpe_encode")
+    // bands re-derived over the ASCII payload bytes); r9 promoted the
+    // final nine — t17/t18 (merge loop unrolled into chained CTEs),
+    // d02/d03/d12 (portable md5Hash60 signature family), d06 (exact-
+    // count geometry + embedded hyperplanes), and d09/s03/s05
+    // (decimal-deterministic Lloyd replayed in SQL). The list is now
+    // EMPTY — keep it that way.
+    val expected = Set.empty[String]
     assert(rowsOnly === expected,
       "rows-only set drifted — add the oracle or update this list " +
         "WITH a backing spec")

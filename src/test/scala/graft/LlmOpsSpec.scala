@@ -189,7 +189,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val hits = exact.keys.toSeq.map(q =>
       (exact(q) intersect approx.getOrElse(q, Set.empty)).size).sum
     val recall = hits.toDouble / (exact.size * 5)
-    assert(recall >= 0.4, s"PQ recall@5 too low: $recall")
+    // ≥ 0.6 (raised round 9 with the top-100 shortlist): the bar a
+    // targeted-mining user would actually accept from a PQ index
+    assert(recall >= 0.6, s"PQ recall@5 too low: $recall")
   }
 
   test("s02 LSH ANN returns well-formed top-k with usable recall vs s01") {
