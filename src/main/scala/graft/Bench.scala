@@ -234,6 +234,13 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size}%d,"queries":${qmap(med, headline)},"n_failed":${failedNames.size}%d,"failed":$failedBrief,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    val headlineJson =
+      f"""{"metric":"total_median_of_$reps%d","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size}%d,"queries":${qmap(med, headline)},"n_failed":${failedNames.size}%d,"failed":$failedBrief,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // Belt and braces for the driver's last-line parse (build.sbt also
+    // suppresses sbt's [success] trailer): the headline lands in a fixed
+    // file too.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HEADLINE.json"),
+      (headlineJson + "\n").getBytes("UTF-8"))
+    println(headlineJson)
   }
 }
