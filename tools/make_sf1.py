@@ -47,9 +47,25 @@ rep("embeddings", "vec_id", vc)
 
 src = pq.read_table(f"{SRC}/events.parquet")
 ev = con.sql(f"SELECT MAX(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
-parts = [src.set_column(src.schema.get_field_index("event_id"), "event_id",
-                        pa.compute.add(src.column("event_id"), i * ev))
-         for i in range(COPIES)]
+# TIME-EXTENDED replication (round 9): copy i shifts ts by i full spans,
+# so the rehearsal corpus covers COPIES x the time range at the SOURCE's
+# per-window density — a 10x-bigger corpus of MORE time, which is what a
+# real fact table grows into. The old same-timestamp replication made
+# every interval/window 10x denser, so q39/st04/st19's join outputs grew
+# quadratically with SF — a rehearsal artifact, not an operator property.
+# event_id still offsets per copy (identity keys stay unique).
+span_us = con.sql(
+    f"SELECT CAST(date_diff('microseconds', MIN(ts), MAX(ts)) + 3600000000"
+    f" AS BIGINT) FROM '{SRC}/events.parquet'").fetchone()[0]
+ts_idx = src.schema.get_field_index("ts")
+parts = []
+for i in range(COPIES):
+    t = src.set_column(src.schema.get_field_index("event_id"), "event_id",
+                       pa.compute.add(src.column("event_id"), i * ev))
+    shifted = pa.compute.add(
+        t.column("ts").cast(pa.int64()),
+        i * span_us).cast(pa.timestamp("us"))
+    parts.append(t.set_column(ts_idx, "ts", shifted))
 pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet",
                row_group_size=100000)
 
