@@ -783,13 +783,17 @@ object Dedup {
     */
   def d11BloomDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // simulated re-crawl ids offset by max+1 (the make_sf1.py stride
+    // pattern) — a fixed literal would alias real doc_ids once the
+    // corpus passes it (round-9 advice; ~5M docs at the sf100 rehearsal)
+    val stride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val hist = docs.filter(col("doc_id") < 350)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val newb = docs.filter(col("doc_id") >= 350)
       .select(col("doc_id"), col("text"))
       .unionByName(docs
         .filter(col("doc_id") < 350 && pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + stride).as("doc_id"), col("text")))
       .select(col("doc_id"), md5(col("text")).as("h"))
     val fpp = 0.01
     val bloom = hist.stat.bloomFilter("h", 1000000L, fpp)
@@ -1293,13 +1297,15 @@ object Dedup {
     // bloom+verify machinery must land exactly here: no false negatives
     // (a bloom never misses), no surviving false positives.
     "d11_bloom_dedup" ->
-      """WITH hist AS (
+      """WITH stride AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |hist AS (
         |  SELECT md5(text) AS h FROM documents WHERE doc_id < 350),
         |newb AS (
         |  SELECT doc_id, md5(text) AS h FROM documents
         |  WHERE doc_id >= 350
         |  UNION ALL
-        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  SELECT doc_id + (SELECT s FROM stride), md5(text)
+        |  FROM documents
         |  WHERE doc_id < 350 AND doc_id % 10 = 0)
         |SELECT doc_id, h IN (SELECT h FROM hist) AS is_dup
         |FROM newb ORDER BY doc_id""".stripMargin,

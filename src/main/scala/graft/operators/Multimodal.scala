@@ -275,15 +275,20 @@ object Multimodal {
     * text near-dups are word-INSERTIONS, which shift every downstream
     * byte; image re-encodes perturb intensities in place, which is what
     * a positional grid hash is robust to): every 25th payload also emits
-    * a low-amplitude-noise variant under doc_id+1000000, and the hash
-    * must pair each variant with its original. Distinct corpus payloads
+    * a low-amplitude-noise variant under a max(doc_id)+1-stride id, and
+    * the hash must pair each variant with its original. Distinct corpus payloads
     * sit at hamming ≥ 12 here, so ≤ 3 admits no false pairs. Rows-only
     * (no SQL twin); the spec plants near-identical and unrelated
     * payloads.
     */
   /** The decode-stage hash table m07's both paths read: aHash per
-    * payload, plus the simulated re-encode variant every 25th doc. */
-  private[graft] def m07Hashed(spark: SparkSession, dir: String): DataFrame =
+    * payload, plus the simulated re-encode variant every 25th doc.
+    * Variant ids offset by max(doc_id)+1 (the make_sf1.py stride
+    * pattern) — a fixed literal would alias real doc_ids once the
+    * corpus passes it (round-9 advice). */
+  private[graft] def m07Hashed(spark: SparkSession, dir: String): DataFrame = {
+    val stride = Tables(spark, dir).documents
+      .agg(max(col("doc_id"))).head().getLong(0) + 1L
     mediaTable(spark, dir)
       .mapPartitions(_.flatMap { r =>
         val orig = MediaHash(r.doc_id, aHash64(r.payload))
@@ -294,13 +299,14 @@ object Multimodal {
           val noisy = r.payload.clone()
           var i = 0
           while (i < noisy.length) { noisy(i) = (noisy(i) ^ 8).toByte; i += 31 }
-          Iterator(orig, MediaHash(r.doc_id + 1000000L, aHash64(noisy)))
+          Iterator(orig, MediaHash(r.doc_id + stride, aHash64(noisy)))
         } else Iterator(orig)
       })(org.apache.spark.sql.Encoders.product[MediaHash])
       .toDF()
       // decoded exactly once: the probe and whichever path wins both
       // read the hash table, never the payloads again
       .localCheckpoint(true)
+  }
 
   def m07PhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val hashed = m07Hashed(spark, dir)
@@ -525,10 +531,11 @@ object Multimodal {
     // mapPartitions kernel proves decode∘hash∘band∘verify is the same
     // function on both sides.
     "m07_phash_dedup" ->
-      """WITH variants AS (
+      """WITH stride AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+        |variants AS (
         |  SELECT doc_id AS id, text, FALSE AS noisy FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS id, text, TRUE AS noisy
+        |  SELECT doc_id + (SELECT s FROM stride) AS id, text, TRUE AS noisy
         |  FROM documents WHERE doc_id % 25 = 0),
         |bytes AS (
         |  SELECT id, n, i,

@@ -62,9 +62,14 @@ object TextAnalysis {
         flags.map { case (n, c) => c.as(n) }): _*)
     if (collapsed) {
       // md5 is fixed-width hex, so appending the flag renderings cannot
-      // collide across classes
+      // collide across classes. NULL text coalesces to a fixed 6-char
+      // class key (shorter than any md5 — collision-free): without it
+      // the null gid fails the inner expansion join and the collapsed
+      // path silently DROPS rows the direct path keeps (round-9 advice;
+      // DupGateSpec now carries a null-text fixture row).
       val gidCol = concat(
-        (md5(col("text")) +: flags.map(f => col(f._1).cast("string"))): _*)
+        (coalesce(md5(col("text")), lit("~null~")) +:
+          flags.map(f => col(f._1).cast("string"))): _*)
       val mem = withFlags.select(col("doc_id"), gidCol.as("gid"))
       val rep = withFlags.select(
         (gidCol.as("gid") +: col("text") +: flags.map(f => col(f._1))): _*)

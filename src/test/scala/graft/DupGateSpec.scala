@@ -34,7 +34,8 @@ class DupGateSpec extends AnyFunSuite {
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
     val data = rows.map { case (id, text) =>
-      Row(id, text, "en", "srcT", text.length.toLong)
+      Row(id, text, "en", "srcT",
+        if (text == null) 0L else text.length.toLong)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -73,6 +74,14 @@ class DupGateSpec extends AnyFunSuite {
   private lazy val uniqueDocs: String = docsDir(
     (0L until 40L).map(i =>
       i -> words.map(w => s"$w-$i").slice(0, 30).mkString(" ")))
+
+  /** dup-heavy corpus PLUS two null-text rows (their own dup class):
+    * the round-9 advice case — the collapsed path's md5(text) group key
+    * is null for null text, and without the key coalesce the expansion
+    * join silently dropped those rows while the direct path kept them. */
+  private lazy val nullTextDocs: String = docsDir(
+    (0L until 20L).map(i => i -> textA) ++
+      Seq(20L -> textB, 21L -> (null: String), 22L -> (null: String)))
 
   /** Deterministic pseudo-vectors, 16-dim; base directions far apart,
     * dups verbatim, one near-dup pair, one all-zero group (degenerate:
@@ -206,6 +215,23 @@ class DupGateSpec extends AnyFunSuite {
       cases.foreach { case (n, f) =>
         assert(rowsOf(f(false)) === rowsOf(f(true)), s"op=$n dir=$dir")
       }
+    }
+  }
+
+  test("t-family per-text collapse keeps null-text rows path-equal") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{TextAnalysis => TA}
+    val dir = nullTextDocs
+    val cases: Seq[(String, Boolean => DataFrame)] = Seq(
+      ("t01", c => TA.perTextPath(spark, dir, c)(TA.t01Body)),
+      ("t02", c => TA.perTextPath(spark, dir, c)(TA.t02Body)),
+      ("t03", c => TA.perTextPath(spark, dir, c)(TA.t03Body)),
+      ("t06", c => TA.perTextPath(spark, dir, c)(TA.t06Body)),
+      ("t07", c => TA.perTextPath(spark, dir, c)(TA.t07Body)),
+      ("t13", c => TA.perTextPath(spark, dir, c)(TA.t13Body)),
+      ("t19", c => TA.perTextPath(spark, dir, c, TA.t19Flags)(TA.t19Body)))
+    cases.foreach { case (n, f) =>
+      assert(rowsOf(f(false)) === rowsOf(f(true)), s"op=$n")
     }
   }
 

@@ -120,12 +120,27 @@ class ExplainAuditSpec extends AnyFunSuite {
     // the u256 projection ABOVE it, so the range exchange moves five
     // narrow columns, not 64-char strings
     val df = graft.operators.Pipelines.p10SqlPipeline(spark, sfDir)
-    val p = df.queryExecution.sparkPlan.toString
-    val sortAt = p.indexOf("Sort [")
-    val u256At = p.indexOf("u256")
-    assert(sortAt >= 0, s"ORDER BY was optimized away:\n$p")
-    assert(u256At >= 0 && u256At < sortAt,
-      s"u256 projection must sit above (before) the sort:\n$p")
+    val sp = df.queryExecution.sparkPlan
+    // collect() is pre-order, so the FIRST Sort is the topmost one — a
+    // sort-merge-join sort deeper in the plan can no longer satisfy the
+    // assertion vacuously (round-9 advice on the old string indexOf)
+    val sorts = sp.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.nonEmpty, s"ORDER BY was optimized away:\n$sp")
+    val keys = sorts.head.sortOrder.map(_.child.toString)
+    assert(keys.size == 2 && keys.head.startsWith("l_orderkey") &&
+      keys(1).startsWith("l_linenumber"),
+      s"topmost sort must order by (l_orderkey, l_linenumber): $keys")
+    // the u256 projection sits DIRECTLY above that sort, so the range
+    // exchange moves five narrow columns, not 64-char strings
+    val u256AboveSort = sp.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec
+        if p.projectList.exists(_.toString.contains("u256")) &&
+          p.child.isInstanceOf[org.apache.spark.sql.execution.SortExec] => p
+    }
+    assert(u256AboveSort.nonEmpty,
+      s"u256 projection must sit directly above the sort:\n$sp")
   }
 
   test("p08 composite: adjacency via ONE window exchange, no self-join") {

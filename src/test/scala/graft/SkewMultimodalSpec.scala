@@ -96,6 +96,22 @@ class SkewMultimodalSpec extends AnyFunSuite {
       s"unrelated payload falsely paired: ${pairs.toSeq}")
   }
 
+  test("m07 oracle byte contract: corpus text is non-empty ASCII") {
+    // The m07 DuckDB oracle derives payload bytes as ascii(text[k]) —
+    // exact only for non-empty ASCII text (a non-ASCII char diverges;
+    // an empty text vanishes from the oracle while the engine hashes it
+    // to 0). Pin the contract the oracle relies on instead of leaving
+    // it implicit (round-9 advice).
+    val bad = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) === 0 ||
+        org.apache.spark.sql.functions.col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(bad === 0L,
+      "documents.text must be non-empty ASCII for m07's byte-level oracle")
+  }
+
   test("m03 resize stub: ceil stride spans the payload, dims scale") {
     val r = Multimodal.MediaRow(0L, Array.tabulate[Byte](127)(_.toByte),
       width = 320, height = 240, format = "png")
