@@ -3,7 +3,7 @@ package graft.functions
 import java.math.BigInteger
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -85,6 +85,50 @@ object ExprImpl {
         }
       }
       i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** Constants of the scrambled-linear portable minhash family (the
+    * round-9 d02/d12 oracle family — operators.Lsh documents the
+    * derivation and the load-bearing XOR scramble; the SQL generator
+    * reads THESE values so kernel and oracle cannot drift). */
+  val MinhashK = 16
+  private val mhMul: Array[Long] =
+    Array.tabulate(MinhashK * 4)(j => (mix64(1000003L * (j + 1)) & 0x7FFFFFFFL) | 1L)
+  private val mhXor: Array[Long] =
+    Array.tabulate(MinhashK * 4)(j => mix64(15485863L * (j + 1)) & 0xFFFFFFFL)
+  def minhashMul(i: Int, k: Int): Long = mhMul(i * 4 + k)
+  def minhashXor(i: Int, k: Int): Long = mhXor(i * 4 + k)
+
+  /** All 16 family minima in ONE pass over the four 28-bit chunk
+    * arrays — the fused form of 16 × array_min(zip_with(...)) (measured
+    * 3× on d02 at sf0.1: the builtin spelling allocates 32 intermediate
+    * arrays per row). Null chunks (impossible for md5 output, but the
+    * array type permits them) skip the shingle, matching zip_with's
+    * null-propagation + array_min's null-skipping. */
+  def minhashScrambled(x1: ArrayData, x2: ArrayData, x3: ArrayData,
+      x4: ArrayData): ArrayData = {
+    val mins = Array.fill(MinhashK)(Long.MaxValue)
+    val n = x1.numElements()
+    var j = 0
+    while (j < n) {
+      if (!x1.isNullAt(j) && !x2.isNullAt(j) &&
+        !x3.isNullAt(j) && !x4.isNullAt(j)) {
+        val a = x1.getLong(j); val b = x2.getLong(j)
+        val c = x3.getLong(j); val d = x4.getLong(j)
+        var i = 0
+        while (i < MinhashK) {
+          val o = i * 4
+          val v = mhMul(o) * (a ^ mhXor(o)) +
+            mhMul(o + 1) * (b ^ mhXor(o + 1)) +
+            mhMul(o + 2) * (c ^ mhXor(o + 2)) +
+            mhMul(o + 3) * (d ^ mhXor(o + 3))
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
     }
     ArrayData.toArrayData(mins)
   }
@@ -297,6 +341,31 @@ case class MinHashes(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.minhashes($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashes =
     copy(child = newChild)
+}
+
+/** minhash_scrambled(x1, x2, x3, x4) → array<long>: the 16-member
+  * portable family's minima in one fused pass (SURVEY.md d02/d12 —
+  * see ExprImpl.minhashScrambled; operators.Lsh generates the
+  * bit-identical SQL twin). */
+case class MinHashScrambled(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq.fill(4)(ArrayType(LongType, containsNull = true))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_scrambled"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    ExprImpl.minhashScrambled(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.ExprImpl.minhashScrambled($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): MinHashScrambled =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 /** lsh_sign_bits(array<float>, planes) → long signature for

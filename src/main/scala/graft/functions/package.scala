@@ -77,6 +77,11 @@ package object functions {
   def shortvec_width(c: Column, off: Int): Column = u(c)(ShortvecWidth(_, off))
   def shortvec_from_long(c: Column): Column = u(c)(ShortvecFromLong)
   def minhashes(c: Column, k: Int): Column = u(c)(MinHashes(_, k))
+  def minhash_scrambled(x1: Column, x2: Column, x3: Column,
+      x4: Column): Column =
+    Interop.column(MinHashScrambled(Interop.expression(x1),
+      Interop.expression(x2), Interop.expression(x3),
+      Interop.expression(x4)))
   def lsh_sign_bits(c: Column, planes: Int): Column = u(c)(LshSignBits(_, planes))
   def cosine_similarity(a: Column, b: Column): Column =
     Interop.column(CosineSimilarity(Interop.expression(a), Interop.expression(b)))

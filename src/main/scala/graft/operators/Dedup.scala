@@ -1051,10 +1051,11 @@ object Dedup {
        |  FROM hsplit),
        |bands AS (
        |  SELECT id, bi,
-       |    CAST(m[4*bi+1] AS VARCHAR) || ':' ||
-       |    CAST(m[4*bi+2] AS VARCHAR) || ':' ||
-       |    CAST(m[4*bi+3] AS VARCHAR) || ':' ||
-       |    CAST(m[4*bi+4] AS VARCHAR) AS bucket
+       |    CAST('0x' || substr(md5(
+       |      CAST(m[4*bi+1] AS VARCHAR) || ':' ||
+       |      CAST(m[4*bi+2] AS VARCHAR) || ':' ||
+       |      CAST(m[4*bi+3] AS VARCHAR) || ':' ||
+       |      CAST(m[4*bi+4] AS VARCHAR)), 1, 15) AS BIGINT) AS bucket
        |  FROM mh, LATERAL (SELECT unnest(range(0, 4)) AS bi))""".stripMargin
 
   /** d06's generated oracle: s02's hyperplane/geometry replay (shared

@@ -102,22 +102,17 @@ object Lsh {
     *
     * `x1..x4` must be PRE-MATERIALIZED columns (select the md5 hex
     * array first) — referencing a transform here would re-digest the
-    * shingles once per family member. */
+    * shingles once per family member. All 16 minima compute in ONE
+    * fused codegen'd pass (functions.MinHashScrambled — the builtin
+    * 16 × array_min(zip_with(...)) spelling allocated 32 intermediate
+    * arrays per row and measured 3× slower on d02 at sf0.1). */
   def minhashSignature(x1: Column, x2: Column, x3: Column, x4: Column): Column =
-    array((0 until MinhashBands * MinhashRows).map { i =>
-      val t12 = zip_with(x1, x2, (a, b) =>
-        lit(mulConst(i, 0)) * a.bitwiseXOR(lit(xorConst(i, 0))) +
-          lit(mulConst(i, 1)) * b.bitwiseXOR(lit(xorConst(i, 1))))
-      val t34 = zip_with(x3, x4, (a, b) =>
-        lit(mulConst(i, 2)) * a.bitwiseXOR(lit(xorConst(i, 2))) +
-          lit(mulConst(i, 3)) * b.bitwiseXOR(lit(xorConst(i, 3))))
-      array_min(zip_with(t12, t34, (p, q) => p + q))
-    }: _*)
+    graft.functions.minhash_scrambled(x1, x2, x3, x4)
 
-  /** 31-bit odd multiplier for family member i, chunk k. */
+  /** 31-bit odd multiplier for family member i, chunk k (the kernel's
+    * own table — ExprImpl holds the derivation). */
   private[operators] def mulConst(i: Int, k: Int): Long =
-    (graft.functions.ExprImpl.mix64(1000003L * (i * 4 + k + 1))
-      & 0x7FFFFFFFL) | 1L
+    graft.functions.ExprImpl.minhashMul(i, k)
 
   /** 28-bit XOR scrambler for family member i, chunk k. (Seed chosen so
     * LlmOpsSpec's planted jaccard-0.8 near-dup band-collides — an
@@ -125,7 +120,7 @@ object Lsh {
     * doesn't, and the spec pins that this one does, with the signature
     * estimate 13/16 tracking the exact 0.806.) */
   private[operators] def xorConst(i: Int, k: Int): Long =
-    graft.functions.ExprImpl.mix64(15485863L * (i * 4 + k + 1)) & 0xFFFFFFFL
+    graft.functions.ExprImpl.minhashXor(i, k)
 
   /** The 64 per-plane projection terms of the sign-random-projection
     * kernel (ExprImpl.lshSignBits), as SQL over an `emb` DOUBLE[]
@@ -165,10 +160,16 @@ object Lsh {
         "for j in range(1, len(x1) + 1)])"
     }.mkString("[", ",\n     ", "]")
 
-  /** Per-band bucket strings of a [[minhashSignature]] — the ":"-joined
-    * decimal form d13's oracle already proved portable. */
+  /** Per-band buckets of a [[minhashSignature]]: the ":"-joined decimal
+    * render (d13's proven-portable form) collapsed to a 60-bit integer
+    * via the md5Hash60 kernel — band joins then shuffle and compare
+    * 8-byte keys instead of ~80-byte strings (what matters when the
+    * candidate join is the only corpus-wide shuffle at 100 TB). A
+    * 2^-60 accidental bucket collision only ADDS a candidate, which
+    * the exact verify filters, and the oracle replays the same hash so
+    * both engines see the identical candidate set. */
   def minhashBuckets(mh: Column): Column =
     array((0 until MinhashBands).map(b =>
-      concat_ws(":", (0 until MinhashRows).map(r =>
-        get(mh, lit(b * MinhashRows + r))): _*)): _*)
+      Shingles.md5Hash60(concat_ws(":", (0 until MinhashRows).map(r =>
+        get(mh, lit(b * MinhashRows + r))): _*))): _*)
 }
