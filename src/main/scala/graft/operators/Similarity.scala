@@ -302,19 +302,23 @@ object Similarity {
     val qnorm = qs.select(col("vec_id").as("qid"),
       dot(col("embedding"), col("embedding")).as("qn2"))
     // --- ADC scoring: code lookups + one (qid, nid) reduce. The
-    // 16-term partial sums fold in SUB ORDER (collect, sort, left-fold)
-    // rather than sum() — a float sum over shuffle arrival order is
-    // non-deterministic run to run, and the fixed fold order is what
-    // lets the DuckDB oracle reproduce every ADC score bit for bit ---
-    def subOrderedSum(c: String) =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("sub"), col(c)))),
-          s => s.getField(c)),
-        lit(0.0), (acc, v) => acc + v)
+    // 16-term partial sums accumulate through DECIMAL(38,18): exact, so
+    // ORDER-INDEPENDENT — a double sum() over shuffle arrival order is
+    // non-deterministic run to run, and the decimal sum is what lets
+    // the DuckDB oracle reproduce every ADC score (the round-9 interim
+    // collect/sort/left-fold spelling was also deterministic but
+    // defeated map-side partial aggregation — measured +12 s at sf1).
+    // Scale 18 carries every double's shortest-repr fraction digit for
+    // |pdot| ≥ 1e-1; residual cross-engine drift ≤ ~1e-17 per term,
+    // orders of magnitude inside the ADC score gaps that decide the
+    // shortlist boundary ---
+    import org.apache.spark.sql.types.DecimalType
+    def decSum(c: String) =
+      sum(col(c).cast(DecimalType(38, 18))).cast("double")
     val adcW = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
     val adcTop = codes.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy(col("qid"), col("nid"))
-      .agg(subOrderedSum("pdot").as("sdot"), subOrderedSum("pnorm").as("sn2"))
+      .agg(decSum("pdot").as("sdot"), decSum("pnorm").as("sn2"))
       .join(broadcast(qnorm), Seq("qid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -619,9 +623,8 @@ object Similarity {
     * codebook seed + one decimal-deterministic Lloyd pass (L2 and dot
     * kernels mirrored as explicit FLOAT-op/left-fold chains, exactly
     * the aggregate(zip_with(...)) evaluation order), full-corpus
-    * encoding, per-query LUT, the sub-ordered ADC fold (bit-equal by
-    * the operator's own fixed fold order), shortlist, and the exact
-    * cosine re-rank. */
+    * encoding, per-query LUT, the order-independent DECIMAL(38,18) ADC
+    * sums, shortlist, and the exact cosine re-rank. */
   private def s05OracleSql: String = {
     val m = 16; val subDim = 4; val k = 16; val shortlist = 100
     def l2F(a: String, b: String): String =
@@ -631,8 +634,6 @@ object Similarity {
     def dotF(a: String, b: String, n: Int): String =
       (1 to n).map(j => s"CAST($a[$j] * $b[$j] AS DOUBLE)")
         .reduce((x, y) => s"($x + $y)")
-    def foldList(l: String, n: Int): String =
-      (1 to n).map(j => s"$l[$j]").reduce((x, y) => s"($x + $y)")
     s"""WITH rawf AS MATERIALIZED (
        |  SELECT vec_id, embedding AS emb FROM embeddings),
        |nrow AS (SELECT COUNT(*) AS n FROM rawf),
@@ -682,7 +683,8 @@ object Similarity {
        |       FROM rawf WHERE vec_id < 10),
        |adcsum AS (
        |  SELECT qid, nid,
-       |    list(pdot ORDER BY sub) AS pd, list(pnorm ORDER BY sub) AS pn
+       |    CAST(SUM(CAST(pdot AS DECIMAL(38, 18))) AS DOUBLE) AS sdot,
+       |    CAST(SUM(CAST(pnorm AS DECIMAL(38, 18))) AS DOUBLE) AS sn2
        |  FROM codes JOIN lut USING (sub, cid)
        |  GROUP BY qid, nid),
        |adct AS (
@@ -691,8 +693,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY qid
        |        ORDER BY acos DESC, nid) AS arnk
        |    FROM (SELECT a.qid, a.nid,
-       |            ${foldList("pd", m)}
-       |              / (sqrt(q.qn2) * sqrt(${foldList("pn", m)})) AS acos
+       |            a.sdot / (sqrt(q.qn2) * sqrt(a.sn2)) AS acos
        |          FROM adcsum a JOIN qn q USING (qid)
        |          WHERE a.qid <> a.nid))
        |  WHERE arnk <= $shortlist),
