@@ -242,6 +242,55 @@ object ExprImpl {
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Per-thread MD5 instance — MessageDigest is not thread-safe and
+    * per-call getInstance churns allocations on the per-token hot path. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Hex nibbles [start, start+len) of a digest as one long (len ≤ 15):
+    * nibble i is the high half of byte i/2 when i is even, low half
+    * otherwise — exactly the value `conv(substring(hex, start+1, len),
+    * 16, 10)` parses from the lowercase hex rendering. */
+  private def nibbleWindow(d: Array[Byte], start: Int, len: Int): Long = {
+    var v = 0L
+    var i = start
+    val end = start + len
+    while (i < end) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  /** Digest-direct twin of the portable-family SQL spelling
+    * conv(substring(md5(s), start+1, len), 16, 10): one MD5 over the
+    * string's UTF-8 bytes, window extracted straight from digest bytes —
+    * no 32-char hex rendering, no substring, no string-parsing conv.
+    * Values are bit-identical (Md5WindowSpec pins the equality), so the
+    * DuckDB oracles replaying the hex spelling keep matching. */
+  def md5Window(s: UTF8String, start: Int, len: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    nibbleWindow(md.digest(s.getBytes), start, len)
+  }
+
+  /** All five portable-family coordinates of ONE digest in one pass:
+    * [hash60, chunk28₀, chunk28₁, chunk28₂, chunk28₃] — the fused form
+    * of Shingles.md5Hash60Of + 4 × md5Chunk28 over a shared md5 hex
+    * column (which paid one hex render plus five conv parses per
+    * shingle). */
+  def md5Family(s: UTF8String): ArrayData = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ArrayData.toArrayData(Array(
+      nibbleWindow(d, 0, 15), nibbleWindow(d, 0, 7), nibbleWindow(d, 7, 7),
+      nibbleWindow(d, 14, 7), nibbleWindow(d, 21, 7)))
+  }
 }
 
 /** keccak256(binary) → 32-byte binary. Reference: evm_signature_to_topic0
@@ -366,6 +415,42 @@ case class MinHashScrambled(first: Expression, second: Expression,
       newFourth: Expression): MinHashScrambled =
     copy(first = newFirst, second = newSecond, third = newThird,
       fourth = newFourth)
+}
+
+/** md5_window(string, start, len) → long: hex-nibble window [start,
+  * start+len) of md5(input) — the codegen'd twin of
+  * conv(substring(md5(c), start+1, len), 16, 10) (the oracle-portable
+  * hash family's SQL spelling; SURVEY.md d03/t04). */
+case class Md5Window(child: Expression, start: Int, len: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(start >= 0 && len >= 1 && len <= 15 && start + len <= 32,
+    s"md5 nibble window [$start, ${start + len}) outside a 32-nibble digest " +
+      "or wider than a positive long")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_window"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.md5Window(input.asInstanceOf[UTF8String], start, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.md5Window($c, $start, $len)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Window =
+    copy(child = newChild)
+}
+
+/** md5_family(string) → array<long>: [hash60, x1, x2, x3, x4] of one
+  * digest — the five portable-family coordinates d02/d12 derive per
+  * shingle, in one fused pass (SURVEY.md d02/d12). */
+case class Md5Family(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_family"
+  override protected def nullSafeEval(input: Any): Any =
+    ExprImpl.md5Family(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprImpl.md5Family($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Family =
+    copy(child = newChild)
 }
 
 /** lsh_sign_bits(array<float>, planes) → long signature for

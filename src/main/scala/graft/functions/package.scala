@@ -21,6 +21,9 @@ package object functions {
     "s256_from_long" -> (es => S256FromLong(es.head)),
     "s256_to_decimal" -> (es => S256ToDecimal(es.head)),
     "simhash64" -> (es => SimHash64(es.head)),
+    "md5_window" ->
+      (es => Md5Window(es(0), litInt(es(1), "start"), litInt(es(2), "len"))),
+    "md5_family" -> (es => Md5Family(es.head)),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "cosine_similarity_i8" -> (es => CosineSimilarityI8(es(0), es(1))),
@@ -68,6 +71,9 @@ package object functions {
   def u256_from_long(c: Column): Column = u(c)(U256FromLong)
   def u256_to_decimal(c: Column): Column = u(c)(U256ToDecimal)
   def simhash64(c: Column): Column      = u(c)(SimHash64)
+  def md5_window(c: Column, start: Int, len: Int): Column =
+    u(c)(Md5Window(_, start, len))
+  def md5_family(c: Column): Column     = u(c)(Md5Family)
   def s256_from_long(c: Column): Column = u(c)(S256FromLong)
   def s256_to_decimal(c: Column): Column = u(c)(S256ToDecimal)
   def le_long(c: Column, off: Int, w: Int): Column = u(c)(LeLong(_, off, w))

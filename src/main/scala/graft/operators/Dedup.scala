@@ -61,11 +61,12 @@ object Dedup {
       .select(idCol.as("_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("_id"),
         Shingles.stringsWithFallback(col("ws"), col("text"), 3).as("shs"))
-      .select(col("_id"), transform(col("shs"), s => md5(s)).as("hex"))
+      .select(col("_id"),
+        transform(col("shs"), s => graft.functions.md5_family(s)).as("fam"))
       .select(col("_id") +:
-        transform(col("hex"), x => Shingles.md5Hash60Of(x)).as("sh") +:
+        transform(col("fam"), a => element_at(a, 1)).as("sh") +:
         (0 until 4).map(k =>
-          transform(col("hex"), x => Shingles.md5Chunk28(x, k))
+          transform(col("fam"), a => element_at(a, k + 2))
             .as(s"x${k + 1}")): _*)
       .select(col("_id"), col("sh"),
         Lsh.minhashSignature(col("x1"), col("x2"), col("x3"), col("x4"))

@@ -29,11 +29,13 @@ object Shingles {
       .otherwise(array(h(text)))
 
   /** 60-bit integer hash both engines compute identically: the first 15
-    * hex digits of md5, parsed base-16 (Spark conv / DuckDB 0x-cast).
+    * hex digits of md5, parsed base-16 (DuckDB 0x-cast; the engine side
+    * is the codegen'd Md5Window — digest bytes straight to long, no hex
+    * render/conv parse per token, bit-identical by Md5WindowSpec).
     * Positive, collision-safe at corpus scale (2^60 space), and exactly
     * reproducible in the oracle — unlike xxhash64, which DuckDB lacks. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.md5_window(c, 0, 15)
 
   /** width-word shingle strings; short docs yield an EMPTY set (the d04
     * contract, matching its DuckDB oracle: no shingles → NULL/NaN jaccard

@@ -99,6 +99,44 @@ object EventStreams {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
+  /** Staged time-ordered chunk dirs, one per source dir per JVM — st04
+    * and st19 share one staging pass. */
+  private val chunkedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The PRODUCTION arrival shape for stream-stream joins: events staged
+    * as ts-range chunk files and streamed one file per trigger, so the
+    * watermark advances BETWEEN micro-batches and evicts join state. A
+    * real stream delivers time-ordered bounded batches (Kafka offsets,
+    * the reference's provider pages); the single-file rehearsal source
+    * instead lands the whole corpus in ONE batch — nothing ever evicts,
+    * and every input row probes its key's ENTIRE history. That
+    * per-key-quadratic state scan measured 246 s for st04 at sf10 (the
+    * time-extended corpus grows per-user history with SF); chunking
+    * divides the quadratic by the chunk count. Range staging guarantees
+    * every chunk-i row precedes every chunk-i+1 row, so nothing is ever
+    * late: the emitted set equals the single-batch answer and the
+    * st04/st19 batch oracles hold unchanged. Monotone forced mtimes pin
+    * the file-stream admission order (the st18 technique).
+    */
+  private def eventsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
+    val staged = chunkedCache.computeIfAbsent(dir, { d =>
+      val ev = graft.sources.Tables(spark, d).events
+      val n = math.max(2L, math.min(64L, ev.count() / 150000L + 1L)).toInt
+      val out = graft.Scratch.dir("stchunks_") + "/events"
+      ev.repartitionByRange(n, col("ts")).write.parquet(out)
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000L * (i + 1)): Unit }
+      out
+    })
+    val schema = schemaCache.computeIfAbsent(staged,
+      p => spark.read.parquet(p).schema)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+  }
+
   /** Stateful streaming queries get their OWN shuffle-partition count:
     * every stateful operator instantiates one state store per shuffle
     * partition per micro-batch, so the batch-side default (sized for
@@ -183,12 +221,12 @@ object EventStreams {
     * self-join with the identical predicate.
     */
   def st04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    val clicks = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
-    val purchases = eventsStream(spark, dir)
+    val purchases = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
@@ -216,12 +254,12 @@ object EventStreams {
     * hashes.
     */
   def st19StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    val clicks = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "30 minutes")
-    val purchases = eventsStream(spark, dir)
+    val purchases = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
