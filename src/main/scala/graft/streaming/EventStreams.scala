@@ -122,7 +122,11 @@ object EventStreams {
   private def eventsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
     val staged = chunkedCache.computeIfAbsent(dir, { d =>
       val ev = graft.sources.Tables(spark, d).events
-      val n = math.max(2L, math.min(64L, ev.count() / 150000L + 1L)).toInt
+      // chunk size trades per-trigger fixed cost (planning, 2 source
+      // reads, state commit) against in-batch state growth; with the
+      // bucketed equi-key the probe cost is bucket-local, so chunks are
+      // sized for state MEMORY (~2M rows/side), not probe fan-out
+      val n = math.max(2L, math.min(64L, ev.count() / 2000000L + 1L)).toInt
       val out = graft.Scratch.dir("stchunks_") + "/events"
       ev.repartitionByRange(n, col("ts")).write.parquet(out)
       val parts = new java.io.File(out).listFiles()
@@ -219,20 +223,38 @@ object EventStreams {
     * watermark horizon, the 100 TB-rate requirement for any stream-stream
     * join. Inner matches emit as they arrive; the oracle is the batch
     * self-join with the identical predicate.
+    *
+    * BUCKETED equi-key: Spark's symmetric-hash join state is probed by
+    * exact key, so keying on user alone makes every arriving purchase
+    * scan the user's whole in-state click history — per-key-quadratic in
+    * batch span (measured 71 s at sf10 even after chunked arrival). The
+    * hour-bucket joins the key instead: 0 ≤ p_ts − c_ts ≤ 1 h means
+    * bucket(p_ts) − bucket(c_ts) ∈ {0, 1}, so each purchase enters state
+    * under BOTH its own bucket and the previous one, and a pair meets
+    * under exactly ONE key (the click's bucket) — emitted once, probes
+    * scan one (user, hour) cell, work linear in matches at any scale.
+    * The PURCHASE side carries the duplication: the buffered inner side
+    * of an outer join never null-extends, which is what keeps the same
+    * shape correct for st19.
     */
   def st04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val clicks = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
+        col("ts").as("c_ts"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("c_bucket"))
       .withWatermark("c_ts", "2 hours")
     val purchases = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
+      .withColumn("p_bucket", explode(array(
+        floor(unix_timestamp(col("p_ts")) / 3600L),
+        floor(unix_timestamp(col("p_ts")) / 3600L) - 1L)))
       .withWatermark("p_ts", "2 hours")
     val joined = clicks.join(purchases,
       col("c_user") === col("p_user") &&
+        col("c_bucket") === col("p_bucket") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("click_id"),
@@ -254,18 +276,28 @@ object EventStreams {
     * hashes.
     */
   def st19StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    // st04's bucketed equi-key, outer-safe by construction: clicks stay
+    // single-copy (each null-extends at most once when the watermark
+    // passes its horizon), purchases carry the two-bucket duplication
+    // (buffered inner-side rows never emit unmatched), and a matched
+    // pair still meets under exactly one bucket key.
     val clicks = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
+        col("ts").as("c_ts"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("c_bucket"))
       .withWatermark("c_ts", "30 minutes")
     val purchases = eventsStreamChunked(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
+      .withColumn("p_bucket", explode(array(
+        floor(unix_timestamp(col("p_ts")) / 3600L),
+        floor(unix_timestamp(col("p_ts")) / 3600L) - 1L)))
       .withWatermark("p_ts", "30 minutes")
     val joined = clicks.join(purchases,
       col("c_user") === col("p_user") &&
+        col("c_bucket") === col("p_bucket") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
       "left_outer")
