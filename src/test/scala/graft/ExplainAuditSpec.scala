@@ -151,14 +151,17 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected exactly one hash exchange (the user_id window):\n$p")
   }
 
-  test("p05: one clustering reused by both joins — 3 hash + 1 range exchange") {
+  test("p05: one clustering reused by both joins — 3 hash exchanges, no sort node") {
     val p = plan(graft.operators.SvmInstr.p05OrcaMetadata(spark, sfDir))
     // each input side is hashed on block_slot exactly once; the
     // transactions dedupe and BOTH enrich joins reuse that clustering
     assert(countOf(p, "Arguments: hashpartitioning") === 3,
       s"expected exactly three hash exchanges (one per input side):\n$p")
-    assert(countOf(p, "Arguments: rangepartitioning") === 1,
-      s"expected exactly one range exchange (the final ORDER BY):\n$p")
+    // no range exchange: a global orderBy's sampling job re-executes the
+    // whole join lineage (measured 2× the query at sf10); the merge joins
+    // themselves leave partitions physically sorted by (slot, idx)
+    assert(countOf(p, "Arguments: rangepartitioning") === 0,
+      s"expected no range exchange (part-sorted by the merge joins):\n$p")
   }
 
   test("d06 LSH dedup: candidate generation is an equi-join, no cross join") {
