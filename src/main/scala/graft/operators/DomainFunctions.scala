@@ -116,15 +116,15 @@ object DomainFunctions {
     */
   def f07U256Ratio(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{u256_mul, u256_div, u256_ratio_decimal}
-    // sort the narrow filtered scan FIRST: the u256 math is an order-
-    // preserving projection, so the range exchange (whose sampling pass
-    // re-executes its child) moves four scan columns and the BigInteger
-    // kernels run exactly once, after the sort
+    // part-sorted scan, u256 kernels projected after: the BigInteger math
+    // is row-local, so the query needs NO shuffle — a global orderBy's
+    // range exchange would add a sampling scan plus a full-fact shuffle
+    // for ordering the comparator doesn't need
     val t = Tables(spark, dir).lineitem
       .filter(col("l_quantity") > lit(0.0))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
     val a = u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
     val b = u256_from_long(floor(col("l_quantity")).cast("long"))
     t.select(col("l_orderkey"), col("l_linenumber"),

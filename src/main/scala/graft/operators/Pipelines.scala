@@ -123,12 +123,14 @@ object Pipelines {
       u256_from_long(col("l_suppkey")).as("topic2"),
       u256_from_long(floor(col("l_extendedprice") * 100).cast("long"))
         .as("data"))
-    // join + ORDER BY run over the narrow binary log rows, and the ABI
-    // decode (an order-preserving projection) runs after the sort: the
-    // range exchange's sampling pass re-executes its child, so keeping the
-    // decode downstream of the sort runs it once instead of twice, over
-    // rows that are 32-byte binaries instead of decoded hex strings. Both
-    // join sides share one hash clustering on the join key.
+    // the ABI decode (an order-preserving projection) runs after the
+    // sort, over rows that are 32-byte binaries instead of decoded hex
+    // strings; both join sides share one hash clustering on the join key.
+    // Part-sorted output: the SMJ leaves each hash(l_orderkey) partition
+    // sorted by the join key, so a local (l_orderkey, l_linenumber) sort
+    // finishes the MergeTree part order with no exchange — a global
+    // orderBy would re-execute the join once in its range-bounds sampling
+    // job and reshuffle the full fact output.
     val filtered = logs.filter(lower(hex(col("topic0"))) ===
         EvmAbi.signatureTopic0Hex(erc20Sig))
       .repartition(col("l_orderkey"))
@@ -136,7 +138,7 @@ object Pipelines {
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate"))
           .repartition(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left")
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
     EvmAbi.decodeEvent(enriched, erc20Sig)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("from").as("from_addr"), col("to").as("to_addr"),

@@ -67,7 +67,11 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"), "left")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("o_orderdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // part-sorted, not globally sorted: a global orderBy's range
+      // exchange runs a sampling job that re-executes the join lineage
+      // and reshuffles the full fact output — at 100 TB nobody globally
+      // sorts an enriched fact table; parts sort locally (no exchange)
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** q04 — small-dim join chain, explicitly broadcast
@@ -212,7 +216,10 @@ object Relational {
     li.select(col("l_orderkey"), col("l_linenumber"),
         when(aToB, col("l_partkey")).otherwise(col("l_suppkey")).as("in_key"),
         when(aToB, col("l_suppkey")).otherwise(col("l_partkey")).as("out_key"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // part-sorted: the projection is row-local, so a global sort's
+      // exchange + sampling pass would be the ONLY shuffle in the query —
+      // pure overhead at fact scale (the comparator is order-insensitive)
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** q14 — Decimal(38,9) ratio/price math (swap_prices.py:203-217 price =
@@ -221,13 +228,14 @@ object Relational {
     * significant digits) so the result is engine-portable.
     */
   def q14DecimalRatio(spark: SparkSession, dir: String): DataFrame = {
-    // sort first, project after (order-preserving): the range exchange
-    // samples the raw scan columns, and the decimal casts run once
+    // part-sorted scan, decimal casts projected after: the row-local
+    // math needs no shuffle at all, so the only cost above the scan is a
+    // local in-partition sort — no range exchange, no sampling pass
     Tables(spark, dir).lineitem
       .filter(col("l_quantity") > lit(0.0))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") / col("l_quantity"))
           .cast(DecimalType(38, 9)).cast("double").as("unit_price"),

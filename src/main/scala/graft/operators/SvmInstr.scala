@@ -187,14 +187,14 @@ object SvmInstr {
     * registry. Oracle recomputes the fields arithmetically — agreement
     * proves encode∘decode is the identity for every variant layout. */
   def p04RaydiumPipeline(spark: SparkSession, dir: String): DataFrame = {
-    // ORDER BY the narrow source, not the decoded output: the decode is an
-    // order-preserving projection+filter, so sorting first gives the same
-    // ordered result while the range exchange (and its sampling pass,
-    // which re-executes its child) moves three scan columns instead of
-    // re-running the whole variant decode
+    // part-sort the narrow source, not the decoded output: the decode is
+    // an order-preserving projection+filter, so sorting first gives the
+    // same part-ordered result with the variant decode run exactly once —
+    // and the LOCAL sort needs no exchange at all, where a global orderBy
+    // would add a sampling scan plus a full shuffle of the fact source
     val e = Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("value"))
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
     val v = pmod(col("event_id"), lit(6))
     val amt = floor(col("value") * 100).cast("long")
     val disc: Int => Array[Byte] = {
@@ -424,6 +424,9 @@ object SvmInstr {
       lit(Base58.decode(MeteoraCpAmm)).as("program_id"), data.as("data"),
       array(u256_from_long(col("user_id"))).as("accounts"))
     decodeVariants(instructions, meteoraRegistry, passThrough = Seq("event_id"))
+      // local sort BEFORE the wide hex projections (order-preserving):
+      // no exchange, no sampling re-execution of the decode
+      .sortWithinPartitions(col("event_id"))
       .select(col("event_id"), col("swap_kind"), col("amount_in"),
         col("minimum_amount_out"),
         lower(hex(col("pool"))).as("pool"),
@@ -494,7 +497,10 @@ object SvmInstr {
         when(col("found_transfer") === 1, col("next_amount"))
           .as("transfer_amount"),
         col("found_transfer"))
-      .orderBy(col("event_id"))
+      // part-sorted within the window's hash(user_id) partitions: a
+      // global orderBy would re-execute decode+window in its sampling
+      // pass and reshuffle the full output
+      .sortWithinPartitions(col("event_id"))
   }
 
   val oracle: Map[String, String] = Map(
