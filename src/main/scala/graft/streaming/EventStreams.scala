@@ -141,6 +141,49 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1").parquet(staged)
   }
 
+  /** eventsStreamChunked plus one trailing SENTINEL file — a single row
+    * with user_id = -1 and ts = max(ts) + 4 h, admitted last. When it
+    * arrives, the watermark advances past every real event, so
+    * append-mode stateful operators flush and evict their entire
+    * remaining state (the punctuation/flush-marker pattern every
+    * finite-replay streaming harness needs; a real deployment's
+    * watermark advances the same way because ingestion never stops).
+    * The chunk files are HARDLINKED from the shared staging — one
+    * repartition pass serves st04/st19/st09 — and the sentinel lives
+    * only in this directory, so join queries never see it. */
+  private def eventsStreamChunkedFlushed(spark: SparkSession,
+      dir: String): DataFrame = {
+    eventsStreamChunked(spark, dir) // ensure the shared staging exists
+    val base = chunkedCache.get(dir)
+    val staged = chunkedCache.computeIfAbsent(dir + "#flushed", { _ =>
+      val out = graft.Scratch.dir("stflush_") + "/events"
+      new java.io.File(out).mkdirs()
+      val parts = new java.io.File(base).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.foreach { f =>
+        java.nio.file.Files.createLink(
+          new java.io.File(out, f.getName).toPath, f.toPath): Unit
+      }
+      val ev = graft.sources.Tables(spark, dir).events
+      val sentinel = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 4 HOURS"))
+        .withColumn("user_id", lit(-1L))
+      val tmp = graft.Scratch.dir("stflush_sent_") + "/row"
+      sentinel.coalesce(1).write.parquet(tmp)
+      val sf = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(out, "zz-flush.parquet")
+      java.nio.file.Files.move(sf.toPath, dst.toPath)
+      // mtime admission order: chunks as staged (1000*(i+1)), sentinel last
+      dst.setLastModified(1000L * (parts.length + 2)): Unit
+      out
+    })
+    val schema = schemaCache.computeIfAbsent(staged,
+      p => spark.read.parquet(p).schema)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+  }
+
   /** Stateful streaming queries get their OWN shuffle-partition count:
     * every stateful operator instantiates one state store per shuffle
     * partition per micro-batch, so the batch-side default (sized for
@@ -162,14 +205,23 @@ object EventStreams {
 
   /** Run a streaming transform to completion over the (finite) file source
     * and hand back the materialized result. Complete/Update + memory sink
-    * keeps finite-source runs deterministic (append mode would hold the
-    * last watermark window open).
+    * keeps finite-source runs deterministic; append mode holds the last
+    * watermark window open unless the source ends with a flush sentinel
+    * (eventsStreamChunkedFlushed) — the scale-correct pairing for
+    * operators whose complete-mode state would grow with the corpus.
     */
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+  private def runToTable(df: DataFrame, mode: String,
+      corpusScaleState: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, streamPartitions)
+    // Fixed small state-partition count fits watermark-bounded state
+    // (most st queries). Operators whose in-flight state is
+    // corpus-proportional (st09 holds every open session of the current
+    // arrival chunk — millions at sf10) keep the BATCH shuffle sizing
+    // instead: state volume scales with data, so its partitioning must
+    // too (measured sf10: session-window exec 39→29 s at 8→32).
+    spark.conf.set(key, if (corpusScaleState) prev else streamPartitions)
     try {
       val name = s"graft_stream_${memId.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
@@ -539,16 +591,28 @@ object EventStreams {
   /** st09 — built-in session windows: gap-based sessionization through
     * `session_window` (the declarative twin of st02's hand-rolled
     * mapGroupsWithState sessions — both exist in the reference's world:
-    * provider buffering vs SQL-level sessionization). Complete mode over
-    * the finite source; session end = last event + gap by definition,
-    * mirrored in the oracle's lag/gap cumulative-sum session assignment.
-    */
+    * provider buffering vs SQL-level sessionization). Session end = last
+    * event + gap by definition, mirrored in the oracle's lag/gap
+    * cumulative-sum session assignment.
+    *
+    * APPEND mode over chunked time-ordered arrival, NOT complete mode:
+    * complete retains every session ever opened in the state store —
+    * 9.5M sessions at sf10, which OOM'd the driver-parity 8 GB heap and
+    * is flatly impossible at 100 TB. With append, the watermark
+    * advancing between chunk micro-batches finalizes+EVICTS each
+    * session, so state is bounded by the watermark horizon regardless of
+    * corpus size. A sentinel row staged past max(ts)+gap+delay (the
+    * streaming punctuation pattern) pushes the final watermark beyond
+    * every real session so the tail flushes; its own user_id = -1 never
+    * closes and is invisible to the output. The emitted session SET
+    * equals the complete-mode answer — the oracle is unchanged. */
   def st09SessionWindow(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = eventsStream(spark, dir)
+    val sessions = eventsStreamChunkedFlushed(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    runToTable(sessions, "complete")
+    runToTable(sessions, "append", corpusScaleState = true)
+      .filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),

@@ -101,6 +101,38 @@ class StreamingSinksSpec extends AnyFunSuite {
     "ev_tmp"
   }
 
+  test("st09 append mode + flush sentinel emits the complete session set" +
+    " and the sentinel row never reaches the output") {
+    val out = EventStreams.st09SessionWindow(spark, sfDir)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(!got.exists(_._1 < 0), "flush sentinel leaked into the output")
+    // batch truth with the oracle's gap rule: a gap of EXACTLY 30 min
+    // stays in-session (session_window's end bound is exclusive-extended)
+    val want = spark.sql(
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, CASE WHEN unix_micros(ts) -
+         |      LAG(unix_micros(ts)) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) > 1800000000
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM ${eventsView()}),
+         |assigned AS (
+         |  SELECT user_id, ts, SUM(new_session) OVER (
+         |      PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events
+         |FROM assigned GROUP BY user_id, session_id""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(got === want,
+      "append-mode session set diverged from the batch computation")
+  }
+
   test("k01 layout: one directory per partition value, rows sorted in-file") {
     val out = Files.createTempDirectory("k01_spec_").toString
     val orders = graft.sources.Tables(spark, sfDir).orders
