@@ -235,12 +235,17 @@ object Pipelines {
     graft.functions.registerSql(spark)
     Tables(spark, dir).lineitem.createOrReplaceTempView("graft_sql_li")
     Tables(spark, dir).orders.createOrReplaceTempView("graft_sql_ord")
-    // f07's sort economy, in SQL: the range exchange and sort move the
-    // five narrow scan/join columns; the u256 BigInteger kernels and the
-    // wide hex/decimal strings are projected AFTER the sort by the outer
-    // select (a projection over a sort is order-preserving, so the
-    // ORDER BY contract survives). Sorting the wide strings instead
-    // measured 3x slower and spill-bound at sf10.
+    // f07's sort economy, in SQL: the sort moves the five narrow
+    // scan/join columns; the u256 BigInteger kernels and the wide
+    // hex/decimal strings are projected AFTER the sort by the outer
+    // select (a projection over a sort is order-preserving, so the sort
+    // contract survives). Sorting the wide strings instead measured 3x
+    // slower and spill-bound at sf10. SORT BY, not ORDER BY — the
+    // part-sorted output convention (Hive SORT BY / MergeTree
+    // intra-part order): a global ORDER BY adds a range exchange whose
+    // sampling job re-executes the join lineage and reshuffles the full
+    // fact (the PERF.md global-sort tax), for a total order no consumer
+    // of a fact-scale table asks of the engine.
     spark.sql(
       """SELECT l_orderkey, l_linenumber,
         |  lower(hex(u256_from_long(l_partkey))) AS part_u256,
@@ -255,7 +260,7 @@ object Pipelines {
         |  FROM graft_sql_li l
         |  LEFT JOIN graft_sql_ord o ON l.l_orderkey = o.o_orderkey
         |  WHERE l.l_quantity > 0
-        |  ORDER BY l.l_orderkey, l.l_linenumber
+        |  SORT BY l.l_orderkey, l.l_linenumber
         |) sorted""".stripMargin)
   }
 

@@ -148,7 +148,11 @@ object Relational {
 
   /** q09 — per-group ordered row index (orca_swaps.py:238 with_row_index
     * per transaction). One hash exchange on user_id + in-partition sort;
-    * the (ts, event_id) tiebreak makes it deterministic.
+    * the (ts, event_id) tiebreak makes it deterministic. No trailing
+    * sort: WindowExec already sorted each partition by
+    * (user_id, ts, event_id), which IS (user_id, rn) order — the
+    * part-sorted fact-scale output convention (a global orderBy would
+    * re-execute the window in the range sampling job; PERF.md).
     */
   def q09RowNumber(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -156,7 +160,6 @@ object Relational {
     Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("ts"),
         row_number().over(w).as("rn"))
-      .orderBy(col("user_id"), col("rn"))
   }
 
   /** q10 — adjacency match at index+1 (orca_swaps.py:402-436 joins each
@@ -589,6 +592,9 @@ object Relational {
     val t = Tables(spark, dir)
     t.orders.createOrReplaceTempView("graft_q35_o")
     t.lineitem.createOrReplaceTempView("graft_q35_l")
+    // fact-scale output (≈2 rows per order): part-sorted, not a global
+    // ORDER BY — the range sampling job would re-execute the lateral
+    // join lineage (PERF.md global-sort tax)
     spark.sql(
       """SELECT o.o_orderkey, top.l_linenumber, top.l_extendedprice
         |FROM graft_q35_o o,
@@ -596,8 +602,8 @@ object Relational {
         |         FROM graft_q35_l l
         |         WHERE l.l_orderkey = o.o_orderkey
         |         ORDER BY l_extendedprice DESC, l_linenumber
-        |         LIMIT 2) AS top
-        |ORDER BY o.o_orderkey, top.l_linenumber""".stripMargin)
+        |         LIMIT 2) AS top""".stripMargin)
+      .sortWithinPartitions(col("o_orderkey"), col("l_linenumber"))
   }
 
   /** q36 — time-series gap fill + forward fill (the resample/LOCF pass a

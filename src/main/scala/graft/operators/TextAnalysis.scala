@@ -339,26 +339,35 @@ object TextAnalysis {
     * email → IP → phone so earlier tokens can't be re-matched.
     */
   def t08PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    // DUP-DENSITY GATE: although the INJECTED suffix varies per doc_id,
+    // the output is a pure function of text — the planted email/IP/phone
+    // each fully match their pattern, so the suffix scrubs to the same
+    // constant for every doc, each count is count(text) + 1, and no
+    // match can span the text/suffix boundary (the suffix starts with a
+    // space none of the three patterns can consume). So the 3 counts +
+    // 3 replacements run once per DISTINCT text on a dup-heavy corpus.
+    // The oracle still computes over the full augmented string —
+    // passing it proves the decomposition exact.
+    val docs = Tables(spark, dir).documents
+    perTextPath(spark, dir,
+      collapsed = DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)(
+      t08Body)
+  }
+
+  private[graft] def t08Body(df: DataFrame): DataFrame = {
     val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
     val phoneRe = "\\+1-555-[0-9]{4}"
-    val aug = concat(col("text"),
-      lit(" contact user"), col("doc_id").cast("string"),
-      lit("@example.com or 10."),
-      pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
-      pmod(col("doc_id") * 7, lit(256)).cast("string"),
-      lit(".4 tel +1-555-"),
-      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
-      col("aug"), emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
-    Tables(spark, dir).documents
-      .select(col("doc_id"), aug.as("aug"))
-      .select(col("doc_id"),
-        regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
-        regexp_count(col("aug"), lit(ipRe)).cast("long").as("n_ips"),
-        regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
-        md5(scrubbed).as("scrub_md5"))
-      .orderBy(col("doc_id"))
+    val scrubbedText = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+    df.select(col("gid"),
+      (regexp_count(col("text"), lit(emailRe)) + 1).cast("long")
+        .as("n_emails"),
+      (regexp_count(col("text"), lit(ipRe)) + 1).cast("long").as("n_ips"),
+      (regexp_count(col("text"), lit(phoneRe)) + 1).cast("long")
+        .as("n_phones"),
+      md5(concat(scrubbedText,
+        lit(" contact <EMAIL> or <IP> tel <PHONE>"))).as("scrub_md5"))
   }
 
   /** t09 — CROSS-document boilerplate detection (the corpus-level

@@ -687,12 +687,20 @@ object Writers {
   }
 
   /** k04 — bucketed write + co-located join. Both fact tables are written
-    * `bucketBy(8, orderkey)` pre-sorted; joining them then needs NO
+    * `bucketBy(n, orderkey)` pre-sorted; joining them then needs NO
     * exchange and no sort — the bucket layout IS the shuffle, paid once at
     * write time and amortized over every subsequent join (SinksSpec
     * asserts the zero-Exchange plan). This is the parquet analog of two
     * MergeTree tables sharing an ORDER BY key, and at 100 TB it's the
-    * difference between re-shuffling 100 TB per join and not.
+    * difference between re-shuffling 100 TB per join and not. Bucket
+    * count is sized to the session's shuffle parallelism, NOT a fixed
+    * literal: a bucketed scan's task count IS the bucket count (bucket
+    * files can't split), so 8 buckets on 60M rows serializes the join
+    * onto 8 of 32 cores — and on a 1000-executor cluster onto 8 tasks.
+    * Each side is repartitioned on the key first (repartition and
+    * bucketBy share Murmur3 pmod hashing), so every task owns exactly
+    * one bucket: one file per bucket, task-local sort, no per-task
+    * bucket-file fanout.
     */
   // the bucketed write is a once-per-dataset cost amortized over every
   // later join; memoizing the LAST-written (session, dir) makes that
@@ -713,15 +721,19 @@ object Writers {
       // be retried on the next call, not skipped (a getAndSet up front would
       // memoize the failure and silently join missing or mixed tables)
       if (bucketedFor.get() != key) {
+        val buckets = math.max(8,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
         val li = spark.read.parquet(s"$dir/lineitem.parquet")
           .select("l_orderkey", "l_quantity")
+          .repartition(buckets, col("l_orderkey"))
         val ord = spark.read.parquet(s"$dir/orders.parquet")
           .select("o_orderkey", "o_orderpriority")
+          .repartition(buckets, col("o_orderkey"))
         bucketedFor.set(null)
         Seq("graft_li_b", "graft_ord_b").foreach(t => dropManaged(spark, t))
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        li.write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable("graft_li_b")
-        ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        ord.write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable("graft_ord_b")
         bucketedFor.set(key)
       }

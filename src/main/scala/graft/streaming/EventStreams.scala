@@ -934,32 +934,43 @@ object EventStreams {
     * that enforces lateness, so it's the one this operator uses.)
     */
   def st18LateData(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Scratch.dir("st18_")
-    val src = s"$root/src"
     val ev = graft.sources.Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     val cut = lit("2024-01-25") // the staged "now" between bulk and frontier
     val isOld = col("ts") < cut
     val isLate = isOld && pmod(col("event_id"), lit(10)) === 0
-    val p = new org.apache.hadoop.fs.Path(src)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // three arrival waves, each its own micro-batch: the old on-time
+    // three arrival waves, ordered by forced mtime: the old on-time
     // bulk, the frontier (advances the watermark and finalizes the old
     // windows), then the stragglers — which now face finalized windows.
-    // File order = modification time; force distinct ordered stamps per
-    // write so the staging is deterministic, not a write-latency race.
-    def stage(df: DataFrame, stamp: Long): Unit = {
-      val before = if (fs.exists(p)) fs.listStatus(p)
-        .map(_.getPath.getName).toSet else Set.empty[String]
-      df.coalesce(1).write.mode("append").parquet(src)
-      fs.listStatus(p)
-        .filter(f => f.getPath.getName.endsWith(".parquet") &&
-          !before(f.getPath.getName))
-        .foreach(f => fs.setTimes(f.getPath, stamp, -1))
-    }
-    stage(ev.filter(isOld && pmod(col("event_id"), lit(10)) =!= 0), 1000000L)
-    stage(ev.filter(!isOld), 2000000L)
-    stage(ev.filter(isLate), 3000000L)
+    // The bulk wave is RANGE-partitioned on ts into a few files whose
+    // stamps follow range order (part-0000N is the N-th ts range): the
+    // write parallelizes across tasks, and because each later bulk
+    // micro-batch holds only LATER timestamps, the advancing watermark
+    // can never drop an on-time bulk row (randomly-split bulk files
+    // would — rows older than a previous batch's max(ts)−delay die).
+    // The staging is deterministic, so it is built once per corpus per
+    // JVM and reused across invocations (bench reps re-measure the
+    // STREAM, not the fixture write).
+    val src = chunkedCache.computeIfAbsent(dir + "#st18", { _ =>
+      val out = graft.Scratch.dir("st18_") + "/src"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def stage(df: DataFrame, stamp: Long): Unit = {
+        val before = if (fs.exists(p)) fs.listStatus(p)
+          .map(_.getPath.getName).toSet else Set.empty[String]
+        df.write.mode("append").parquet(out)
+        fs.listStatus(p)
+          .filter(f => f.getPath.getName.endsWith(".parquet") &&
+            !before(f.getPath.getName))
+          .sortBy(_.getPath.getName).zipWithIndex
+          .foreach { case (f, i) => fs.setTimes(f.getPath, stamp + i, -1) }
+      }
+      stage(ev.filter(isOld && pmod(col("event_id"), lit(10)) =!= 0)
+        .repartitionByRange(4, col("ts")), 1000000L)
+      stage(ev.filter(!isOld).coalesce(1), 2000000L)
+      stage(ev.filter(isLate).coalesce(1), 3000000L)
+      out
+    })
     val s = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val agg = s.withWatermark("ts", "30 minutes")

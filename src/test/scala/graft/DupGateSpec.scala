@@ -207,6 +207,7 @@ class DupGateSpec extends AnyFunSuite {
         ("t03", c => TA.perTextPath(spark, dir, c)(TA.t03Body)),
         ("t06", c => TA.perTextPath(spark, dir, c)(TA.t06Body)),
         ("t07", c => TA.perTextPath(spark, dir, c)(TA.t07Body)),
+        ("t08", c => TA.perTextPath(spark, dir, c)(TA.t08Body)),
         ("t13", c => TA.perTextPath(spark, dir, c)(TA.t13Body)),
         ("t19", c => TA.perTextPath(spark, dir, c, TA.t19Flags)(TA.t19Body)),
         ("t16", c => if (c) TA.t16Collapsed(spark, dir)
@@ -228,10 +229,51 @@ class DupGateSpec extends AnyFunSuite {
       ("t03", c => TA.perTextPath(spark, dir, c)(TA.t03Body)),
       ("t06", c => TA.perTextPath(spark, dir, c)(TA.t06Body)),
       ("t07", c => TA.perTextPath(spark, dir, c)(TA.t07Body)),
+      ("t08", c => TA.perTextPath(spark, dir, c)(TA.t08Body)),
       ("t13", c => TA.perTextPath(spark, dir, c)(TA.t13Body)),
       ("t19", c => TA.perTextPath(spark, dir, c, TA.t19Flags)(TA.t19Body)))
     cases.foreach { case (n, f) =>
       assert(rowsOf(f(false)) === rowsOf(f(true)), s"op=$n")
+    }
+  }
+
+  test("t08 decomposed scrub equals the full augmented-string reference") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{TextAnalysis => TA}
+    // PII-laced texts exercising nonzero text-part counts AND the
+    // boundary cases the decomposition depends on: text ending in
+    // digits (must not fuse with the planted suffix), a partial email
+    // at end-of-text (must not complete across the boundary), and a
+    // verbatim dup under a different doc_id (the collapse class).
+    val dir = docsDir(Seq(
+      0L -> "mail a@b.co and ping 1.2.3.4 now",
+      1L -> "call +1-555-9999 or half +1-555-123 only",
+      2L -> "no pii at all tok tok",
+      3L -> "edge ends with digits 12",
+      4L -> "partial email at end a@b",
+      5L -> "mail a@b.co and ping 1.2.3.4 now"))
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+      pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit(".4 tel +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("aug"), emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phones"),
+        md5(scrubbed).as("scrub_md5"))
+    Seq(false, true).foreach { c =>
+      assert(rowsOf(TA.perTextPath(spark, dir, c)(TA.t08Body)) ===
+        rowsOf(want), s"collapsed=$c")
     }
   }
 

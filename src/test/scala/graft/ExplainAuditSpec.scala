@@ -114,10 +114,12 @@ class ExplainAuditSpec extends AnyFunSuite {
 
   test("p10: the sort survives the subquery and runs below the u256 " +
       "projection") {
-    // the SQL sorts a narrow subquery and projects the wide u256
-    // strings outside it — assert the optimizer (a) kept the Sort
-    // (EliminateSorts must not drop the ORDER BY contract) and (b) left
-    // the u256 projection ABOVE it, so the range exchange moves five
+    // the SQL part-sorts a narrow subquery (SORT BY — the fact-scale
+    // output convention; a global ORDER BY would add a range exchange
+    // whose sampling job re-executes the join lineage) and projects the
+    // wide u256 strings outside it — assert the optimizer (a) kept the
+    // Sort (EliminateSorts must not drop the SORT BY contract) and
+    // (b) left the u256 projection ABOVE it, so the sort moves five
     // narrow columns, not 64-char strings
     val df = graft.operators.Pipelines.p10SqlPipeline(spark, sfDir)
     val sp = df.queryExecution.sparkPlan
@@ -127,13 +129,15 @@ class ExplainAuditSpec extends AnyFunSuite {
     val sorts = sp.collect {
       case s: org.apache.spark.sql.execution.SortExec => s
     }
-    assert(sorts.nonEmpty, s"ORDER BY was optimized away:\n$sp")
+    assert(sorts.nonEmpty, s"SORT BY was optimized away:\n$sp")
+    assert(!sorts.head.global,
+      "topmost sort must be part-local (SORT BY), not a global range sort")
     val keys = sorts.head.sortOrder.map(_.child.toString)
     assert(keys.size == 2 && keys.head.startsWith("l_orderkey") &&
       keys(1).startsWith("l_linenumber"),
       s"topmost sort must order by (l_orderkey, l_linenumber): $keys")
-    // the u256 projection sits DIRECTLY above that sort, so the range
-    // exchange moves five narrow columns, not 64-char strings
+    // the u256 projection sits DIRECTLY above that sort, so the sort
+    // moves five narrow columns, not 64-char strings
     val u256AboveSort = sp.collect {
       case p: org.apache.spark.sql.execution.ProjectExec
         if p.projectList.exists(_.toString.contains("u256")) &&
