@@ -204,11 +204,21 @@ object EventStreams {
   }
 
   /** Run a streaming transform to completion over the (finite) file source
-    * and hand back the materialized result. Complete/Update + memory sink
-    * keeps finite-source runs deterministic; append mode holds the last
+    * and hand back the materialized result. Append mode holds the last
     * watermark window open unless the source ends with a flush sentinel
     * (eventsStreamChunkedFlushed) — the scale-correct pairing for
     * operators whose complete-mode state would grow with the corpus.
+    *
+    * SINK CHOICE IS A SCALE CONTRACT: append-mode outputs are
+    * fact-scale (every join match, every finalized session, every
+    * enriched event), so they land in a parquet FileStreamSink — the
+    * shape a production stream writes — and are read back through its
+    * commit log. A memory sink would accumulate the whole corpus-sized
+    * answer on the driver heap: at sf10 st09's 9.5M finalized sessions
+    * OOM'd the driver-parity 8 GB suite JVM exactly there. Complete/
+    * update outputs are aggregate-sized (one row per group), which is
+    * what the memory sink is for — and the file sink can't express
+    * their retractions anyway.
     */
   private def runToTable(df: DataFrame, mode: String,
       corpusScaleState: Boolean = false): DataFrame = {
@@ -223,11 +233,23 @@ object EventStreams {
     // too (measured sf10: session-window exec 39→29 s at 8→32).
     spark.conf.set(key, if (corpusScaleState) prev else streamPartitions)
     try {
-      val name = s"graft_stream_${memId.incrementAndGet()}"
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.table(name)
+      if (mode == "append") {
+        val root = graft.Scratch.dir("stout_")
+        val q = df.writeStream.format("parquet")
+          .option("path", s"$root/data")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // explicit schema: an all-filtered run leaves only the metadata
+        // log, where schema inference has nothing to read
+        spark.read.schema(df.schema).parquet(s"$root/data")
+      } else {
+        val name = s"graft_stream_${memId.incrementAndGet()}"
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name)
+      }
     } finally spark.conf.set(key, prev)
   }
 
@@ -311,8 +333,11 @@ object EventStreams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("c_ts"), col("p_ts"))
+    // fact-scale output (every click-purchase match): part-sorted per
+    // the global-sort-tax convention — the compare is order-insensitive
     runToTable(joined, "append")
-      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      .sortWithinPartitions(col("user_id"), col("click_id"),
+        col("purchase_id"))
   }
 
   /** st19 — stream-stream LEFT OUTER join (st04's inner join plus the
@@ -355,8 +380,10 @@ object EventStreams {
       "left_outer")
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"))
+    // fact-scale output: part-sorted (see st04)
     runToTable(joined, "append")
-      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      .sortWithinPartitions(col("user_id"), col("click_id"),
+        col("purchase_id"))
   }
 
   /** st20 — the CUSTOM PHYSICAL OPERATOR under streaming: each
@@ -617,7 +644,8 @@ object EventStreams {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
-      .orderBy(col("user_id"), col("session_start"))
+      // fact-scale output (9.5M sessions at sf10): part-sorted
+      .sortWithinPartitions(col("user_id"), col("session_start"))
   }
 
   /** st11 — the t11 stratified sampler running DIRECTLY on a streaming
@@ -836,7 +864,8 @@ object EventStreams {
       .join(broadcast(userTotals), Seq("user_id"))
       .select(col("event_id"), col("user_id"),
         (col("value") / col("user_total").cast("double")).as("share"))
-    runToTable(enriched, "append").orderBy(col("event_id"))
+    // fact-scale output (one row per event): part-sorted
+    runToTable(enriched, "append").sortWithinPartitions(col("event_id"))
   }
 
   /** st16 — exactly-once across RESTARTS (st13 covers replays within a
