@@ -33,7 +33,8 @@ object SparkEntry {
       sinks.ClickHouseDdl.queries ++
       pipeline.Incremental.queries ++
       pipeline.Orchestrator.queries ++
-      pipeline.Providers.queries
+      pipeline.Providers.queries ++
+      sources.ArrowHttp.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -51,5 +52,6 @@ object SparkEntry {
       sinks.ClickHouseDdl.oracle ++
       pipeline.Incremental.oracle ++
       pipeline.Orchestrator.oracle ++
-      pipeline.Providers.oracle
+      pipeline.Providers.oracle ++
+      sources.ArrowHttp.oracle
 }

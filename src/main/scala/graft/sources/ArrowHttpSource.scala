@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, Float8Vector, TimeStampMicroTZVector, VarCharVector}
+import org.apache.arrow.vector.ipc.ArrowStreamReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTTP/Arrow ingest source — the network half of the reference's ingest
+  * surface (scripts/main.py:160-189 builds hypersync/SQD portal providers
+  * whose clients POST a typed query and stream back Arrow batches;
+  * erc20_transfers.py:86-116 is the query shape st21 already types).
+  *
+  * Spark-first shape, designed for the 1000-executor case:
+  *  - a DataSource V2 `Batch` whose input partitions are disjoint BLOCK
+  *    RANGES — each executor task pulls its own range independently, so
+  *    ingest parallelism is `range / blocksPerPartition`, not 1 socket;
+  *  - column pruning and the block-range / event-type predicates are
+  *    pushed INTO the HTTP request (the provider filters and projects
+  *    server-side — the wire carries only requested bytes), and reported
+  *    via `pushedFilters`/`description` so `.explain` shows them;
+  *  - within a task, responses are PAGINATED (the provider caps a page
+  *    and returns `X-Next-Block`, the hypersync cursor contract) and the
+  *    next page is PREFETCHED on a background thread while the current
+  *    one decodes — the reference's `buffer_size=2` pipelining
+  *    (main.py:160 _DEFAULT_PROVIDER_BUFFER_SIZE);
+  *  - the driver resolves `/metadata` once and CLAMPS the requested
+  *    range to `[start_block, height)` — main.py:252-260's from_block
+  *    clamp ([[graft.pipeline.Providers.clampFromBlock]]) plus the
+  *    archive-height cap, so a task can never wait on blocks the
+  *    provider will never serve.
+  *
+  * The wire format is Arrow IPC streams decoded straight into
+  * `InternalRow`s — no driver hop, no JSON row parsing. Tested against
+  * [[ArrowHttpStub]], the in-process loopback portal (the sandbox has no
+  * egress; the protocol, pushdown, pagination, clamping and decode paths
+  * are all real and exercised end-to-end).
+  */
+object ArrowHttpSource {
+  /** Block-number ↔ event_id: the events table plays the chain, its
+    * dense monotone event_id the block number (TESTDATA.md §events). */
+  val fullSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  val BlockColumn = "event_id"
+  val TypeColumn = "event_type"
+
+  private[sources] val mapper = new ObjectMapper()
+
+  /** One page request body — the st21 `EvmQuery` shape on the wire. */
+  private[sources] def queryJson(fromBlock: Long, toBlock: Long,
+      fields: Seq[String], eventTypes: Option[Seq[String]]): String = {
+    val root = mapper.createObjectNode()
+    root.put("from_block", fromBlock): Unit
+    root.put("to_block", toBlock): Unit
+    val fa = root.putArray("fields")
+    fields.foreach(fa.add)
+    eventTypes.foreach { ts =>
+      val ta = root.putArray("event_types")
+      ts.foreach(ta.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private[sources] def httpClient(): HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  /** GET {url}/metadata → (start_block, height). Driver-side, once per
+    * scan — the twin of main.py:191-193 get_solana_start_block. */
+  private[sources] def fetchMetadata(url: String): (Long, Long) = {
+    val resp = httpClient().send(
+      HttpRequest.newBuilder(URI.create(s"$url/metadata")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"metadata fetch failed: HTTP ${resp.statusCode()} from $url/metadata")
+    val node = mapper.readTree(resp.body())
+    (node.get("start_block").asLong(), node.get("height").asLong())
+  }
+}
+
+/** `spark.read.format("arrow-http")` entry point (registered in
+  * META-INF/services for the short name). */
+class ArrowHttpTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "arrow-http"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ArrowHttpSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ArrowHttpTable
+}
+
+final class ArrowHttpTable extends Table with SupportsRead {
+  override def name(): String = "arrow_http_ingest"
+  override def schema(): StructType = ArrowHttpSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowHttpScanBuilder(options)
+}
+
+/** Collects the pushable predicates: block-range comparisons on
+  * `event_id` become the request's from/to window, equality/membership
+  * on `event_type` becomes the request's type list. Both are applied
+  * EXACTLY server-side, so accepted filters leave no residual. */
+final class ArrowHttpScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import ArrowHttpSource._
+
+  private val url = {
+    val u = options.get("url")
+    require(u != null && u.nonEmpty, "arrow-http source requires option 'url'")
+    u.stripSuffix("/")
+  }
+  private val blocksPerPartition =
+    Option(options.get("blocksPerPartition")).map(_.toLong).getOrElse(8192L)
+  require(blocksPerPartition > 0, "blocksPerPartition must be positive")
+
+  private var required: StructType = fullSchema
+  private var fromBlock: Long = Option(options.get("fromBlock"))
+    .map(_.toLong).getOrElse(Long.MinValue)
+  private var toBlock: Long = Option(options.get("toBlock"))
+    .map(_.toLong).getOrElse(Long.MaxValue) // exclusive
+  private var eventTypes: Option[Set[String]] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve the canonical column order; an empty projection (count(*))
+    // still needs one wire column to count rows by
+    val names = requiredSchema.fieldNames.toSet
+    val kept = fullSchema.fields.filter(f => names.contains(f.name))
+    required =
+      if (kept.nonEmpty) StructType(kept)
+      else StructType(Array(fullSchema.fields.head))
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = ArrayBuffer.empty[Filter]
+    val acc = ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ GreaterThanOrEqual(BlockColumn, v) if asLong(v).isDefined =>
+        fromBlock = math.max(fromBlock, asLong(v).get); acc += f
+      case f @ GreaterThan(BlockColumn, v) if asLong(v).isDefined =>
+        fromBlock = math.max(fromBlock, asLong(v).get + 1); acc += f
+      case f @ LessThan(BlockColumn, v) if asLong(v).isDefined =>
+        toBlock = math.min(toBlock, asLong(v).get); acc += f
+      case f @ LessThanOrEqual(BlockColumn, v) if asLong(v).isDefined =>
+        toBlock = math.min(toBlock, asLong(v).get + 1); acc += f
+      case f @ EqualTo(TypeColumn, v: String) =>
+        eventTypes = Some(eventTypes.fold(Set(v))(_ intersect Set(v))); acc += f
+      case f @ In(TypeColumn, vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        eventTypes = Some(eventTypes.fold(s)(_ intersect s)); acc += f
+      case other => residual += other
+    }
+    accepted = acc.toArray
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new ArrowHttpScan(url, required, fromBlock, toBlock,
+      eventTypes.map(_.toSeq.sorted), blocksPerPartition)
+}
+
+final class ArrowHttpScan(url: String, schema: StructType, fromBlock: Long,
+    toBlock: Long, eventTypes: Option[Seq[String]], blocksPerPartition: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ArrowHttpScan url=$url blocks=[$fromBlock,$toBlock) " +
+      s"types=${eventTypes.map(_.mkString("[", ",", "]")).getOrElse("*")} " +
+      s"fields=[${schema.fieldNames.mkString(",")}]"
+
+  /** Driver-side: resolve the provider's served window once, clamp the
+    * request to it, split into per-task block ranges. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (startBlock, height) = ArrowHttpSource.fetchMetadata(url)
+    val from = graft.pipeline.Providers.clampFromBlock(startBlock, fromBlock)
+    val to = math.min(toBlock, height)
+    if (from >= to) return Array.empty
+    val n = ((to - from) + blocksPerPartition - 1) / blocksPerPartition
+    Array.tabulate(n.toInt) { i =>
+      val s = from + i * blocksPerPartition
+      ArrowHttpPartition(s, math.min(s + blocksPerPartition, to))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowHttpReaderFactory(url, schema, eventTypes)
+}
+
+final case class ArrowHttpPartition(start: Long, end: Long)
+    extends InputPartition
+
+final class ArrowHttpReaderFactory(url: String, schema: StructType,
+    eventTypes: Option[Seq[String]]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArrowHttpPartition]
+    new ArrowHttpPartitionReader(url, p.start, p.end, schema, eventTypes)
+  }
+}
+
+/** Executor-side: paginated POST /query loop over one block range,
+  * decoding Arrow IPC batches into InternalRows. One page is prefetched
+  * ahead of the decode cursor (the reference's buffer_size pipelining). */
+final class ArrowHttpPartitionReader(url: String, start: Long, end: Long,
+    schema: StructType, eventTypes: Option[Seq[String]])
+    extends PartitionReader[InternalRow] {
+  import ArrowHttpSource._
+
+  private val fields = schema.fieldNames.toSeq
+  private val client = httpClient()
+  private val allocator = new RootAllocator(Long.MaxValue)
+  private val prefetcher = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "arrow-http-prefetch"); t.setDaemon(true); t })
+
+  private final case class Page(body: Array[Byte], nextBlock: Long)
+
+  private def fetch(cursor: Long): Page = {
+    val req = HttpRequest.newBuilder(URI.create(s"$url/query"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        queryJson(cursor, end, fields, eventTypes)))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() == 200,
+      s"page fetch failed: HTTP ${resp.statusCode()} at from_block=$cursor")
+    val nextOpt = resp.headers().firstValue("X-Next-Block")
+    val next = if (nextOpt.isPresent) nextOpt.get().toLong else end
+    require(next > cursor,
+      s"provider made no progress: next_block=$next at from_block=$cursor")
+    Page(resp.body(), next)
+  }
+
+  private var cursor = start
+  private var pending: java.util.concurrent.Future[Page] =
+    if (start < end) prefetcher.submit(() => fetch(start)) else null
+
+  private var reader: ArrowStreamReader = null
+  private var rowIdx = 0
+  private var colVectors: Array[org.apache.arrow.vector.FieldVector] = null
+  private var batchRows = 0
+  private var current: InternalRow = null
+
+  /** Advance to the next loaded Arrow batch, crossing pages as needed.
+    * Returns false when the range is exhausted. */
+  private def advanceBatch(): Boolean = {
+    while (true) {
+      if (reader != null && reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        batchRows = root.getRowCount
+        colVectors = fields.map(root.getVector(_)).toArray
+        rowIdx = 0
+        if (batchRows > 0) return true
+        // zero-row batch: keep draining
+      } else {
+        if (reader != null) { reader.close(); reader = null }
+        if (pending == null) return false
+        val page = pending.get()
+        cursor = page.nextBlock
+        pending =
+          if (cursor < end) prefetcher.submit(() => fetch(cursor)) else null
+        reader = new ArrowStreamReader(
+          new ByteArrayInputStream(page.body), allocator)
+      }
+    }
+    false // unreachable
+  }
+
+  override def next(): Boolean = {
+    while (rowIdx >= batchRows) {
+      if (!advanceBatch()) return false
+    }
+    val row = new GenericInternalRow(fields.length)
+    var c = 0
+    while (c < fields.length) {
+      val v = colVectors(c)
+      if (v.isNull(rowIdx)) row.update(c, null)
+      else v match {
+        case b: BigIntVector => row.update(c, b.get(rowIdx))
+        case t: TimeStampMicroTZVector => row.update(c, t.get(rowIdx))
+        case d: Float8Vector => row.update(c, d.get(rowIdx))
+        case s: VarCharVector => row.update(c, UTF8String.fromBytes(s.get(rowIdx)))
+        case other => throw new IllegalStateException(
+          s"unexpected arrow vector ${other.getClass.getName} for ${fields(c)}")
+      }
+      c += 1
+    }
+    rowIdx += 1
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = {
+    if (reader != null) reader.close()
+    if (pending != null) pending.cancel(true): Unit
+    prefetcher.shutdownNow(): Unit
+    allocator.close()
+  }
+}
