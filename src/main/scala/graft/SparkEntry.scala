@@ -31,6 +31,7 @@ object SparkEntry {
       streaming.EventStreams.queries ++
       sinks.Writers.queries ++
       sinks.ClickHouseDdl.queries ++
+      sinks.ClickHouseHttpQuery.queries ++
       pipeline.Incremental.queries ++
       pipeline.Orchestrator.queries ++
       pipeline.Providers.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       streaming.EventStreams.oracle ++
       sinks.Writers.oracle ++
       sinks.ClickHouseDdl.oracle ++
+      sinks.ClickHouseHttpQuery.oracle ++
       pipeline.Incremental.oracle ++
       pipeline.Orchestrator.oracle ++
       pipeline.Providers.oracle ++

@@ -126,6 +126,13 @@ object ClickHouseDdl {
     if (nullable) s"Nullable($base)" else base
   }
 
+  /** The (column, ClickHouse type) contract a wire client needs to
+    * encode rows for table `t` — the same resolution [[createTable]]
+    * renders, exposed so the k27 HTTP sink encodes with EXACTLY the
+    * types the DDL declared (one source of truth, no drift). */
+  def columnTypes(t: ChTable, schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.map(f => f.name -> colType(t, f))
+
   private def colType(t: ChTable, f: StructField): String =
     t.typeOverrides.getOrElse(f.name, {
       val keyCol = t.orderBy.contains(f.name) ||
