@@ -135,6 +135,21 @@ object IngestRequest {
     logs ++ blocks
   }
 
+  /** Compile an EVM request against a REMOTE arrow-http portal instead
+    * of local parquet — the reference's actual deployment shape (the
+    * typed query goes to a hypersync/SQD endpoint, not a file). The
+    * same [[applyLogRequest]] applies the same predicates/projections;
+    * the k26 scan builder then turns the range into the request's
+    * from/to_block, the topic0 membership into its event_types, and the
+    * field selection into the wire column list — so the provider
+    * filters and projects server-side, exactly as cherry_core.ingest
+    * promises. One request type, three providers: parquet (compileEvm),
+    * parquet-stream (st21), portal (this + st22's stream). */
+  def compileEvmHttp(spark: SparkSession, url: String,
+      q: EvmQuery): DataFrame =
+    applyLogRequest(
+      spark.read.format("arrow-http").option("url", url).load(), q)
+
   /** Compile an SVM request: instructions plus whichever companion
     * tables the include_* flags pull (orca_swaps.py:495-500). */
   def compileSvm(spark: SparkSession, dir: String,

@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,7 +117,8 @@ final class ArrowHttpTable extends Table with SupportsRead {
   override def name(): String = "arrow_http_ingest"
   override def schema(): StructType = ArrowHttpSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowHttpScanBuilder(options)
 }
@@ -138,6 +140,13 @@ final class ArrowHttpScanBuilder(options: CaseInsensitiveStringMap)
   private val blocksPerPartition =
     Option(options.get("blocksPerPartition")).map(_.toLong).getOrElse(8192L)
   require(blocksPerPartition > 0, "blocksPerPartition must be positive")
+  /** Streaming admission control: at most this many blocks per
+    * micro-batch (the provider-buffer analog of main.py's buffer_size,
+    * sized in blocks so a restart replays bounded work). */
+  private val maxBlocksPerTrigger =
+    Option(options.get("maxBlocksPerTrigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+  require(maxBlocksPerTrigger > 0, "maxBlocksPerTrigger must be positive")
 
   private var required: StructType = fullSchema
   private var fromBlock: Long = Option(options.get("fromBlock"))
@@ -191,11 +200,12 @@ final class ArrowHttpScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan =
     new ArrowHttpScan(url, required, fromBlock, toBlock,
-      eventTypes.map(_.toSeq.sorted), blocksPerPartition)
+      eventTypes.map(_.toSeq.sorted), blocksPerPartition, maxBlocksPerTrigger)
 }
 
 final class ArrowHttpScan(url: String, schema: StructType, fromBlock: Long,
-    toBlock: Long, eventTypes: Option[Seq[String]], blocksPerPartition: Long)
+    toBlock: Long, eventTypes: Option[Seq[String]], blocksPerPartition: Long,
+    maxBlocksPerTrigger: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -220,6 +230,86 @@ final class ArrowHttpScan(url: String, schema: StructType, fromBlock: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowHttpReaderFactory(url, schema, eventTypes)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ArrowHttpMicroBatchStream(url, schema, fromBlock, toBlock,
+      eventTypes, blocksPerPartition, maxBlocksPerTrigger)
+}
+
+/** Streaming offset = the next block to ingest — the reference's
+  * `next_block` resume cursor made a checkpointed source offset, so a
+  * restarted query continues exactly where the last committed batch
+  * ended (the db.py MAX+1 resume, pushed down into the source). */
+final case class ArrowBlockOffset(block: Long) extends Offset {
+  override def json(): String = block.toString
+}
+
+/** Continuous tip-follow over the same portal protocol: each trigger
+  * polls `/metadata` for the archive height and ingests at most
+  * `maxBlocksPerTrigger` new blocks as one micro-batch (block ranges →
+  * the same partition-parallel Arrow readers as the batch path).
+  * Implements SupportsTriggerAvailableNow so `Trigger.AvailableNow`
+  * pins the height once and drains to it in bounded batches — the
+  * backfill-then-stop mode — while an unpinned run follows a growing
+  * chain head. */
+final class ArrowHttpMicroBatchStream(url: String, schema: StructType,
+    fromBlock: Long, toBlock: Long, eventTypes: Option[Seq[String]],
+    blocksPerPartition: Long, maxBlocksPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  import ArrowHttpSource._
+
+  /** (clamped start, served end) per the portal's current metadata. */
+  private def servedWindow(): (Long, Long) = {
+    val (startBlock, height) = fetchMetadata(url)
+    (graft.pipeline.Providers.clampFromBlock(startBlock, fromBlock),
+      math.min(toBlock, height))
+  }
+
+  @volatile private var pinnedEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(servedWindow()._2)
+
+  override def initialOffset(): Offset = ArrowBlockOffset(servedWindow()._1)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxBlocksPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxBlocksPerTrigger)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[ArrowBlockOffset].block
+    val end = pinnedEnd.getOrElse(servedWindow()._2)
+    val target =
+      if (Long.MaxValue - maxBlocksPerTrigger < cur) Long.MaxValue
+      else cur + maxBlocksPerTrigger
+    ArrowBlockOffset(math.max(cur, math.min(end, target)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    ArrowBlockOffset(pinnedEnd.getOrElse(servedWindow()._2))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[ArrowBlockOffset].block
+    val e = end.asInstanceOf[ArrowBlockOffset].block
+    if (s >= e) return Array.empty
+    val n = ((e - s) + blocksPerPartition - 1) / blocksPerPartition
+    Array.tabulate(n.toInt) { i =>
+      val lo = s + i * blocksPerPartition
+      ArrowHttpPartition(lo, math.min(lo + blocksPerPartition, e))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowHttpReaderFactory(url, schema, eventTypes)
+
+  override def deserializeOffset(json: String): Offset =
+    ArrowBlockOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class ArrowHttpPartition(start: Long, end: Long)

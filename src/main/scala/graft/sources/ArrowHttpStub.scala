@@ -230,8 +230,43 @@ object ArrowHttp {
     } finally stub.stop()
   }
 
+  /** st22 — the continuous-ingest mode: the same portal read as a
+    * micro-batch STREAM (the reference's pipelines run as a tip-follow
+    * loop, not one backfill — scripts/main.py keeps ingesting until the
+    * provider height). `maxBlocksPerTrigger` bounds each micro-batch so
+    * the AvailableNow drain runs as several committed batches with
+    * block-number offsets in the checkpoint — a crash replays at most
+    * one bounded batch, never the backfill. The aggregation folds
+    * incrementally across batches; the oracle sees only the final
+    * table. */
+  def st22StreamHttpIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stub = ArrowHttpStub.start(spark, dir)
+    try {
+      val agg = spark.readStream.format("arrow-http")
+        .option("url", stub.url)
+        .option("toBlock", "30000")
+        .option("maxBlocksPerTrigger", "4096")
+        .option("blocksPerPartition", "2048")
+        .load()
+        .where(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(38,6)")).cast("double")
+            .as("sum_value"))
+      val name = s"graft_http_stream_${streamId.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).orderBy(col("event_type")).localCheckpoint(true)
+    } finally stub.stop()
+  }
+
+  private val streamId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k26_http_arrow_ingest" -> (k26HttpArrowIngest _))
+    "k26_http_arrow_ingest" -> (k26HttpArrowIngest _),
+    "st22_stream_http_ingest" -> (st22StreamHttpIngest _))
 
   val oracle: Map[String, String] = Map(
     "k26_http_arrow_ingest" ->
@@ -242,6 +277,14 @@ object ArrowHttp {
         |FROM events
         |WHERE event_id >= 100 AND event_id < 50000
         |  AND event_type IN ('click', 'purchase', 'view')
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "st22_stream_http_ingest" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_id < 30000
+        |  AND event_type IN ('click', 'view')
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
 }

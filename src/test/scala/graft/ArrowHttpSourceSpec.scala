@@ -140,6 +140,95 @@ class ArrowHttpSourceSpec extends AnyFunSuite {
     assert(viaHttp.toSeq === direct.toSeq)
   }
 
+  test("st22 streaming drain runs as multiple bounded micro-batches") {
+    val stub = ArrowHttpStub.start(spark, dir)
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      val agg = spark.readStream.format("arrow-http")
+        .option("url", stub.url)
+        .option("maxBlocksPerTrigger", "100")
+        .load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName("st22_spec")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // 1000 blocks at ≤100/trigger → ≥10 committed batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 10, s"expected ≥10 micro-batches, saw $batches")
+      val total = spark.table("st22_spec").agg(sum(col("n"))).head.getLong(0)
+      assert(total === 1000L)
+    } finally stub.stop()
+  }
+
+  test("streaming offsets checkpoint: a restart resumes at next_block exactly once") {
+    val stub = ArrowHttpStub.start(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("arrowhttp-ck").toString
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      def drain(toBlock: Long): Unit = {
+        val q = spark.readStream.format("arrow-http")
+          .option("url", stub.url)
+          .option("toBlock", toBlock.toString)
+          .load()
+          .select("event_id", "event_type")
+          .writeStream.format("parquet")
+          .option("path", s"$root/data")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain(400L) // first run ingests [0, 400)
+      drain(1000L) // restart widens the window: must resume AT 400
+      val got = spark.read.parquet(s"$root/data")
+      assert(got.count() === 1000L, "resume must not skip blocks")
+      assert(got.select("event_id").distinct().count() === 1000L,
+        "resume must not replay already-committed blocks")
+    } finally stub.stop()
+  }
+
+  test("st22 gated query matches the direct-parquet aggregation") {
+    val viaStream = graft.sources.ArrowHttp
+      .st22StreamHttpIngest(spark, dir).collect()
+    val direct = graft.sources.Tables(spark, dir).events
+      .where(col("event_id") < 30000L &&
+        col("event_type").isin("click", "view"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(38,6)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+      .collect()
+    assert(viaStream.toSeq === direct.toSeq)
+    assert(viaStream.length === 2)
+  }
+
+  test("a typed EvmQuery compiles to wire-level pushdown against the portal") {
+    import graft.pipeline.IngestRequest._
+    val stub = ArrowHttpStub.start(spark, dir)
+    try {
+      val q = EvmQuery(
+        range = BlockRange(100L, Some(700L)),
+        logs = Seq(LogRequest(topic0 = Seq("click", "purchase"))),
+        fields = EvmFields(log = Seq("event_id", "event_type", "value")))
+      val df = compileEvmHttp(spark, stub.url, q)
+      val plan = df.queryExecution.executedPlan.toString
+      // the TYPED request's range/membership/selection all reached the
+      // HTTP request, not a Spark-side filter
+      assert(plan.contains("blocks=[100,700)"), plan)
+      assert(plan.contains("types=[click,purchase]"), plan)
+      assert(plan.contains("fields=[event_id,event_type,value]"), plan)
+      val direct = graft.sources.Tables(spark, dir).events
+        .where(col("event_id") >= 100L && col("event_id") < 700L &&
+          col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type", "value")
+        .collect().sortBy(_.getLong(0))
+      val got = df.collect().sortBy(_.getLong(0))
+      assert(got.length === direct.length && got.length > 0)
+      got.zip(direct).foreach { case (a, b) => assert(a === b) }
+    } finally stub.stop()
+  }
+
   test("the wire rejects unknown fields instead of serving garbage") {
     val stub = ArrowHttpStub.start(spark, dir)
     try {
