@@ -92,11 +92,18 @@ object EventStreams {
     graft.sources.Tables.enableNanosAsLong(spark)
     val schema = schemaCache.computeIfAbsent(s"$dir/events.parquet",
       p => spark.read.parquet(p).schema)
-    // file streams need a directory source; the glob filter scopes it to
-    // the events table (the driver's sf dirs hold one file per table)
-    graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    // file streams need a directory source. Driver sf dirs hold ONE FILE per
+    // table, so the stream reads the parent dir glob-scoped to the events
+    // file; rehearsal corpora shard each table as a DIRECTORY of part files
+    // (the shape a real 100 TB table has), which streams directly.
+    val tablePath = s"$dir/events.parquet"
+    val src =
+      if (new java.io.File(tablePath).isDirectory)
+        spark.readStream.schema(schema).parquet(tablePath)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.sources.Tables.normalizeEventTs(src)
   }
 
   /** Staged time-ordered chunk dirs, one per source dir per JVM — st04

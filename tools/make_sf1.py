@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Generate /tmp/sf1 rehearsal data: 10x key-offset replication of sf0.1.
+"""Generate rehearsal corpora: COPIES x key-offset replication of sf0.1.
 
 Fact tables replicate with per-copy key offsets (lineitem/orders share one
 stride so their join keys stay consistent); dimension tables copy as-is.
@@ -9,19 +9,34 @@ data used TIMESTAMP(NANOS), current data TIMESTAMP(MICROS);
 Tables.normalizeEventTs handles both, but the rehearsal data should
 exercise the same type the driver ships).
 
+FILE GEOMETRY (round 9): each fact table is written as a DIRECTORY of
+per-copy part files — `{table}.parquet/part-00000.parquet` ... — the shape
+a real 100 TB table actually has. The previous single-file layout forced a
+trade-off that broke at scale: tiny (20k-row) row groups bought scan
+parallelism at sf1 but made the ONE footer grow linearly with SF (sf100's
+lineitem: 29,300 row groups, a 27 MB footer re-parsed by every byte-range
+split — footer work quadratic in SF, measured as q01 3.4 s @ sf10 ->
+582 s @ sf100). Per-copy files bound every footer to the source-table
+group count, give file-level parallelism that GROWS with SF, and rehearse
+many-file listing (the k16/k19 path). Row groups stay 20k INSIDE each
+small file so a low maxPartitionBytes can still split within a file at
+small SF.
+
 The replicated corpus is deliberately adversarial for dedup: every doc/
-embedding exists 10x verbatim — the high-dup regime a crawl corpus shows.
+embedding exists COPIES x verbatim — the high-dup regime a crawl corpus
+shows.
 """
+import os
 import shutil
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = __import__("os").environ.get("GRAFT_SF_SRC", "/root/testdata/sf0.1")
-DST = __import__("os").environ.get("GRAFT_SF_DST", "/tmp/sf1")
-COPIES = int(__import__("os").environ.get("GRAFT_SF_COPIES", "10"))
+SRC = os.environ.get("GRAFT_SF_SRC", "/root/testdata/sf0.1")
+DST = os.environ.get("GRAFT_SF_DST", "/tmp/sf1")
+COPIES = int(os.environ.get("GRAFT_SF_COPIES", "10"))
 
-__import__("os").makedirs(DST, exist_ok=True)
+os.makedirs(DST, exist_ok=True)
 
 con = duckdb.connect()
 stride = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
@@ -29,15 +44,15 @@ dc = con.sql(f"SELECT MAX(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[
 vc = con.sql(f"SELECT MAX(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
 
 def rep(table, key, k):
-    sels = " UNION ALL ".join(
-        f"SELECT {key} + {i*k} AS {key}, * EXCLUDE ({key}) FROM '{SRC}/{table}.parquet'"
-        for i in range(COPIES))
-    # bounded row groups: a real 100 TB table is many files/row groups, so
-    # Spark's scan parallelism is a given; DuckDB's default (~122k rows per
-    # group) leaves a 500k-row rehearsal file with ~4 groups, which caps
-    # the scan at 4 partitions and serializes per-row kernels behind a few
-    # cores — unrepresentative of the scale this rehearses
-    con.sql(f"COPY ({sels}) TO '{DST}/{table}.parquet' "
+    d = f"{DST}/{table}.parquet"
+    if os.path.exists(d) and not os.path.isdir(d):
+        os.remove(d)
+    os.makedirs(d, exist_ok=True)
+    for i in range(COPIES):
+        con.sql(
+            f"COPY (SELECT {key} + {i*k} AS {key}, * EXCLUDE ({key}) "
+            f"FROM '{SRC}/{table}.parquet') "
+            f"TO '{d}/part-{i:05d}.parquet' "
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 20000)")
 
 rep("lineitem", "l_orderkey", stride)
@@ -58,17 +73,20 @@ span_us = con.sql(
     f"SELECT CAST(date_diff('microseconds', MIN(ts), MAX(ts)) + 3600000000"
     f" AS BIGINT) FROM '{SRC}/events.parquet'").fetchone()[0]
 ts_idx = src.schema.get_field_index("ts")
-parts = []
+ev_dir = f"{DST}/events.parquet"
+if os.path.exists(ev_dir) and not os.path.isdir(ev_dir):
+    os.remove(ev_dir)
+os.makedirs(ev_dir, exist_ok=True)
 for i in range(COPIES):
     t = src.set_column(src.schema.get_field_index("event_id"), "event_id",
                        pa.compute.add(src.column("event_id"), i * ev))
     shifted = pa.compute.add(
         t.column("ts").cast(pa.int64()),
         i * span_us).cast(pa.timestamp("us"))
-    parts.append(t.set_column(ts_idx, "ts", shifted))
-pq.write_table(pa.concat_tables(parts), f"{DST}/events.parquet",
-               row_group_size=100000)
+    pq.write_table(t.set_column(ts_idx, "ts", shifted),
+                   f"{ev_dir}/part-{i:05d}.parquet",
+                   row_group_size=100000)
 
 for t in ["customer", "supplier", "part", "nation", "region"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
-print("sf1 written to", DST)
+print(f"{COPIES}x corpus written to", DST)
