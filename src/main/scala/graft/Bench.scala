@@ -34,11 +34,13 @@ object Bench {
       // sweep vs 12 s isolated). The default periodic-GC interval is
       // 30 min — longer than the suite; force a reap every 2 min.
       .config("spark.cleaner.periodicGC.interval", "2min")
-      // split small files finer than the 128 MB default: the rehearsal
-      // corpora are single parquet files (documents at sf10 is 60 MB),
-      // and one scan partition serializes every per-doc kernel behind
-      // one core. 8 MB splits give the 32 cores work at every SF; at
-      // real scale a table is many files and this knob is moot.
+      // split small files finer than the 128 MB default: the DRIVER sf
+      // dirs hold one small file per table (documents at sf0.1 is
+      // ~600 KB), and one scan partition serializes every per-doc kernel
+      // behind one core. 8 MB splits give the 32 cores work at every SF;
+      // rehearsal corpora shard each table as a directory of per-copy
+      // files, so file-level parallelism grows with SF and this knob
+      // only sub-splits within parts.
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
