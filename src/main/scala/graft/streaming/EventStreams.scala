@@ -90,20 +90,25 @@ object EventStreams {
     * nanos→µs normalization. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.sources.Tables.enableNanosAsLong(spark)
-    val schema = schemaCache.computeIfAbsent(s"$dir/events.parquet",
+    graft.sources.Tables.normalizeEventTs(tableStream(spark, dir, "events"))
+  }
+
+  /** A driver sf table as a file-stream source. File streams need a
+    * DIRECTORY: driver sf dirs hold ONE FILE per table, so the stream
+    * reads the parent dir glob-scoped to that file; rehearsal corpora
+    * shard each table as a directory of part files (the shape a real
+    * 100 TB table has), which streams directly — a glob for the table
+    * name there would match nothing and silently stream zero rows. */
+  private def tableStream(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val tablePath = s"$dir/$table.parquet"
+    val schema = schemaCache.computeIfAbsent(tablePath,
       p => spark.read.parquet(p).schema)
-    // file streams need a directory source. Driver sf dirs hold ONE FILE per
-    // table, so the stream reads the parent dir glob-scoped to the events
-    // file; rehearsal corpora shard each table as a DIRECTORY of part files
-    // (the shape a real 100 TB table has), which streams directly.
-    val tablePath = s"$dir/events.parquet"
-    val src =
-      if (new java.io.File(tablePath).isDirectory)
-        spark.readStream.schema(schema).parquet(tablePath)
-      else
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-    graft.sources.Tables.normalizeEventTs(src)
+    if (new java.io.File(tablePath).isDirectory)
+      spark.readStream.schema(schema).parquet(tablePath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
   /** Staged time-ordered chunk dirs, one per source dir per JVM — st04
@@ -666,10 +671,7 @@ object EventStreams {
     */
   def st11StreamSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
-    val schema = schemaCache.computeIfAbsent(s"$dir/documents.parquet",
-      p => spark.read.parquet(p).schema)
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = tableStream(spark, dir, "documents")
     val sampled = docs
       .select(col("doc_id"), col("lang"),
         TextAnalysis.sampleBucket.as("bucket"))
@@ -703,10 +705,7 @@ object EventStreams {
     val evalGrams = Pipelines
       .evalGramsOf(staticDocs, collapse)
       .localCheckpoint(true) // computed ONCE, reused every micro-batch
-    val schema = schemaCache.computeIfAbsent(s"$dir/documents.parquet",
-      p => spark.read.parquet(p).schema)
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = tableStream(spark, dir, "documents")
     val q = docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         Pipelines.curateBatch(batch, evalGrams, collapse)
