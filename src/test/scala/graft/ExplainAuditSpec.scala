@@ -64,6 +64,19 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("RangeFrame"), p)
   }
 
+  test("q10/q11 outputs are part-sorted — no range exchange on fact-scale output") {
+    // a trailing global orderBy would add a rangepartitioning exchange
+    // whose sampling pass re-executes the whole window lineage (measured
+    // 3.2-3.5x the query at the 1000x corpus); the gate comparator is
+    // row-order-insensitive, so the part-sort is the contract
+    Seq(Relational.q10AdjacencyJoin(spark, sfDir),
+      Relational.q11RangeWindow(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("rangepartitioning"),
+        s"fact-scale output re-shuffled by a global sort:\n$p")
+    }
+  }
+
   test("s01 ANN: bounded query side broadcasts; corpus never shuffles") {
     val p = plan(Similarity.s01AnnBruteforce(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") ||
