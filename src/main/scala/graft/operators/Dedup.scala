@@ -258,7 +258,15 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         array_distinct(Shingles.strings(col("ws"), 3)).as("sh"))
-    docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // broadcast the bounded side EXPLICITLY: the theta join has no equi
+    // keys, and Spark's file-size-based estimate for the filtered scan
+    // (no column stats) exceeds the auto-broadcast threshold once the
+    // corpus shards into many files — the fallback is CartesianProduct,
+    // whose task count is leftPartitions x rightPartitions (measured
+    // 117k tasks / 342 s at the 1000x corpus for a 200-doc bound; 2.7 s
+    // broadcast). The bound (<200 docs) makes the broadcast O(1).
+    docs.as("a").join(broadcast(docs.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
           size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
@@ -280,7 +288,9 @@ object Dedup {
     val e = Tables(spark, dir).embeddings
       .filter(col("vec_id") < 2000)
       .select(col("vec_id"), col("embedding"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // broadcast the bounded side — same CartesianProduct trap as d04:
+    // a theta join over a many-file scan estimate goes n^2 in PARTITIONS
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
         graft.functions.cosine_similarity(col("a.embedding"), col("b.embedding"))
           .as("cos"))
