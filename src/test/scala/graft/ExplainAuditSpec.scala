@@ -84,6 +84,20 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("d04/d05 bounded baselines: the theta join broadcasts, never cartesian") {
+    // no equi keys + a many-file scan estimate (no column stats) would
+    // otherwise fall back to CartesianProduct, whose task count is
+    // leftPartitions x rightPartitions — measured 117k tasks at the
+    // 1000x corpus for d04's 200-doc bound. The explicit hint pins the
+    // broadcast at every SF, not just where the estimate happens to fit.
+    Seq(Dedup.d04NgramJaccard(spark, sfDir),
+      Dedup.d05DedupEmbedding(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("d02 LSH: candidate generation is an equi-join on (band, bucket)") {
     val p = plan(Dedup.d02DedupMinhash(spark, sfDir))
     // the join must key on band+bucket (hash-partitionable, linear
