@@ -140,6 +140,12 @@ object Bench {
       // queries by design.
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // scratch sinks (streaming outputs, k-family tables) are consumed
+      // by the noop write above; dropping them now keeps suite disk flat
+      // — the sf100 ladder otherwise accumulates fact-scale sinks per
+      // query per rep and exhausts the volume mid-suite (round 9's
+      // 38-failure run). The shared chunk staging is pinned and survives.
+      graft.Scratch.reap()
       // stderr progress line: long full-suite runs (sf1/sf10 rehearsals)
       // are otherwise silent until the final headline JSON
       System.err.println(f"[bench] $name%-28s median $median%7.2f s  min $min%7.2f s")
@@ -218,6 +224,7 @@ object Bench {
       "q01_agg_filter", "q05_multi_join_agg", "q10_adjacency_join",
       "q11_range_window", "q23_asof_native", "q28_window_analytics",
       "d01_dedup_exact", "d02_dedup_minhash", "d06_dedup_embedding_lsh",
+      "d14_dedup_assign",
       "s01_ann_bruteforce", "s05_ann_pq", "t03_token_count",
       "t10_contamination", "p01_swaps_pipeline", "p03_erc20_pipeline",
       "p11_curation_pipeline", "st01_stream_window", "st04_stream_join",

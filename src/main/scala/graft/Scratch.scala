@@ -25,4 +25,27 @@ object Scratch {
   /** Fresh subdirectory under the per-JVM root; auto-removed at exit. */
   def dir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
+
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Like [[dir]], but survives [[reap]] — for staging a path cache
+    * hands out across queries (the streaming chunk staging). */
+  def pinnedDir(prefix: String): String = {
+    val d = dir(prefix)
+    pinned.add(d): Unit
+    d
+  }
+
+  /** Delete every UNPINNED scratch subdir. A full bench suite otherwise
+    * accumulates one fact-scale sink per streaming query per rep until
+    * JVM exit — at the sf100 rehearsal that exhausted the disk mid-suite
+    * (round 9's 38-failure ladder). Bench calls this after each query's
+    * output is consumed; query entries are self-contained (the driver
+    * runs each independently), so nothing reads another query's scratch. */
+  def reap(): Unit = {
+    val children = root.toFile.listFiles()
+    if (children != null)
+      children.filterNot(f => pinned.contains(f.getPath)).foreach(delete)
+  }
 }

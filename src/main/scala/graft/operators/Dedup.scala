@@ -101,26 +101,21 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  /** The EXACT-DUP PRE-COLLAPSE path — right on high-dup corpora:
-    * identical texts share shingle sets, minhash signatures and buckets,
-    * so shingling, banding AND the exact-jaccard verify run once per
-    * DISTINCT text; member pairs expand afterwards with equi-joins.
-    * Identical-text pairs are jaccard 1.0 by definition — no verify
-    * needed. */
-  private[graft] def d02Collapsed(spark: SparkSession, dir: String): DataFrame = {
-    val members = Tables(spark, dir).documents
-      .select(col("doc_id"), md5(col("text")).as("th"))
-      .localCheckpoint(true)
+  /** DISTINCT-TEXT near-dup pairs — the shared heavy stage of
+    * [[d02Collapsed]] and [[d14DedupAssign]]: signature, banding,
+    * candidate join and exact-jaccard verify all run once per distinct
+    * text hash. Emits (ta, tb, jaccard) with ta < tb in md5 order and
+    * jaccard ≥ 0.6. Candidate generation shuffles ONLY
+    * (th, band, bucket) — the shingle arrays (≈ the corpus itself)
+    * never enter the band join; they're fetched per *surviving
+    * distinct-text pair* afterwards. At 100 TB that's the difference
+    * between shuffling 100 TB twice and shuffling a few TB of keys. */
+  private[graft] def d02RepPairs(spark: SparkSession, dir: String): DataFrame = {
     val reps = portableSig(
       Tables(spark, dir).documents
         .select(md5(col("text")).as("th"), col("text"))
         .dropDuplicates("th"),
       col("th")).withColumnRenamed("_id", "th")
-    // candidate generation shuffles ONLY (th, band, bucket). The shingle
-    // arrays (≈ the corpus itself) never enter the band join; they're
-    // fetched per *surviving distinct-text pair* afterwards. At 100 TB
-    // that's the difference between shuffling 100 TB twice and
-    // shuffling a few TB of keys.
     val bands = reps.select(col("th"),
       posexplode(Lsh.minhashBuckets(col("mh")))
         .as(Seq("band", "bucket")))
@@ -132,7 +127,7 @@ object Dedup {
       .select(col("a.th").as("ta"), col("b.th").as("tb"))
       .dropDuplicates("ta", "tb")
     val shingles = reps.select(col("th"), col("sh"))
-    val repPairs = thPairs
+    thPairs
       .join(shingles.select(col("th").as("ta"), col("sh").as("sha")), Seq("ta"))
       .join(shingles.select(col("th").as("tb"), col("sh").as("shb")), Seq("tb"))
       .select(col("ta"), col("tb"),
@@ -140,7 +135,19 @@ object Dedup {
           .cast("double") /
           size(array_union(col("sha"), col("shb")))).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-    val cross = repPairs
+  }
+
+  /** The EXACT-DUP PRE-COLLAPSE path — right on high-dup corpora:
+    * identical texts share shingle sets, minhash signatures and buckets,
+    * so shingling, banding AND the exact-jaccard verify run once per
+    * DISTINCT text; member pairs expand afterwards with equi-joins.
+    * Identical-text pairs are jaccard 1.0 by definition — no verify
+    * needed. */
+  private[graft] def d02Collapsed(spark: SparkSession, dir: String): DataFrame = {
+    val members = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .localCheckpoint(true)
+    val cross = d02RepPairs(spark, dir)
       .join(members.select(col("th").as("ta"), col("doc_id").as("ia")), Seq("ta"))
       .join(members.select(col("th").as("tb"), col("doc_id").as("ib")), Seq("tb"))
       .select(least(col("ia"), col("ib")).as("a"),
@@ -371,12 +378,15 @@ object Dedup {
     * the embedding payload): verbatim vector copies share buckets and a
     * cosine of exactly cos(rep, rep), so banding and verification run
     * once per DISTINCT embedding; member pairs expand back afterwards. */
-  private[graft] def d06Collapsed(spark: SparkSession, dir: String,
+  /** DISTINCT-EMBEDDING near-dup pairs — the shared heavy stage of
+    * [[d06Collapsed]] and [[d15EmbeddingAssign]]: sign-projection
+    * signatures, corpus-scaled banding, candidate join and exact-cosine
+    * verify all run once per distinct embedding payload hash. Emits
+    * (ha, hb, cos) with ha < hb in md5 order and cos ≥ 0.45. */
+  private[graft] def d06RepPairs(spark: SparkSession, dir: String,
       g: Lsh.BandGeometry): DataFrame = {
     import graft.functions.lsh_sign_bits
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
-    val members = e.select(col("vec_id"), ehOf.as("eh"))
-      .localCheckpoint(true)
     val reps = e.select(ehOf.as("eh"), col("embedding"))
       .dropDuplicates("eh")
     val bands = reps
@@ -390,7 +400,7 @@ object Dedup {
           col("a.eh") < col("b.eh"))
       .select(col("a.eh").as("ha"), col("b.eh").as("hb"))
       .dropDuplicates("ha", "hb")
-    val repPairs = cand
+    cand
       .join(reps.select(col("eh").as("ha"), col("embedding").as("ea")),
         Seq("ha"))
       .join(reps.select(col("eh").as("hb"), col("embedding").as("eb")),
@@ -398,7 +408,16 @@ object Dedup {
       .select(col("ha"), col("hb"),
         graft.functions.cosine_similarity(col("ea"), col("eb")).as("cos"))
       .filter(col("cos") >= 0.45)
-    val cross = repPairs
+  }
+
+  private[graft] def d06Collapsed(spark: SparkSession, dir: String,
+      g: Lsh.BandGeometry): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val members = e.select(col("vec_id"), ehOf.as("eh"))
+      .localCheckpoint(true)
+    val reps = e.select(ehOf.as("eh"), col("embedding"))
+      .dropDuplicates("eh")
+    val cross = d06RepPairs(spark, dir, g)
       .join(members.select(col("eh").as("ha"), col("vec_id").as("ia")),
         Seq("ha"))
       .join(members.select(col("eh").as("hb"), col("vec_id").as("ib")),
@@ -407,9 +426,9 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("b"), col("cos"))
     // within-group pairs carry the rep's self-cosine AND pass the same
     // τ filter the pairwise kernel applies — a degenerate (all-zero)
-    // embedding whose self-cosine is NaN must be dropped here exactly
-    // as the direct path drops its verbatim pair (one row per rep, so
-    // the filter is free)
+    // embedding's self-cosine is 0.0 under the kernel's zero-norm guard
+    // and must be dropped here exactly as the direct path drops its
+    // verbatim pair (one row per rep, so the filter is free)
     val selfCos = reps.select(col("eh"),
       graft.functions.cosine_similarity(col("embedding"), col("embedding"))
         .as("cos"))
@@ -1025,6 +1044,97 @@ object Dedup {
     (name, nTruth, nFound, tp, precision, recall)
   }
 
+  /** d14 — dedup APPLY (minhash keep-first canonical assignment): the
+    * output shape a 100 TB dedup job actually ships. d02 emits the
+    * near-dup PAIRS — an audit artifact whose row count grows
+    * quadratically with dup-group size (on a crawl corpus where one
+    * page exists 1000×, a 1000-member group is 499 500 pairs) — while
+    * the production job assigns every document a CANONICAL id and emits
+    * ONE row per document, linear in the corpus at any dup density.
+    *
+    * Keep-first contract (d09's rule, at the d02 minhash geometry):
+    * doc d is a duplicate iff some near-dup partner — identical text,
+    * or exact jaccard ≥ 0.6 among d02's band-collision candidates —
+    * has a smaller doc_id; canonical(d) = min({d} ∪ partners(d)).
+    * Non-transitive by design (a~b~c with a≁c keeps both a and c);
+    * d08 is the transitive-closure variant when that's wanted.
+    *
+    * Because near-dup-ness depends only on the TEXT, partners(d) =
+    * (d's identical-text group minus d) ∪ (every member of each
+    * neighboring distinct-text group), so canonical is a GROUP-level
+    * value: min(group min, min over neighbor groups' mins). Everything
+    * heavy — signatures, banding, candidate join, jaccard verify —
+    * runs once per distinct text ([[d02RepPairs]]); canonicals then
+    * assign with two group-level aggregations and one per-doc
+    * equi-join. No doc-level pair ever materializes: at sf100 the
+    * replicated rehearsal corpus makes d02 emit ~2.5×10⁹ pairs while
+    * d14 emits one row per document. */
+  def d14DedupAssign(spark: SparkSession, dir: String): DataFrame = {
+    val members = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("th"))
+      .localCheckpoint(true)
+    val gstat = members.groupBy(col("th")).agg(min(col("doc_id")).as("gmin"))
+    val rp = d02RepPairs(spark, dir).select(col("ta"), col("tb"))
+    // min neighbor-group doc_id per group, folding both pair directions
+    val nbr = rp
+      .join(gstat.select(col("th").as("tb"), col("gmin").as("nm")), Seq("tb"))
+      .select(col("ta").as("th"), col("nm"))
+      .unionByName(rp
+        .join(gstat.select(col("th").as("ta"), col("gmin").as("nm")), Seq("ta"))
+        .select(col("tb").as("th"), col("nm")))
+      .groupBy(col("th")).agg(min(col("nm")).as("nmin"))
+    val canon = gstat.join(nbr, Seq("th"), "left")
+      .select(col("th"),
+        least(col("gmin"), coalesce(col("nmin"), col("gmin"))).as("canon"))
+    members.join(canon, Seq("th"))
+      .select(col("doc_id"), col("canon").as("canonical_id"),
+        (col("canon") < col("doc_id")).as("is_dup"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  /** d15 — embedding dedup APPLY: d14's keep-first canonical assignment
+    * at d06's sign-projection/cosine geometry (τ = 0.45, corpus-scaled
+    * bands). Same linear-output contract — one row per vector — with
+    * one extra guard: a degenerate all-zero embedding has self-cosine
+    * 0.0 under the kernel's zero-norm guard, so verbatim zero-vector
+    * copies are NOT near-dups of each other (exactly as d06 drops their
+    * within-group pairs) and every zero vector is its own canonical.
+    * Cross-group links to a zero vector can't exist either (cos(0,·)=0
+    * fails τ), so the group-level formula applies only where the rep's
+    * self-cosine passes τ. */
+  def d15EmbeddingAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    // same exact-row-count geometry contract as d06 (COUNT(*)-replayable
+    // in the oracle; n ≥ distinct ⇒ never narrower buckets)
+    val g = Lsh.scaled(e.count())
+    val members = e.select(col("vec_id"), ehOf.as("eh"))
+      .localCheckpoint(true)
+    val gstat = members.groupBy(col("eh")).agg(min(col("vec_id")).as("gmin"))
+    val selfOk = e.select(ehOf.as("eh"), col("embedding"))
+      .dropDuplicates("eh")
+      .select(col("eh"),
+        (graft.functions.cosine_similarity(col("embedding"), col("embedding"))
+          >= 0.45).as("ok"))
+    val rp = d06RepPairs(spark, dir, g).select(col("ha"), col("hb"))
+    val nbr = rp
+      .join(gstat.select(col("eh").as("hb"), col("gmin").as("nm")), Seq("hb"))
+      .select(col("ha").as("eh"), col("nm"))
+      .unionByName(rp
+        .join(gstat.select(col("eh").as("ha"), col("gmin").as("nm")), Seq("ha"))
+        .select(col("hb").as("eh"), col("nm")))
+      .groupBy(col("eh")).agg(min(col("nm")).as("nmin"))
+    val canon = gstat.join(nbr, Seq("eh"), "left").join(selfOk, Seq("eh"))
+      .select(col("eh"), col("ok"),
+        least(col("gmin"), coalesce(col("nmin"), col("gmin"))).as("gc"))
+    members.join(canon, Seq("eh"))
+      .select(col("vec_id"),
+        when(col("ok"), col("gc")).otherwise(col("vec_id"))
+          .as("canonical_id"))
+      .select(col("vec_id"), col("canonical_id"),
+        (col("canonical_id") < col("vec_id")).as("is_dup"))
+      .sortWithinPartitions(col("vec_id"))
+  }
+
   /** Shared oracle CTE chain re-deriving [[portableSig]] in SQL over a
     * `sigsrc(id, text)` CTE the caller prepends: shingles (whole-text
     * fallback), one md5 per shingle, 28-bit chunk split, the 16-member
@@ -1149,6 +1259,80 @@ object Dedup {
         |    / len(list_distinct(list_concat(x.h1, y.h1))) >= 0.6
         |ORDER BY a, b""".stripMargin
 
+  /** d14's generated oracle: d02's full pair derivation (signatures,
+    * banding, candidates, exact-jaccard verify) at DOC level — identical
+    * texts have identical signatures, so doc-level pairs are exactly the
+    * rep-level pairs expanded, and keep-first reduces to one LEFT JOIN +
+    * MIN over the symmetric pair relation. */
+  private def d14OracleSql: String =
+    "WITH sigsrc AS (SELECT doc_id AS id, text FROM documents),\n" +
+      sigCtes +
+      """,
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a, b.id AS b
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bucket = b.bucket AND a.id < b.id),
+        |pairs AS (
+        |  SELECT c.a, c.b
+        |  FROM cand c JOIN mh x ON x.id = c.a JOIN mh y ON y.id = c.b
+        |  WHERE CAST(len(list_intersect(list_distinct(x.h1),
+        |          list_distinct(y.h1))) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.h1, y.h1))) >= 0.6),
+        |mp AS (
+        |  SELECT x, MIN(y) AS mn FROM (
+        |    SELECT a AS x, b AS y FROM pairs
+        |    UNION ALL SELECT b AS x, a AS y FROM pairs)
+        |  GROUP BY x)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, COALESCE(mp.mn, d.doc_id)) AS canonical_id,
+        |  least(d.doc_id, COALESCE(mp.mn, d.doc_id)) < d.doc_id AS is_dup
+        |FROM documents d LEFT JOIN mp ON mp.x = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+
+  /** d15's generated oracle: d06's full pair derivation (shared
+    * hyperplane/geometry replay, kernel-mirrored cosine at τ = 0.45) at
+    * VECTOR level + the same keep-first MIN fold as d14. The zero-norm
+    * guard in the cosine CASE makes zero vectors pairless, so they fall
+    * out as their own canonicals exactly as the engine's selfOk guard
+    * decides. */
+  private def d15OracleSql: String =
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |             FROM embeddings),
+       |${Lsh.scaledGeoCteSql("raw")},
+       |sigs AS (SELECT vec_id, emb, [${Lsh.signAccTermsSql()}] AS accs
+       |         FROM raw),
+       |bnd AS (
+       |  SELECT s.vec_id, t.b AS band,
+       |    (SELECT SUM(CASE WHEN s.accs[t.b * g.bits + i.i + 1] > 0
+       |                     THEN 1 << i.i ELSE 0 END)
+       |     FROM range(16) i(i), geo g WHERE i.i < g.bits) AS bucket
+       |  FROM sigs s, range(8) t(b), geo g WHERE t.b < g.bands),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS a, q.vec_id AS b
+       |  FROM bnd p JOIN bnd q
+       |    ON p.band = q.band AND p.bucket = q.bucket
+       |   AND p.vec_id < q.vec_id),
+       |pairs AS (
+       |  SELECT cand.a, cand.b
+       |  FROM cand JOIN raw x ON x.vec_id = cand.a
+       |            JOIN raw y ON y.vec_id = cand.b
+       |  WHERE CASE WHEN list_inner_product(x.emb, x.emb) = 0
+       |               OR list_inner_product(y.emb, y.emb) = 0 THEN 0.0
+       |             ELSE list_inner_product(x.emb, y.emb)
+       |               / sqrt(list_inner_product(x.emb, x.emb)
+       |                      * list_inner_product(y.emb, y.emb))
+       |        END >= 0.45),
+       |mp AS (
+       |  SELECT x, MIN(y) AS mn FROM (
+       |    SELECT a AS x, b AS y FROM pairs
+       |    UNION ALL SELECT b AS x, a AS y FROM pairs)
+       |  GROUP BY x)
+       |SELECT r.vec_id,
+       |  least(r.vec_id, COALESCE(mp.mn, r.vec_id)) AS canonical_id,
+       |  least(r.vec_id, COALESCE(mp.mn, r.vec_id)) < r.vec_id AS is_dup
+       |FROM raw r LEFT JOIN mp ON mp.x = r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
+
   private def d12OracleSql: String =
     "WITH sigsrc AS (SELECT doc_id AS id, text FROM documents),\n" +
       sigCtes +
@@ -1183,6 +1367,12 @@ object Dedup {
     // band collisions, verified by the 16-component signature estimate
     // (k/16 — exact doubles)
     "d12_incremental_lsh_index" -> d12OracleSql,
+    // d14/d15: keep-first canonical assignment — the pair derivations
+    // replay at doc/vector level (identical payloads ⇒ identical
+    // signatures ⇒ rep-level pairs expand exactly), then one MIN fold
+    // over the symmetric relation assigns canonicals
+    "d14_dedup_assign" -> d14OracleSql,
+    "d15_embedding_assign" -> d15OracleSql,
     // d03: d13's simhash replay at full corpus — portable 60-bit token
     // hashes, per-bit majority, 4×15-bit pigeonhole bands, hamming ≤ 3
     "d03_dedup_simhash" ->
@@ -1443,6 +1633,8 @@ object Dedup {
     "d10_substring_dedup" -> (d10SubstringDedup _),
     "d11_bloom_dedup" -> (d11BloomDedup _),
     "d12_incremental_lsh_index" -> (d12IncrementalLshIndex _),
-    "d13_dedup_eval" -> (d13DedupEval _)
+    "d13_dedup_eval" -> (d13DedupEval _),
+    "d14_dedup_assign" -> (d14DedupAssign _),
+    "d15_embedding_assign" -> (d15EmbeddingAssign _)
   )
 }

@@ -139,7 +139,7 @@ object EventStreams {
       // bucketed equi-key the probe cost is bucket-local, so chunks are
       // sized for state MEMORY (~2M rows/side), not probe fan-out
       val n = math.max(2L, math.min(64L, ev.count() / 2000000L + 1L)).toInt
-      val out = graft.Scratch.dir("stchunks_") + "/events"
+      val out = graft.Scratch.pinnedDir("stchunks_") + "/events"
       ev.repartitionByRange(n, col("ts")).write.parquet(out)
       val parts = new java.io.File(out).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -168,7 +168,7 @@ object EventStreams {
     eventsStreamChunked(spark, dir) // ensure the shared staging exists
     val base = chunkedCache.get(dir)
     val staged = chunkedCache.computeIfAbsent(dir + "#flushed", { _ =>
-      val out = graft.Scratch.dir("stflush_") + "/events"
+      val out = graft.Scratch.pinnedDir("stflush_") + "/events"
       new java.io.File(out).mkdirs()
       val parts = new java.io.File(base).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -987,7 +987,7 @@ object EventStreams {
     // JVM and reused across invocations (bench reps re-measure the
     // STREAM, not the fixture write).
     val src = chunkedCache.computeIfAbsent(dir + "#st18", { _ =>
-      val out = graft.Scratch.dir("st18_") + "/src"
+      val out = graft.Scratch.pinnedDir("st18_") + "/src"
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def stage(df: DataFrame, stamp: Long): Unit = {

@@ -492,4 +492,55 @@ class LlmOpsSpec extends AnyFunSuite {
         s"fold diverged from reference for merge ($a,$b)")
     }
   }
+
+  /** Keep-first canonical expected from a PAIR relation: canonical(x) =
+    * min({x} ∪ partners(x)) over the symmetric closure of the pairs. */
+  private def keepFirst(ids: Seq[Long], pairs: Set[(Long, Long)])
+      : Map[Long, Long] = {
+    val sym = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    ids.map(id => id -> math.min(id, sym.getOrElse(id, id))).toMap
+  }
+
+  test("d14 assigns keep-first canonicals on planted dups") {
+    val dir = docsDir(Seq(
+      0L -> baseText, 1L -> baseText, 2L -> nearDup, 3L -> unrelated,
+      5L -> baseText))
+    val out = Dedup.d14DedupAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 5, "one row per document — the linear contract")
+    val canon = out.map(r => r._1 -> r._2).toMap
+    assert(canon === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 5L -> 0L))
+    assert(out.forall { case (id, c, dup) => dup === (c < id) })
+  }
+
+  test("d14 canonicals equal keep-first over d02's own pair set") {
+    // d14 never materializes doc-level pairs; this re-derives its whole
+    // output from d02's pair relation (same geometry, same tau) — the
+    // two operators must agree document by document
+    val pairs = Dedup.d02DedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val want = keepFirst(ids, pairs)
+    val got = Dedup.d14DedupAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === ids.size, "one row per document")
+    assert(got === want)
+  }
+
+  test("d15 canonicals equal keep-first over d06's own pair set") {
+    // d06's pair output already encodes the zero-vector guard (no
+    // within-group pair for a zero-norm rep), so keep-first over it is
+    // the full expected assignment including the selfOk branch
+    val pairs = graft.operators.Dedup.d06DedupEmbeddingLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val want = keepFirst(ids, pairs)
+    val got = Dedup.d15EmbeddingAssign(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === ids.size, "one row per vector")
+    assert(got === want)
+  }
 }
