@@ -295,7 +295,7 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(sink).orderBy(col("event_id"))
+    spark.read.parquet(sink).sortWithinPartitions(col("event_id"))
   }
 
   def st02StreamState(spark: SparkSession, dir: String): DataFrame =
@@ -436,7 +436,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally ord.unpersist()
-    sink.read(spark).orderBy(col("user_id"), col("event_id"))
+    sink.read(spark).sortWithinPartitions(col("user_id"), col("event_id"))
   }
 
   /** Oracles are plain batch SQL over the same table — valid because the
@@ -562,7 +562,7 @@ object EventStreams {
     sink.read(spark)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("boosted"))
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
   }
 
   /** st07 — the EVM decode pipeline under streaming: synthesized Transfer
@@ -595,7 +595,7 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(sink).orderBy(col("event_id"))
+    spark.read.parquet(sink).sortWithinPartitions(col("event_id"))
   }
 
   /** st08 — watermarked streaming deduplication: every event arrives
@@ -624,7 +624,7 @@ object EventStreams {
     spark.read.parquet(sink)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
   }
 
   /** st09 — built-in session windows: gap-based sessionization through
@@ -676,7 +676,7 @@ object EventStreams {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.sampleBucket.as("bucket"))
       .filter(col("bucket") <= TextAnalysis.sampleThreshold)
-    runToTable(sampled, "append").orderBy(col("doc_id"))
+    runToTable(sampled, "append").sortWithinPartitions(col("doc_id"))
   }
 
   /** st12 — the curation pipeline under streaming: each micro-batch of
@@ -716,7 +716,7 @@ object EventStreams {
     q.awaitTermination()
     spark.read.parquet(sink)
       .select(col("doc_id"), col("lang"), col("bucket"), col("quality"))
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Idempotent per-batch committer — the standard Structured-Streaming
@@ -771,7 +771,7 @@ object EventStreams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    sink.read(spark).orderBy(col("event_id"))
+    sink.read(spark).sortWithinPartitions(col("event_id"))
   }
 
   /** st14 — the reference's FULL production topology composed end to end
@@ -812,7 +812,7 @@ object EventStreams {
     graft.sinks.Writers.publishVersion(spark, s"$root/table", 1,
       staging.read(spark))
     graft.sinks.Writers.readCurrent(spark, s"$root/table")
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
   }
 
   /** st21 — the typed provider request driving a stream: an
@@ -834,7 +834,7 @@ object EventStreams {
       fields = EvmFields(
         log = Seq("event_id", "user_id", "event_type", "value")))
     runToTable(applyLogRequest(eventsStream(spark, dir), req), "append")
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
   }
 
   /** st15 — stream-static enrichment join: each arriving event joins a
@@ -901,7 +901,7 @@ object EventStreams {
     }
     runOnce() // initial run drains the source
     runOnce() // restart: recovered offsets ⇒ appends nothing
-    spark.read.parquet(sink).orderBy(col("event_id"))
+    spark.read.parquet(sink).sortWithinPartitions(col("event_id"))
   }
 
   /** st17 — streaming CDC apply: the change feed (update rows for every
@@ -947,7 +947,7 @@ object EventStreams {
     graft.sinks.Writers
       .mergeOnReadView(spark, base, deltaLog.read(spark),
         Seq("event_id"), "version")
-      .orderBy(col("event_id"))
+      .sortWithinPartitions(col("event_id"))
   }
 
   /** st18 — the WATERMARK contract under genuinely LATE data, append
