@@ -83,12 +83,12 @@ object TextAnalysis {
       // query on t08's regex body. The correctness comparator sorts rows
       // itself; what ships at 100 TB is the part-sorted table.
       mem.join(classOut, Seq("gid"))
-        .select((col("doc_id") +: outCols): _*)
+        .select((col("doc_id") +: outCols).toIndexedSeq: _*)
         .sortWithinPartitions(col("doc_id"))
     } else {
       val out = body(withFlags.withColumn("gid", col("doc_id")))
       val outCols = out.columns.filter(_ != "gid").map(col)
-      out.select((col("gid").as("doc_id") +: outCols): _*)
+      out.select((col("gid").as("doc_id") +: outCols).toIndexedSeq: _*)
         .sortWithinPartitions(col("doc_id"))
     }
   }

@@ -34,7 +34,7 @@ object Incremental {
   def nextStart(spark: SparkSession, sinkPath: String, keyCol: String,
       from: Long = 0L): Long =
     try {
-      val r = spark.read.parquet(sinkPath).agg(max(col(keyCol))).head
+      val r = spark.read.parquet(sinkPath).agg(max(col(keyCol))).head()
       if (r.isNullAt(0)) from else r.getLong(0) + 1L
     } catch {
       // ONLY a missing sink means "first run" — swallowing other errors
@@ -50,7 +50,7 @@ object Incremental {
   def minKey(spark: SparkSession, sinkPath: String,
       keyCol: String): Option[Long] =
     try {
-      val r = spark.read.parquet(sinkPath).agg(min(col(keyCol))).head
+      val r = spark.read.parquet(sinkPath).agg(min(col(keyCol))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     } catch {
       case e: org.apache.spark.sql.AnalysisException

@@ -161,7 +161,7 @@ object Writers {
     val existing = spark.read.parquet(table)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
-    val merged = existing.unionByName(updates.select(existing.columns.map(col): _*))
+    val merged = existing.unionByName(updates.select(existing.columns.toIndexedSeq.map(col): _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     // write-then-swap: never rewrite in place over open input files.
@@ -712,7 +712,7 @@ object Writers {
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
   def k04BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(spark) + "|" + dir
+    val key = s"${System.identityHashCode(spark)}|$dir"
     // the whole check-and-rebuild is one critical section: two concurrent
     // callers must not interleave dropManaged/saveAsTable against the same
     // table names (the check-then-act alone would let both pass the test)
@@ -821,7 +821,7 @@ object Writers {
       .withColumn("__deleted", lit(false))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc)
-    b.unionByName(deltaRows.select(b.columns.map(col): _*))
+    b.unionByName(deltaRows.select(b.columns.toIndexedSeq.map(col): _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__deleted"))
       .drop("__rn", "__deleted")
