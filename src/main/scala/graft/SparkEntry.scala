@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.DomainFunctions.queries ++
       operators.TextAnalysis.queries ++
+      operators.Corpus.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       operators.Skew.oracle ++
       operators.DomainFunctions.oracle ++
       operators.TextAnalysis.oracle ++
+      operators.Corpus.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++

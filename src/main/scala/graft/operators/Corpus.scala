@@ -1,0 +1,384 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus assembly — the step between a curated document set and an
+  * actual training run: packing documents into fixed-token-budget
+  * training sequences, chunking for retrieval, and cutting a token
+  * budget per domain. These are brief-mandated LLM-pipeline operators
+  * (not reference twins); they share t14's whitespace token kernel so
+  * the mixture/packing tiers can't drift from each other.
+  *
+  * Scale shape, once for the family: every operator keys its expensive
+  * step by a corpus-proportional bucket (`doc_id % B`, B = ceil(n/1024))
+  * so per-task state is bounded by ~1024 docs at ANY corpus size — a
+  * 100 TB corpus just has more buckets, never bigger ones. Packing is
+  * embarrassingly parallel across buckets by construction (each bucket
+  * is its own tape), which is exactly how a multi-node packing job is
+  * sharded in practice.
+  */
+object Corpus {
+
+  /** Tokens-per-sequence budget for both packers. Real values are
+    * 2k-8k; 256 keeps the test corpora's pack populations interesting
+    * (docs average ~30 words, so ~8 docs/pack). */
+  private val T = 256L
+
+  /** Target docs per packing bucket; bounds per-task state. */
+  private val BucketDocs = 1024L
+
+  /** t14's whitespace token kernel (lowercase, single-space split,
+    * empty tokens dropped) — one definition shared with the mixture
+    * tier via copy of the same expression shape. */
+  private def tokCount(c: Column): Column =
+    size(filter(split(lower(c), " "), w => length(w) > 0))
+
+  /** Bucket count for an n-doc corpus; COUNT(*)-replayable in the
+    * oracle (d06's exact-count geometry pattern). */
+  private def bucketCount(n: Long): Long =
+    math.max(1L, math.ceil(n / BucketDocs.toDouble).toLong)
+
+  private val bucketCountSql: String =
+    s"(SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $BucketDocs.0) AS BIGINT)) FROM documents)"
+
+  private val tokCountSql: String =
+    "len(list_filter(string_split(lower(text), ' '), w -> length(w) > 0))"
+
+  /** doc_id, bucket, cost (= tokens + 1 EOD) — the packers' shared input.
+    * One count() probe fixes the bucket geometry (a driver-side scalar,
+    * same discipline as d06's exact-count LSH geometry). */
+  private def packInput(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val b = bucketCount(docs.count())
+    docs.select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(b)).as("bucket"),
+      (tokCount(col("text")) + lit(1L)).as("cost")) // +1: the EOD token
+  }
+
+  /** c01 — concat-and-chunk packing (the GPT-style pretraining layout):
+    * per bucket, documents concatenate in doc_id order onto one token
+    * tape (each followed by an EOD token) and the tape is cut every T
+    * tokens, so documents may straddle a pack boundary. Entirely
+    * window arithmetic — ONE shuffle on (bucket), partitions bounded
+    * by ~1024 docs regardless of corpus size. Emits each document's
+    * placement: pack id, offset inside the pack, and whether it
+    * straddles into the next pack.
+    */
+  def c01PackConcat(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    packInput(spark, dir)
+      .withColumn("cum", sum(col("cost")).over(w))
+      .select(
+        col("doc_id"), col("bucket"),
+        expr(s"(cum - cost) div $T").as("pack_id"),
+        pmod(col("cum") - col("cost"), lit(T)).as("pack_offset"),
+        (col("cost") - lit(1L)).as("n_tokens"),
+        (expr(s"(cum - 1) div $T") > expr(s"(cum - cost) div $T"))
+          .as("straddles"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  /** c02 — greedy first-fit packing (no split): each document lands
+    * whole in exactly one pack — into the open pack if it fits, else a
+    * new one (an oversized doc, cost > T, gets a pack of its own and
+    * overflows it). Emits (doc_id, bucket, pack_seq, n_tokens). */
+  def c02PackGreedy(spark: SparkSession, dir: String): DataFrame =
+    greedyRows(spark, dir).sortWithinPartitions(col("doc_id"))
+
+  /** The greedy fold c02 and c05 share. Per bucket:
+    * sort_array(collect_list) fixes arrival order, then ONE
+    * higher-order `aggregate` folds the ~1024-doc array left-to-right —
+    * the per-group sequential scan a packer genuinely is, with group
+    * size pinned by the bucket geometry, never by corpus size. No UDF:
+    * the fold is a Catalyst expression over struct accumulators. */
+  private def greedyRows(spark: SparkSession, dir: String): DataFrame = {
+    val emptyAssign = array().cast(
+      "array<struct<doc_id:bigint,pack_seq:bigint,cost:bigint>>")
+    val init = struct(
+      emptyAssign.as("assign"), lit(-1L).as("seq"), lit(0L).as("rem"))
+    packInput(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("cost"))))
+        .as("docs"))
+      .select(col("bucket"), explode(aggregate(
+        col("docs"), init,
+        (acc, x) => {
+          val fits = x.getField("cost") <= acc.getField("rem")
+          val seq = when(fits, acc.getField("seq"))
+            .otherwise(acc.getField("seq") + 1)
+          val rem = when(fits, acc.getField("rem") - x.getField("cost"))
+            .otherwise(lit(T) - x.getField("cost"))
+          struct(
+            concat(acc.getField("assign"), array(struct(
+              x.getField("doc_id").as("doc_id"), seq.as("pack_seq"),
+              x.getField("cost").as("cost")))).as("assign"),
+            seq.as("seq"), rem.as("rem"))
+        },
+        acc => acc.getField("assign"))).as("a"))
+      .select(
+        col("a.doc_id").as("doc_id"), col("bucket"),
+        col("a.pack_seq").as("pack_seq"),
+        (col("a.cost") - lit(1L)).as("n_tokens"))
+  }
+
+  /** c03 — retrieval chunking: fixed 120-char windows at an 80-char
+    * stride (40-char overlap), stable (doc_id, chunk_idx) identity and
+    * an md5 content fingerprint per chunk. Pure per-row explode — zero
+    * shuffles, scales as a map over the corpus. */
+  def c03ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (120, 80)
+    val k = expr(
+      s"cast((greatest(length(text) - $w, 0) + ${s - 1}) div $s as int)")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), k)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        (col("chunk_idx") * s).cast("bigint").as("chunk_start"),
+        length(expr(s"substring(text, chunk_idx * $s + 1, $w)"))
+          .cast("bigint").as("chunk_len"),
+        md5(expr(s"substring(text, chunk_idx * $s + 1, $w)"))
+          .as("chunk_md5"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** c04 — token-budget mixture cut: per (source, lang) domain, keep
+    * the greedy prefix of documents by (quality DESC, doc_id) whose
+    * running token total stays within 40% of the domain's tokens.
+    * Quality = scaled distinct-word ratio, integer all the way.
+    *
+    * The scalable form, NOT a per-domain global window: a domain at
+    * 100 TB has billions of docs, and `Window.partitionBy(domain)
+    * .orderBy(score)` puts all of them in one task. Instead: (1) a
+    * per-(domain, score-band) token aggregate — thousands of rows —
+    * carries the running total across bands; (2) bands strictly above
+    * the boundary keep every doc with no per-doc ordering at all;
+    * (3) ONLY the single boundary band per domain runs an ordered
+    * window, over the small slice that actually contains the cut.
+    * Band order refines to the doc order, so the result is exactly the
+    * naive greedy prefix (the oracle IS the naive window form).
+    */
+  def c04TokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokCount(col("text"))
+    val uniq = size(array_distinct(filter(split(lower(col("text")), " "),
+      w => length(w) > 0)))
+    val scored = Tables(spark, dir).documents
+      .select(col("source"), col("lang"), col("doc_id"),
+        toks.as("toks"), uniq.as("uniq"))
+      .where(col("toks") > 0)
+      .withColumn("score",
+        expr("(cast(uniq as bigint) * 1000000) div toks"))
+      .withColumn("band", expr("score div 1000"))
+    // (1) band totals + running total in band-descending order; the
+    // window partitions by domain over ~1000 band rows per domain.
+    val bandW = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("band").desc)
+    val bands = scored.groupBy(col("source"), col("lang"), col("band"))
+      .agg(sum(col("toks")).as("band_toks"))
+      .withColumn("cum_thru", sum(col("band_toks")).over(bandW))
+      .withColumn("cum_above", col("cum_thru") - col("band_toks"))
+    val budgets = scored.groupBy(col("source"), col("lang"))
+      .agg(expr("(sum(toks) * 2) div 5").as("budget"))
+    val geo = broadcast(bands.join(budgets, Seq("source", "lang")))
+    val tagged = scored.join(geo, Seq("source", "lang", "band"))
+    // (2) whole bands inside the budget: every doc keeps, cum from the
+    // band prefix plus an ordered within-band cumsum (window partition
+    // = ONE band of one domain — the bounded slice).
+    val inW = Window.partitionBy(col("source"), col("lang"), col("band"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tagged
+      .where(col("cum_above") < col("budget")) // band can contribute
+      .withColumn("cum_tokens",
+        col("cum_above") + sum(col("toks")).over(inW))
+      .where(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("lang"), col("doc_id"), col("score"),
+        col("toks").as("n_tokens"), col("cum_tokens"))
+      .sortWithinPartitions(col("source"), col("lang"), col("doc_id"))
+  }
+
+  /** c05 — packing-efficiency report (d13's "measure, don't guess"
+    * applied to the packers): one row per method with pack count,
+    * straddle count and net token waste, so the concat-vs-greedy
+    * trade (perfect fill + straddled docs vs whole docs + padding
+    * waste) is a number, not folklore. fill_ratio is the family's one
+    * double division. */
+  def c05PackEval(spark: SparkSession, dir: String): DataFrame = {
+    val concat = c01PackConcat(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens") + 1L).as("cost"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("strad"))
+      .select(col("docs"), col("strad"),
+        expr(s"(cost + ${T - 1}) div $T").as("packs"),
+        col("cost"))
+      .agg(
+        sum(col("packs")).as("n_packs"), sum(col("docs")).as("n_docs"),
+        sum(col("strad")).as("n_straddled"),
+        (sum(col("packs")) * T - sum(col("cost"))).as("waste_tokens"),
+        (sum(col("cost")).cast("double") /
+          (sum(col("packs")) * T).cast("double")).as("fill_ratio"))
+      .select(lit("concat").as("method"), col("*"))
+    val greedy = greedyRows(spark, dir)
+      .groupBy(col("bucket"), col("pack_seq"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens") + 1L).as("cost"))
+      .agg(
+        count(lit(1)).as("n_packs"), sum(col("docs")).as("n_docs"),
+        lit(0L).as("n_straddled"),
+        (count(lit(1)) * T - sum(col("cost"))).as("waste_tokens"),
+        (sum(col("cost")).cast("double") /
+          (count(lit(1)) * T).cast("double")).as("fill_ratio"))
+      .select(lit("greedy").as("method"), col("*"))
+    concat.unionByName(greedy).orderBy(col("method"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def packInputSql: String =
+    s"""SELECT doc_id, doc_id % $bucketCountSql AS bucket,
+       |  1 + $tokCountSql AS cost
+       |FROM documents""".stripMargin
+
+  private val c01Sql: String =
+    s"""WITH d AS ($packInputSql),
+       |c AS (
+       |  SELECT doc_id, bucket, cost,
+       |    CAST(SUM(cost) OVER (PARTITION BY bucket ORDER BY doc_id)
+       |      AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT doc_id, bucket,
+       |  (cum - cost) // $T AS pack_id,
+       |  (cum - cost) % $T AS pack_offset,
+       |  cost - 1 AS n_tokens,
+       |  ((cum - 1) // $T) > ((cum - cost) // $T) AS straddles
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The greedy fold as a recursive CTE: row n+1's (pack_seq, rem)
+    * derive from row n's per bucket — the identical first-fit rule. */
+  private val greedySqlCore: String =
+    s"""d AS ($packInputSql),
+       |n AS (
+       |  SELECT bucket, doc_id, cost,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       |  FROM d),
+       |rec AS (
+       |  SELECT bucket, doc_id, cost, rn,
+       |    CAST(0 AS BIGINT) AS pack_seq, $T - cost AS rem
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.bucket, n.doc_id, n.cost, n.rn,
+       |    CASE WHEN n.cost <= r.rem THEN r.pack_seq
+       |         ELSE r.pack_seq + 1 END,
+       |    CASE WHEN n.cost <= r.rem THEN r.rem - n.cost
+       |         ELSE $T - n.cost END
+       |  FROM rec r JOIN n ON n.bucket = r.bucket AND n.rn = r.rn + 1)""".stripMargin
+
+  private val c02Sql: String =
+    s"""WITH RECURSIVE
+       |$greedySqlCore
+       |SELECT doc_id, bucket, pack_seq, cost - 1 AS n_tokens
+       |FROM rec ORDER BY doc_id""".stripMargin
+
+  private val c03Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE length(text) > 0),
+      |kk AS (
+      |  SELECT doc_id, text,
+      |    (GREATEST(len - 120, 0) + 79) // 80 AS n_strides
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i * 80 AS BIGINT) AS chunk_start,
+      |  CAST(length(substr(text, i * 80 + 1, 120)) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, i * 80 + 1, 120)) AS chunk_md5
+      |FROM kk, unnest(range(0, n_strides + 1)) AS t(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The oracle states the SEMANTICS (naive per-domain greedy window);
+    * the engine runs the banded two-pass form — equality across the
+    * band boundary is exactly what the hash check proves. */
+  private val c04Sql: String =
+    """WITH d AS (
+      |  SELECT source, lang, doc_id,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      w -> length(w) > 0)) AS toks,
+      |    len(list_distinct(list_filter(string_split(lower(text), ' '),
+      |      w -> length(w) > 0))) AS uniq
+      |  FROM documents),
+      |sc AS (
+      |  SELECT source, lang, doc_id, toks,
+      |    (uniq * 1000000) // toks AS score
+      |  FROM d WHERE toks > 0),
+      |bud AS (
+      |  SELECT source, lang, (SUM(toks) * 2) // 5 AS budget
+      |  FROM sc GROUP BY 1, 2),
+      |c AS (
+      |  SELECT sc.*,
+      |    CAST(SUM(toks) OVER (PARTITION BY source, lang
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS cum
+      |  FROM sc)
+      |SELECT c.source, c.lang, c.doc_id, c.score,
+      |  c.toks AS n_tokens, c.cum AS cum_tokens
+      |FROM c JOIN bud USING (source, lang)
+      |WHERE c.cum <= bud.budget
+      |ORDER BY c.source, c.lang, c.doc_id""".stripMargin
+
+  private val c05Sql: String =
+    s"""WITH RECURSIVE
+       |$greedySqlCore,
+       |g AS (
+       |  SELECT bucket, pack_seq, COUNT(*) AS docs, SUM(cost) AS cost
+       |  FROM rec GROUP BY 1, 2),
+       |greedy AS (
+       |  SELECT 'greedy' AS method, COUNT(*) AS n_packs,
+       |    CAST(SUM(docs) AS BIGINT) AS n_docs,
+       |    CAST(0 AS BIGINT) AS n_straddled,
+       |    COUNT(*) * $T - CAST(SUM(cost) AS BIGINT) AS waste_tokens,
+       |    CAST(SUM(cost) AS DOUBLE) / CAST(COUNT(*) * $T AS DOUBLE)
+       |      AS fill_ratio
+       |  FROM g),
+       |cc AS (
+       |  SELECT doc_id, bucket, cost,
+       |    SUM(cost) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+       |  FROM d),
+       |cb AS (
+       |  SELECT bucket, COUNT(*) AS docs, SUM(cost) AS cost,
+       |    CAST(SUM(CASE WHEN ((cum - 1) // $T) > ((cum - cost) // $T)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS strad,
+       |    (SUM(cost) + ${T - 1}) // $T AS packs
+       |  FROM cc GROUP BY bucket),
+       |concat_m AS (
+       |  SELECT 'concat' AS method,
+       |    CAST(SUM(packs) AS BIGINT) AS n_packs,
+       |    CAST(SUM(docs) AS BIGINT) AS n_docs,
+       |    CAST(SUM(strad) AS BIGINT) AS n_straddled,
+       |    CAST(SUM(packs) * $T - SUM(cost) AS BIGINT) AS waste_tokens,
+       |    CAST(SUM(cost) AS DOUBLE) / CAST(SUM(packs) * $T AS DOUBLE)
+       |      AS fill_ratio
+       |  FROM cb)
+       |SELECT * FROM concat_m UNION ALL SELECT * FROM greedy
+       |ORDER BY method""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "c01_pack_concat" -> c01Sql,
+    "c02_pack_greedy" -> c02Sql,
+    "c03_chunk_overlap" -> c03Sql,
+    "c04_token_budget_mix" -> c04Sql,
+    "c05_pack_eval" -> c05Sql
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_pack_concat" -> (c01PackConcat _),
+    "c02_pack_greedy" -> (c02PackGreedy _),
+    "c03_chunk_overlap" -> (c03ChunkOverlap _),
+    "c04_token_budget_mix" -> (c04TokenBudgetMix _),
+    "c05_pack_eval" -> (c05PackEval _)
+  )
+}

@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Behavior specs for the corpus-assembly tier (SURVEY.md §2 c01–c05):
+  * the packing invariants a training run actually depends on — nothing
+  * lost, nothing split that must not split, budgets respected with the
+  * greedy-prefix semantics — checked on planted fixtures where the
+  * right answer is hand-computable, plus the real sf table for
+  * population-level invariants.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val sfDir = SparkSessionFixture.sfDir
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val data = rows.map { case (id, text, lang, src) =>
+      Row(id, text, lang, src, text.length.toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  test("c01 concat packing: placement is the exact running-tape arithmetic") {
+    // costs (words+EOD): 101, 200, 61 → tape: [0,100], [101,300], [301,361]
+    // with T=256: doc0 pack0 off0; doc1 pack0 off101 STRADDLES into pack1;
+    // doc2 pack1 off45 (301-256), no straddle (ends at 361 < 512).
+    val dir = docsDir(Seq(
+      (0L, words(100), "en", "a"), (1L, words(199), "en", "a"),
+      (2L, words(60), "en", "a")))
+    val got = Corpus.c01PackConcat(spark, dir)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "pack_offset", "n_tokens", "straddles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (0L, 0L, 0L, 100L, false),
+      (1L, 0L, 101L, 199L, true),
+      (2L, 1L, 45L, 60L, false)))
+  }
+
+  test("c01 on the sf table: offsets in range, straddle flag consistent") {
+    val rows = Corpus.c01PackConcat(spark, sfDir)
+      .select("pack_offset", "n_tokens", "straddles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, cost) = (r.getLong(0), r.getLong(1) + 1) // +EOD
+      assert(off >= 0 && off < 256)
+      assert(r.getBoolean(2) === (off + cost - 1 >= 256),
+        s"straddle flag disagrees with tape arithmetic at off=$off cost=$cost")
+    }
+  }
+
+  test("c02 greedy packing: first-fit, no splits, oversized isolated") {
+    // costs: 200, 100, 50, 300, 6 → greedy with T=256:
+    // doc0 opens p0 (rem 56); doc1 (100) doesn't fit → p1 (rem 156);
+    // doc2 (50) fits p1 (rem 106); doc3 (300, oversized) → p2 (rem -44);
+    // doc4 (6) doesn't fit (rem<cost) → p3.
+    val dir = docsDir(Seq(
+      (0L, words(199), "en", "a"), (1L, words(99), "en", "a"),
+      (2L, words(49), "en", "a"), (3L, words(299), "en", "a"),
+      (4L, words(5), "en", "a")))
+    val got = Corpus.c02PackGreedy(spark, dir)
+      .orderBy("doc_id").select("doc_id", "pack_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("c02 on the sf table: packs fit unless single-doc, seqs contiguous") {
+    val a = Corpus.c02PackGreedy(spark, sfDir)
+      .withColumn("cost", col("n_tokens") + 1)
+    val packs = a.groupBy("bucket", "pack_seq")
+      .agg(sum("cost").as("fill"), count(lit(1)).as("n"))
+      .collect()
+    packs.foreach { r =>
+      assert(r.getLong(2) <= 256 || r.getLong(3) === 1L,
+        s"multi-doc pack over budget: $r")
+    }
+    // pack_seq per bucket is 0..max with no gaps
+    a.groupBy("bucket")
+      .agg(min("pack_seq").as("mn"), max("pack_seq").as("mx"),
+        countDistinct("pack_seq").as("n"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === 0L && r.getLong(2) === r.getLong(3) - 1)
+      }
+  }
+
+  test("c03 chunking: stride/overlap geometry and full tail coverage") {
+    val dir = docsDir(Seq(
+      (0L, "x" * 119, "en", "a"),   // < W: one short chunk
+      (1L, "y" * 120, "en", "a"),   // == W: exactly one chunk
+      (2L, "z" * 200, "en", "a"),   // starts 0, 80: tail len 120
+      (3L, "q" * 281, "en", "a")))  // starts 0, 80, 160, 240: tail 41
+    val got = Corpus.c03ChunkOverlap(spark, dir)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0L, 0L, 0L, 119L),
+      (1L, 0L, 0L, 120L),
+      (2L, 0L, 0L, 120L), (2L, 1L, 80L, 120L),
+      (3L, 0L, 0L, 120L), (3L, 1L, 80L, 120L), (3L, 2L, 160L, 120L),
+      (3L, 3L, 240L, 41L)))
+  }
+
+  test("c03 on the sf table: every char of every doc is covered") {
+    val perDoc = Corpus.c03ChunkOverlap(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("chunk_len")).as("covered"),
+        sum(when(col("chunk_len") =!= 120, 1).otherwise(0)).as("short"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .where(col("len") > 0)
+    val bad = perDoc.join(docs, "doc_id")
+      .where(col("covered") =!= col("len") || col("short") > 1)
+      .count()
+    assert(bad === 0L, "chunk tails must land exactly on the doc end, " +
+      "with at most one short (tail) chunk per doc")
+  }
+
+  test("c04 budget mix: kept set is the exact greedy prefix per domain") {
+    val kept = Corpus.c04TokenBudgetMix(spark, sfDir)
+    // recompute the naive form with a per-domain window and compare sets
+    val toks = size(filter(split(lower(col("text")), " "),
+      w => length(w) > 0))
+    val uniq = size(array_distinct(filter(split(lower(col("text")), " "),
+      w => length(w) > 0)))
+    val sc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("lang"), col("doc_id"),
+        toks.as("toks"), uniq.as("uniq"))
+      .where(col("toks") > 0)
+      .withColumn("score", expr("(cast(uniq as bigint) * 1000000) div toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy(col("score").desc, col("doc_id"))
+    val naive = sc.withColumn("cum", sum("toks").over(w))
+      .join(sc.groupBy("source", "lang")
+        .agg(expr("(sum(toks) * 2) div 5").as("budget")),
+        Seq("source", "lang"))
+      .where(col("cum") <= col("budget"))
+      .select("source", "lang", "doc_id", "cum")
+    val mismatches = kept.select("source", "lang", "doc_id", "cum_tokens")
+      .except(naive.withColumnRenamed("cum", "cum_tokens"))
+      .union(naive.withColumnRenamed("cum", "cum_tokens")
+        .except(kept.select("source", "lang", "doc_id", "cum_tokens")))
+      .count()
+    assert(mismatches === 0L,
+      "banded two-pass selection must equal the naive greedy prefix")
+  }
+
+  test("c04 plan: the per-doc window partitions by (domain, band), " +
+    "never by domain alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Corpus.c04TokenBudgetMix(spark, sfDir)
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w.partitionSpec.size }
+    assert(windows.nonEmpty)
+    // fact-side window: 3 keys (source, lang, band). The band-aggregate
+    // window (2 keys) runs over ~thousands of rows, never the corpus.
+    assert(windows.contains(3),
+      s"per-doc window lost its band key: partition sizes $windows")
+  }
+
+  test("c05 eval: concat fills at least as densely as greedy; " +
+    "straddles only on the concat row") {
+    val rows = Corpus.c05PackEval(spark, sfDir).orderBy("method").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("concat", "greedy"))
+    val Array(concatRow, greedyRow) = rows
+    assert(concatRow.getDouble(5) >= greedyRow.getDouble(5),
+      "concat-and-chunk can't waste more than first-fit")
+    assert(greedyRow.getLong(3) === 0L, "greedy never straddles")
+    assert(concatRow.getLong(1) <= greedyRow.getLong(1),
+      "concat can't need more packs than greedy")
+    assert(concatRow.getLong(2) === greedyRow.getLong(2),
+      "both methods must pack every document")
+  }
+}

@@ -36,7 +36,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("query keys follow the family_name convention") {
-    val re = "^(q|f|d|s|t|m|p|st|k)\\d+_[a-z0-9_]+$".r
+    val re = "^(q|f|d|s|t|m|p|st|k|c)\\d+_[a-z0-9_]+$".r
     val bad = SparkEntry.queries.keySet
       .filterNot(k => re.pattern.matcher(k).matches())
     assert(bad.isEmpty, s"non-conforming query keys: $bad")
