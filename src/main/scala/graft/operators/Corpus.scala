@@ -48,10 +48,11 @@ object Corpus {
   private val tokCountSql: String =
     "len(list_filter(string_split(lower(text), ' '), w -> length(w) > 0))"
 
-  /** doc_id, bucket, cost (= tokens + 1 EOD) — the packers' shared input.
-    * One count() probe fixes the bucket geometry (a driver-side scalar,
-    * same discipline as d06's exact-count LSH geometry). */
-  private def packInput(spark: SparkSession, dir: String): DataFrame = {
+  /** doc_id, bucket, cost (= tokens + 1 EOD) — the packers' shared input
+    * (st23's streaming packer stages the same projection). One count()
+    * probe fixes the bucket geometry (a driver-side scalar, same
+    * discipline as d06's exact-count LSH geometry). */
+  private[graft] def packInput(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     val b = bucketCount(docs.count())
     docs.select(

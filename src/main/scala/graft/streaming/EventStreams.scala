@@ -1032,6 +1032,62 @@ object EventStreams {
     } finally spark.conf.set(key, prev)
   }
 
+  final case class PackDoc(doc_id: Long, bucket: Long, cost: Long)
+  final case class PackState(seq: Long, rem: Long)
+  final case class PackAssign(doc_id: Long, bucket: Long, pack_seq: Long,
+    n_tokens: Long)
+
+  /** st23 — streaming sequence packing: c02's greedy first-fit packer as
+    * an INCREMENTAL stream — the shape a continuous curation pipeline
+    * needs, where documents keep arriving and every batch must extend
+    * the already-published packs instead of repacking the corpus. State
+    * per bucket is two longs (open pack seq + remaining room): O(buckets),
+    * corpus-independent — contrast st09, whose in-flight state is
+    * corpus-proportional. Arrival order is the packer's contract: the
+    * staging pass range-partitions by doc_id with forced mtimes (the
+    * st18 admission technique) so chunk i's docs all precede chunk
+    * i+1's, and the per-batch group iterator sorts its own slice —
+    * exactly the replayable order a Kafka-partition-per-bucket feed
+    * gives. The emitted assignment set is IDENTICAL to the batch
+    * packer's, so c02's recursive-CTE oracle verifies the stream run.
+    */
+  def st23StreamPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val staged = chunkedCache.computeIfAbsent(dir + "#pack", { _ =>
+      val in = graft.operators.Corpus.packInput(spark, dir)
+      val nChunks = math.max(2L, math.min(16L,
+        in.count() / 250000L + 1L)).toInt
+      val out = graft.Scratch.pinnedDir("stpack_") + "/docs"
+      in.repartitionByRange(nChunks, col("doc_id")).write.parquet(out)
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000L * (i + 1)): Unit }
+      out
+    })
+    val schema = schemaCache.computeIfAbsent(staged,
+      p => spark.read.parquet(p).schema)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged).as[PackDoc]
+    val assigned = src.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (bucket: Long, docs: Iterator[PackDoc],
+         state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(-1L, 0L))
+          val outRows = docs.toIndexedSeq.sortBy(_.doc_id).map { d =>
+            st = if (d.cost <= st.rem) PackState(st.seq, st.rem - d.cost)
+                 else PackState(st.seq + 1L, 256L - d.cost)
+            PackAssign(d.doc_id, bucket, st.seq, d.cost - 1L)
+          }
+          state.update(st)
+          outRows.iterator
+      }
+    runToTable(assigned.toDF(), "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -1075,6 +1131,10 @@ object EventStreams {
     // merge-on-read lands — same contract, LITERALLY the same oracle
     // (referencing it keeps the two from drifting apart)
     "st17_stream_upsert" -> graft.sinks.Writers.oracle("k18_merge_on_read"),
+    // st23: the incremental packer must land exactly where the batch
+    // packer lands — c02's recursive-CTE oracle verbatim
+    "st23_stream_pack" ->
+      graft.operators.Corpus.oracle("c02_pack_greedy"),
     // st20: per-batch native as-of against a static dim must land exactly
     // where the batch operator lands — q21/q23's oracle verbatim
     "st20_stream_asof" ->
@@ -1220,6 +1280,7 @@ object EventStreams {
     "st17_stream_upsert" -> (st17StreamUpsert _),
     "st18_late_data" -> (st18LateData _),
     "st19_stream_outer_join" -> (st19StreamOuterJoin _),
-    "st20_stream_asof" -> (st20StreamAsof _)
+    "st20_stream_asof" -> (st20StreamAsof _),
+    "st23_stream_pack" -> (st23StreamPack _)
   )
 }

@@ -176,6 +176,30 @@ class CorpusSpec extends AnyFunSuite {
       s"per-doc window lost its band key: partition sizes $windows")
   }
 
+  test("st23 streaming packer: multi-batch run lands exactly on the " +
+    "batch packer's assignments") {
+    val stream = streaming.EventStreams.st23StreamPack(spark, sfDir)
+      .select("doc_id", "bucket", "pack_seq", "n_tokens")
+    val batch = Corpus.c02PackGreedy(spark, sfDir)
+      .select("doc_id", "bucket", "pack_seq", "n_tokens")
+    assert(batch.count() > 0L)
+    assert(stream.except(batch).union(batch.except(stream)).count() === 0L,
+      "incremental packing diverged from the batch fold")
+  }
+
+  test("st23 state carries an OPEN pack across micro-batches") {
+    // six 101-cost docs over ≥2 doc_id-range triggers (staging always
+    // cuts ≥2 chunks): greedy pairs them p0{0,1} p1{2,3} p2{4,5}, so the
+    // first doc of batch 2 must land in a pack OPENED IN BATCH 1 — a
+    // lost (seq, rem) state shows up as a reset pack_seq here.
+    val dir = docsDir((0L to 5L).map(i => (i, words(100), "en", "a")))
+    val got = streaming.EventStreams.st23StreamPack(spark, dir)
+      .orderBy("doc_id").select("doc_id", "pack_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L)))
+  }
+
   test("c05 eval: concat fills at least as densely as greedy; " +
     "straddles only on the concat row") {
     val rows = Corpus.c05PackEval(spark, sfDir).orderBy("method").collect()
