@@ -239,6 +239,68 @@ object Corpus {
     concat.unionByName(greedy).orderBy(col("method"))
   }
 
+  /** c06 — deterministic holdout split: every document lands in
+    * train/valid/test by a stable content-free hash of its IDENTITY
+    * (md5Hash60 of the doc_id, salted) — the assignment a 100 TB corpus
+    * needs: pure per-row map (zero shuffles), reproducible across runs
+    * and machines, stable under corpus growth (adding docs never moves
+    * an existing one), and independent of text so near-identical docs
+    * don't correlate with the split (that leak is c07's job to CATCH).
+    * 98/1/1 over 1000 hash buckets. */
+  def c06SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        pmod(Shingles.md5Hash60(concat(lit("graft-split:"),
+          col("doc_id").cast("string"))), lit(1000L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 980, "train")
+          .when(col("bucket") < 990, "valid").otherwise("test"))
+      .sortWithinPartitions(col("doc_id"))
+
+  /** Leak detail: each holdout (valid/test) doc whose exact TEXT md5
+    * also appears in train, with the smallest train doc it collides
+    * with. One shuffle on md5(text) — d01's exact-dedup join shape:
+    * group train-side hashes (map-side combined min doc_id per hash),
+    * equi-join the holdout side; never all-pairs. The spec pins this
+    * detail on a planted cross-boundary duplicate. */
+  private[graft] def c07Detail(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = c06SplitAssign(spark, dir)
+      .join(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+        "doc_id")
+      .select(col("doc_id"), col("split"), md5(col("text")).as("h"))
+    val train = assigned.where(col("split") === "train")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("train_doc_id"))
+    assigned.where(col("split") =!= "train")
+      .join(train, "h")
+      .select(col("doc_id").as("holdout_doc_id"), col("split"),
+        col("train_doc_id"), col("h").as("text_md5"))
+  }
+
+  /** c07 — cross-split leak audit: exact-duplicate text shared between
+    * a holdout doc and any train doc means the holdout is contaminated
+    * (the eval-hygiene failure t10 checks against an external eval set,
+    * here against the corpus' own split). Gated output is the per-split
+    * AUDIT SUMMARY — holdout size, leaked count, leak ratio — so the
+    * check reports "0 leaks" as a positive fact on a clean corpus (a
+    * detail-only output is empty exactly when the corpus is healthy,
+    * which a hash check can't distinguish from a broken join); the
+    * replicated rehearsal corpora light it up (every doc exists
+    * 10-100×, so most holdout docs leak). */
+  def c07SplitLeak(spark: SparkSession, dir: String): DataFrame = {
+    val leaked = c07Detail(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_leaked"))
+    c06SplitAssign(spark, dir)
+      .where(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_docs").cast("double")).as("leak_ratio"))
+      .orderBy(col("split"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def packInputSql: String =
@@ -367,12 +429,51 @@ object Corpus {
        |SELECT * FROM concat_m UNION ALL SELECT * FROM greedy
        |ORDER BY method""".stripMargin
 
+  /** The split kernel spelled once for both c06/c07 oracles — DuckDB's
+    * 0x-cast parses the same 15 md5 hex digits Spark's conv does (the
+    * t04 technique). */
+  private val splitSql: String =
+    """SELECT doc_id,
+      |  CAST(('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)),
+      |    1, 15)) AS BIGINT) % 1000 AS bucket
+      |FROM documents""".stripMargin
+
+  private val c06Sql: String =
+    s"""WITH b AS ($splitSql)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 980 THEN 'train'
+       |       WHEN bucket < 990 THEN 'valid' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  private val c07Sql: String =
+    s"""WITH b AS ($splitSql),
+       |a AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN b.bucket < 980 THEN 'train'
+       |         WHEN b.bucket < 990 THEN 'valid' ELSE 'test' END AS split,
+       |    md5(d.text) AS h
+       |  FROM documents d JOIN b USING (doc_id)),
+       |tr AS (SELECT DISTINCT h FROM a WHERE split = 'train'),
+       |hold AS (SELECT split, doc_id, h FROM a WHERE split <> 'train'),
+       |lk AS (
+       |  SELECT split, COUNT(*) AS n_leaked
+       |  FROM hold JOIN tr USING (h) GROUP BY split),
+       |hd AS (SELECT split, COUNT(*) AS n_docs FROM hold GROUP BY split)
+       |SELECT hd.split, hd.n_docs,
+       |  COALESCE(lk.n_leaked, 0) AS n_leaked,
+       |  CAST(COALESCE(lk.n_leaked, 0) AS DOUBLE) / CAST(hd.n_docs AS DOUBLE)
+       |    AS leak_ratio
+       |FROM hd LEFT JOIN lk USING (split)
+       |ORDER BY split""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "c01_pack_concat" -> c01Sql,
     "c02_pack_greedy" -> c02Sql,
     "c03_chunk_overlap" -> c03Sql,
     "c04_token_budget_mix" -> c04Sql,
-    "c05_pack_eval" -> c05Sql
+    "c05_pack_eval" -> c05Sql,
+    "c06_split_assign" -> c06Sql,
+    "c07_split_leak" -> c07Sql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -380,6 +481,8 @@ object Corpus {
     "c02_pack_greedy" -> (c02PackGreedy _),
     "c03_chunk_overlap" -> (c03ChunkOverlap _),
     "c04_token_budget_mix" -> (c04TokenBudgetMix _),
-    "c05_pack_eval" -> (c05PackEval _)
+    "c05_pack_eval" -> (c05PackEval _),
+    "c06_split_assign" -> (c06SplitAssign _),
+    "c07_split_leak" -> (c07SplitLeak _)
   )
 }

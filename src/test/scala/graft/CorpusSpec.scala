@@ -200,6 +200,64 @@ class CorpusSpec extends AnyFunSuite {
       (4L, 2L), (5L, 2L)))
   }
 
+  test("c06 split: stable under corpus growth, text-independent, ~98/1/1") {
+    val dirSmall = docsDir((0L to 99L).map(i => (i, words(10), "en", "a")))
+    val small = Corpus.c06SplitAssign(spark, dirSmall)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same ids + 100 more, and DIFFERENT texts for the original ids:
+    // every original assignment must be unchanged (growth- and
+    // content-stability are the whole point of hashing identity)
+    val dirBig = docsDir((0L to 199L).map(i => (i, words(17), "en", "a")))
+    val big = Corpus.c06SplitAssign(spark, dirBig)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, sp) => assert(big(id) === sp,
+      s"doc $id moved from $sp to ${big(id)} when the corpus grew") }
+    // on the sf table the 98/1/1 target holds loosely (hash variance)
+    val counts = Corpus.c06SplitAssign(spark, sfDir)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.95)
+    assert(counts.getOrElse("valid", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("c07 split leak: planted duplicate text across the boundary is " +
+    "caught; clean corpus is silent") {
+    // 400 docs all sharing ONE text: every holdout doc leaks against
+    // train doc min-id; distinct texts elsewhere stay silent
+    val dup = (0L to 399L).map(i => (i, "the same text", "en", "a"))
+    val clean = (400L to 449L).map(i => (i, s"unique text $i", "en", "a"))
+    val dir = docsDir(dup ++ clean)
+    val assigns = Corpus.c06SplitAssign(spark, dir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val holdoutDups = dup.map(_._1).filter(id => assigns(id) != "train")
+    val minTrainDup = dup.map(_._1).filter(id => assigns(id) == "train").min
+    val got = Corpus.c07Detail(spark, dir)
+      .select("holdout_doc_id", "train_doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got.map(_._1) === holdoutDups.sorted,
+      "exactly the holdout-side duplicates must be flagged")
+    assert(got.forall(_._2 === minTrainDup),
+      "each leak must name the smallest train collider")
+    assert(holdoutDups.nonEmpty,
+      "fixture must actually place duplicates across the boundary " +
+        "(400 ids ≈ 8 expected holdout hits; md5 is fixed, so this is " +
+        "deterministic — if it ever fails, widen the id range)")
+    // the gated summary reconciles with the detail on the same corpus
+    val summary = Corpus.c07SplitLeak(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val allHoldout = assigns.count(_._2 != "train").toLong
+    assert(summary.values.map(_._1).sum === allHoldout)
+    assert(summary.values.map(_._2).sum === holdoutDups.size.toLong)
+    // a clean corpus reports zero leaks as a positive fact, not no rows
+    val cleanOnly = docsDir(clean)
+    val cleanSum = Corpus.c07SplitLeak(spark, cleanOnly).collect()
+    assert(cleanSum.forall(_.getLong(2) === 0L) )
+  }
+
   test("c05 eval: concat fills at least as densely as greedy; " +
     "straddles only on the concat row") {
     val rows = Corpus.c05PackEval(spark, sfDir).orderBy("method").collect()
