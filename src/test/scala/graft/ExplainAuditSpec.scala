@@ -494,6 +494,31 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"each retrieval branch must cut via a distributed top-k heap:\n$p")
   }
 
+  test("c01 packing: ONE hash exchange (the bucket window), no join") {
+    val p = plan(graft.operators.Corpus.c01PackConcat(spark, sfDir))
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"the tape window needs exactly one shuffle on bucket:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      "concat packing must be pure window arithmetic")
+  }
+
+  test("c03 chunking: zero exchanges — a pure per-row map over the scan") {
+    val p = plan(graft.operators.Corpus.c03ChunkOverlap(spark, sfDir))
+    assert(!p.contains("Arguments: hashpartitioning") &&
+      !p.contains("Arguments: rangepartitioning"),
+      s"chunking must not shuffle:\n$p")
+    assert(p.contains("PushedFilters:"), p)
+  }
+
+  test("c06 split: zero exchanges and no text column in the scan") {
+    val p = plan(graft.operators.Corpus.c06SplitAssign(spark, sfDir))
+    assert(!p.contains("Arguments: hashpartitioning") &&
+      !p.contains("Arguments: rangepartitioning"),
+      s"split assignment must be a pure map:\n$p")
+    assert(!p.contains("text"),
+      "identity split must never read the text column")
+  }
+
   test("suite sweep: no unbounded single-partition WindowExec, " +
     "no CartesianProduct, in any registered query plan") {
     // The textbook scale-killer: Window with no PARTITION BY moves the
