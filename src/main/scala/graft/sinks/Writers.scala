@@ -597,6 +597,39 @@ object Writers {
     readCurrent(spark, root).orderBy(col("event_id"))
   }
 
+  /** k28 — mergeable-sketch rollup: the pre-aggregated-sketch table
+    * pattern every 100 TB metrics pipeline runs on. Hourly HLL sketches
+    * of the user set (DataSketches `hll_sketch_agg`, a BINARY column)
+    * MATERIALIZE to a parquet pre-agg table; the daily rollup then
+    * unions sketches (`hll_union_agg`) WITHOUT touching the fact table
+    * again (hourly sketches -> daily rollup here; the grain pair is
+    * arbitrary) — the whole point: the rollup pass reads KB of sketch bytes,
+    * not the corpus, and the same persisted sketches answer weekly/
+    * monthly/any-window questions later. Exact per-day distincts are
+    * computed once here as the audit bound (at 100 TB you never would);
+    * the gated contract is t05's tolerance banding: est within 5%,
+    * pinned TRUE in both engines. */
+  def k28SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("ts"), col("user_id"))
+    val pre = graft.Scratch.dir("k28_") + "/hourly_sketches"
+    ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(pre)
+    val daily = spark.read.parquet(pre)
+      .groupBy(date_trunc("day", col("hour")).as("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_hours"))
+    val exact = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    daily.join(exact, "day")
+      .select(col("day"), col("n_hours"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("day"))
+  }
+
   /** k16 — footer-stats profiling as a round-trip query: lineitem is
     * rewritten as an 8-file table, then counted and min/max-bounded from
     * footers ALONE; the oracle recomputes the same numbers by scanning
@@ -1015,6 +1048,14 @@ object Writers {
   }
 
   val oracle: Map[String, String] = Map(
+    // k28: months and exact distincts recomputed from the fact table;
+    // the 5%-band boolean is the tolerance contract (t05 pattern)
+    "k28_sketch_rollup" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "k22_multitable_publish" ->
       """SELECT event_id, user_id, value,
         |  'cur_' || CAST(event_id % 5 AS VARCHAR) AS type_name
@@ -1121,6 +1162,7 @@ object Writers {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k28_sketch_rollup" -> (k28SketchRollup _),
     "k15_zorder_write" -> (k15ZorderWrite _),
     "k16_footer_stats" -> (k16FooterStats _),
     "k17_vacuum" -> (k17Vacuum _),
