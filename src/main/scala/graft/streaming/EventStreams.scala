@@ -1088,6 +1088,33 @@ object EventStreams {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** st24 — the streaming tip-follow twin of k28's sketch rollup: a
+    * per-day HLL sketch aggregation over the event stream. The state
+    * per group is ONE mergeable sketch (KBs) that each micro-batch
+    * unions into — the shape a continuous metrics pipeline keeps live
+    * distinct counts with, and the same bytes k28's batch rollup
+    * persists. Complete mode: the output is aggregate-sized (one row
+    * per day), exactly the memory-sink contract. The gated check is
+    * k28's tolerance band against exact per-day distincts, computed
+    * batch-side as the audit. */
+  def st24StreamSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sketched = runToTable(
+      eventsStream(spark, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+          .as("est"),
+          count(lit(1)).as("n_events")),
+      "complete")
+    val exact = graft.sources.Tables(spark, dir).events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    sketched.join(exact, "day")
+      .select(col("day"), col("n_events"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("day"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -1135,6 +1162,14 @@ object EventStreams {
     // packer lands — c02's recursive-CTE oracle verbatim
     "st23_stream_pack" ->
       graft.operators.Corpus.oracle("c02_pack_greedy"),
+    // st24: per-day event counts + exact distincts; the 5%-band boolean
+    // is k28's tolerance contract
+    "st24_stream_sketch" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // st20: per-batch native as-of against a static dim must land exactly
     // where the batch operator lands — q21/q23's oracle verbatim
     "st20_stream_asof" ->
@@ -1281,6 +1316,7 @@ object EventStreams {
     "st18_late_data" -> (st18LateData _),
     "st19_stream_outer_join" -> (st19StreamOuterJoin _),
     "st20_stream_asof" -> (st20StreamAsof _),
-    "st23_stream_pack" -> (st23StreamPack _)
+    "st23_stream_pack" -> (st23StreamPack _),
+    "st24_stream_sketch" -> (st24StreamSketch _)
   )
 }
