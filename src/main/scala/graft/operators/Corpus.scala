@@ -301,6 +301,82 @@ object Corpus {
       .orderBy(col("split"))
   }
 
+  /** c08 — deterministic epoch shuffle: the reproducible random order
+    * every training run needs, in the form that actually ships at
+    * 100 TB. A global ORDER BY random() is a full sort of the corpus
+    * and non-reproducible; instead each doc gets a seeded content-free
+    * hash key (md5Hash60, c06's identity-hash discipline), the key
+    * assigns it to one of ceil(n/1024) SHARDS, and only the shard is
+    * ordered (by key — i.e. pseudo-randomly). Training readers consume
+    * shards independently; the concatenation of shards in any order is
+    * the epoch permutation. ONE shuffle on shard, per-task state
+    * bounded by ~1024 docs at any corpus size, fully reproducible
+    * across runs/machines (no RNG anywhere), and re-seedable per epoch
+    * by changing the salt. Emits (doc_id, shard, pos, skey). */
+  def c08EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"))
+    val s = bucketCount(docs.count())
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        Shingles.md5Hash60(concat(lit("graft-shuffle:epoch1:"),
+          col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(s)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("bigint").as("pos"), col("skey"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
+  /** c09 — curriculum ordering: every document's EXACT global position
+    * in the easy→hard order (score = token count ascending, doc_id
+    * tiebreak) plus its 10-phase curriculum slot — without the
+    * single-partition global window that ordering naively costs.
+    *
+    * The decomposition: rank(d) = docs in strictly smaller SCORES
+    * + docs in the same score but earlier CHUNKS (chunk = doc_id/1024)
+    * + the within-(score, chunk) row_number. The score histogram is
+    * VALUE-DOMAIN-bounded (one row per distinct token count — a few
+    * thousand rows for any corpus, independent of corpus size), so it
+    * collapses to a driver-side dictionary and broadcasts back — the
+    * same one-scalar-probe discipline as the dup-density gate, sized
+    * by the value domain, never the corpus. The chunk pass runs
+    * per-score windows over ~n/1024 CHUNK rows, and the row pass runs
+    * per-(score, chunk) windows over ≤1024 DOC rows: every window in
+    * the plan is partitioned and bounded. (Each level divides the
+    * window population by 1024; a third level would buy another three
+    * decades if one score ever held >10^9 docs.) */
+  def c09Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        tokCount(col("text")).cast("bigint").as("score"),
+        expr(s"doc_id div $BucketDocs").as("chunk"))
+    // value-domain-bounded score histogram -> driver -> prefix offsets
+    val hist = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val prefix = hist.scanLeft(0L) { case (acc, (_, c)) => acc + c }
+    val offDf = spark.createDataFrame(hist.map(_._1).zip(prefix.init).toSeq)
+      .toDF("score", "score_off")
+    val chunkW = Window.partitionBy(col("score")).orderBy(col("chunk"))
+    val chunkOff = scored.groupBy(col("score"), col("chunk"))
+      .agg(count(lit(1)).as("ccnt"))
+      .withColumn("chunk_off",
+        sum(col("ccnt")).over(chunkW) - col("ccnt"))
+      .select(col("score"), col("chunk"), col("chunk_off"))
+    val rowW = Window.partitionBy(col("score"), col("chunk"))
+      .orderBy(col("doc_id"))
+    scored
+      .join(chunkOff, Seq("score", "chunk"))
+      .join(broadcast(offDf), Seq("score"))
+      .select(col("doc_id"), col("score"),
+        (col("score_off") + col("chunk_off") +
+          row_number().over(rowW)).as("global_pos"))
+      .withColumn("phase", expr(s"((global_pos - 1) * 10) div $n"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def packInputSql: String =
@@ -466,6 +542,39 @@ object Corpus {
        |FROM hd LEFT JOIN lk USING (split)
        |ORDER BY split""".stripMargin
 
+  /** c08's oracle re-derives key/shard/pos independently: the 0x-cast
+    * md5 parse (c06's splitSql technique), shard geometry recomputed
+    * from the exact corpus count, and a plain windowed row number —
+    * the engine's shard-local form must equal the naive global one. */
+  private val c08Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('graft-shuffle:epoch1:'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+       |  FROM documents),
+       |g AS (SELECT $bucketCountSql AS s)
+       |SELECT doc_id, skey % s AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY skey % s
+       |    ORDER BY skey, doc_id) AS pos,
+       |  skey
+       |FROM b, g ORDER BY doc_id""".stripMargin
+
+  /** c09's oracle IS the naive global window the engine decomposes:
+    * agreement across the score/chunk/row three-term split is exactly
+    * what the hash check proves. */
+  private val c09Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, CAST($tokCountSql AS BIGINT) AS score
+       |  FROM documents),
+       |nn AS (SELECT COUNT(*) AS n FROM s),
+       |r AS (
+       |  SELECT doc_id, score,
+       |    ROW_NUMBER() OVER (ORDER BY score, doc_id) AS global_pos
+       |  FROM s)
+       |SELECT doc_id, score, global_pos,
+       |  ((global_pos - 1) * 10) // n AS phase
+       |FROM r, nn ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "c01_pack_concat" -> c01Sql,
     "c02_pack_greedy" -> c02Sql,
@@ -473,7 +582,9 @@ object Corpus {
     "c04_token_budget_mix" -> c04Sql,
     "c05_pack_eval" -> c05Sql,
     "c06_split_assign" -> c06Sql,
-    "c07_split_leak" -> c07Sql
+    "c07_split_leak" -> c07Sql,
+    "c08_epoch_shuffle" -> c08Sql,
+    "c09_curriculum" -> c09Sql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -483,6 +594,8 @@ object Corpus {
     "c04_token_budget_mix" -> (c04TokenBudgetMix _),
     "c05_pack_eval" -> (c05PackEval _),
     "c06_split_assign" -> (c06SplitAssign _),
-    "c07_split_leak" -> (c07SplitLeak _)
+    "c07_split_leak" -> (c07SplitLeak _),
+    "c08_epoch_shuffle" -> (c08EpochShuffle _),
+    "c09_curriculum" -> (c09Curriculum _)
   )
 }

@@ -200,6 +200,69 @@ class CorpusSpec extends AnyFunSuite {
       (4L, 2L), (5L, 2L)))
   }
 
+  test("c08 epoch shuffle: reproducible permutation, balanced shards, " +
+    "keys stable under corpus growth") {
+    val a = Corpus.c08EpochShuffle(spark, sfDir)
+    // per-shard positions are a contiguous 1..count permutation
+    val shards = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .collect()
+    assert(shards.nonEmpty)
+    shards.foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === r.getLong(1),
+        s"shard positions must be contiguous 1..n: $r")
+    }
+    // nothing lost, nothing duplicated
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(a.count() === n && a.select("doc_id").distinct().count() === n)
+    // actually shuffled: shard-order disagrees with doc_id order
+    val firstByKey = a.orderBy("shard", "pos").select("doc_id")
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    assert(firstByKey !== firstByKey.sorted,
+      "epoch order must not degenerate to doc_id order")
+    // identity hash: a doc's key is corpus-independent (epoch-stable)
+    val big = Corpus.c08EpochShuffle(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("skey").as("skey_big"))
+    assert(a.select("doc_id", "skey").join(big, "doc_id")
+      .where(col("skey") =!= col("skey_big")).count() === 0L)
+  }
+
+  test("c09 curriculum: three-term decomposition equals the naive " +
+    "global window, phases are even deciles") {
+    val got = Corpus.c09Curriculum(spark, sfDir)
+    val toks = size(filter(split(lower(col("text")), " "),
+      w => length(w) > 0)).cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("doc_id"))
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), toks.as("score"))
+      .withColumn("global_pos", row_number().over(w).cast("bigint"))
+    val n = naive.count()
+    val diff = got.select("doc_id", "score", "global_pos")
+      .except(naive.select("doc_id", "score", "global_pos")).count()
+    assert(diff === 0L,
+      "distributed rank must equal the single-window global rank")
+    // phases 0..9 cover n/10 each (±1 on the remainder boundary)
+    val phases = got.groupBy("phase").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phases.keySet === (0L to 9L).toSet)
+    phases.values.foreach(c =>
+      assert(math.abs(c - n / 10) <= 1, s"uneven phase: $phases"))
+  }
+
+  test("c09 planted fixture: empty and short docs order easy-first") {
+    val dir = docsDir(Seq(
+      (0L, words(5), "en", "a"), (1L, words(2), "en", "a"),
+      (2L, words(5), "en", "a"), (3L, "", "en", "a"),
+      (4L, words(2), "en", "a")))
+    val got = Corpus.c09Curriculum(spark, dir)
+      .orderBy("global_pos").select("doc_id", "global_pos", "phase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // order: id3 (0 toks), id1, id4 (2 toks, id tiebreak), id0, id2
+    assert(got === Seq((3L, 1L, 0L), (1L, 2L, 2L), (4L, 3L, 4L),
+      (0L, 4L, 6L), (2L, 5L, 8L)))
+  }
+
   test("c06 split: stable under corpus growth, text-independent, ~98/1/1") {
     val dirSmall = docsDir((0L to 99L).map(i => (i, words(10), "en", "a")))
     val small = Corpus.c06SplitAssign(spark, dirSmall)

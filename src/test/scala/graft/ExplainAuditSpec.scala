@@ -502,6 +502,29 @@ class ExplainAuditSpec extends AnyFunSuite {
       "concat packing must be pure window arithmetic")
   }
 
+  test("c08 epoch shuffle: ONE hash exchange (the shard window), no join," +
+    " text never read") {
+    val p = plan(graft.operators.Corpus.c08EpochShuffle(spark, sfDir))
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"the shard window needs exactly one shuffle on shard:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      "epoch shuffle must be hash + one shard-local window")
+    assert(!p.contains("text"),
+      "identity-hash shuffle must never read the text column")
+  }
+
+  test("c09 curriculum: every window is partitioned; the per-doc rank" +
+    " window carries both (score, chunk) keys") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = graft.operators.Corpus.c09Curriculum(spark, sfDir)
+      .queryExecution.sparkPlan
+    val windows = sp.collect { case w: WindowExec => w.partitionSpec.size }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"an unpartitioned window crept into the rank decomposition: $windows")
+    assert(windows.contains(2),
+      s"per-doc rank window lost its chunk key: partition sizes $windows")
+  }
+
   test("c03 chunking: zero exchanges — a pure per-row map over the scan") {
     val p = plan(graft.operators.Corpus.c03ChunkOverlap(spark, sfDir))
     assert(!p.contains("Arguments: hashpartitioning") &&
