@@ -630,6 +630,90 @@ object Writers {
       .orderBy(col("day"))
   }
 
+  /** The k29 histogram-sketch bin kernel, spelled once for binning,
+    * the lower-bound decode, and the est_ok recheck (and mirrored
+    * verbatim in the oracle SQL): HDR-histogram-style integer log bins —
+    * exponent from the BINARY STRING length (both engines' bin() —
+    * integer-exact, no float log2 at a boundary), 16 sub-bins per
+    * octave (≤ 6.25% relative bin width), values ≤ 31 exact. All-integer
+    * arithmetic, so the sketch is bit-identical across engines,
+    * languages and merge orders. */
+  private def binIdSql(v: String): String =
+    s"""CASE WHEN length(bin($v)) - 1 <= 4 THEN $v
+       |ELSE (length(bin($v)) - 5) * 16
+       |     + shiftright($v, length(bin($v)) - 5) END""".stripMargin
+  private def binLbSql(b: String): String =
+    s"""CASE WHEN $b <= 31 THEN $b
+       |ELSE shiftleft($b % 16 + 16, cast($b div 16 - 1 as int)) END"""
+      .stripMargin
+
+  /** k29 — mergeable QUANTILE-sketch rollup (k28's pattern for the other
+    * metric every 100 TB pipeline needs): per-hour integer log-binned
+    * histograms (bin_id, cnt — a few hundred rows per hour regardless of
+    * event count) MATERIALIZE to a parquet pre-agg table; the daily
+    * rollup then just SUMS bin counts — histogram merge is count
+    * addition, associative and order-free — and reads KB of sketch rows,
+    * never the fact table. p50/p95/p99 come from the merged cumulative
+    * counts (estimate = the selected bin's lower bound, ≤ 6.25% low by
+    * the 16-sub-bin geometry). Exact per-day rank quantiles are computed
+    * once here as the audit bound (at 100 TB you never would); est_ok
+    * pins that each exact quantile lands INSIDE the sketch's chosen bin —
+    * an exact invariant of a correct merge, not a tolerance band. */
+  private val k29Cents = "greatest(cast(floor(value * 100) as bigint), 1L)"
+
+  /** The hourly histogram k29 persists: (hour, bin_id, cnt) — a few
+    * hundred rows per hour regardless of the hour's event count. */
+  private[graft] def k29HourlySketch(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.Tables(spark, dir).events
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        expr(k29Cents).as("v1"))
+      .select(col("hour"), expr(binIdSql("v1")).as("bin_id"))
+      .groupBy(col("hour"), col("bin_id")).agg(count(lit(1)).as("cnt"))
+
+  def k29QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("ts"), col("value"))
+    val pre = graft.Scratch.dir("k29_") + "/hourly_hist"
+    k29HourlySketch(spark, dir).write.mode("overwrite").parquet(pre)
+    val sk = spark.read.parquet(pre)
+    val daily = sk
+      .groupBy(date_trunc("day", col("hour")).as("day"), col("bin_id"))
+      .agg(sum(col("cnt")).as("cnt")) // the merge: count addition
+    val nHours = sk.groupBy(date_trunc("day", col("hour")).as("day"))
+      .agg(countDistinct(col("hour")).as("n_hours"))
+    val dayW = Window.partitionBy(col("day"))
+    val c = daily
+      .withColumn("cum", sum(col("cnt")).over(dayW.orderBy(col("bin_id"))))
+      .withColumn("n", sum(col("cnt")).over(dayW))
+    def pick(q: Int): Column =
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bin_id")))
+    val est = c.groupBy(col("day")).agg(max(col("n")).as("n_events"),
+      pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+    // exact rank quantiles — the audit bound (k28 discipline: computed
+    // at the gate SFs only to pin the sketch; per-day windows, bounded
+    // by the day's events)
+    val vals = ev.select(date_trunc("day", col("ts")).as("day"),
+        expr(k29Cents).as("v1"))
+      .withColumn("rn", row_number().over(dayW.orderBy(col("v1"))))
+      .withColumn("n", count(lit(1)).over(dayW))
+    def exact(q: Int): Column =
+      max(when(col("rn") === expr(s"(n * $q + 99) div 100"), col("v1")))
+    val ex = vals.groupBy(col("day")).agg(exact(50).as("x50_cents"),
+      exact(95).as("x95_cents"), exact(99).as("x99_cents"))
+    est.join(nHours, "day").join(ex, "day")
+      .select(col("day"), col("n_hours"), col("n_events"),
+        expr(binLbSql("b50")).as("p50_cents"),
+        expr(binLbSql("b95")).as("p95_cents"),
+        expr(binLbSql("b99")).as("p99_cents"),
+        col("x50_cents"), col("x95_cents"), col("x99_cents"),
+        (expr(binIdSql("x50_cents")) === col("b50") &&
+          expr(binIdSql("x95_cents")) === col("b95") &&
+          expr(binIdSql("x99_cents")) === col("b99")).as("est_ok"))
+      .orderBy(col("day"))
+  }
+
   /** k16 — footer-stats profiling as a round-trip query: lineitem is
     * rewritten as an 8-file table, then counted and min/max-bounded from
     * footers ALONE; the oracle recomputes the same numbers by scanning
@@ -1047,7 +1131,70 @@ object Writers {
       .orderBy(col("event_id"))
   }
 
+  /** [[binIdSql]]/[[binLbSql]] in DuckDB dialect (`>>`/`<<`/`//` for
+    * shiftright/shiftleft/div) — the same integer arithmetic. */
+  private def duckBinIdSql(v: String): String =
+    s"""CASE WHEN length(bin($v)) - 1 <= 4 THEN $v
+       |ELSE (length(bin($v)) - 5) * 16 + ($v >> (length(bin($v)) - 5))
+       |END""".stripMargin
+  private def duckBinLbSql(b: String): String =
+    s"CASE WHEN $b <= 31 THEN $b ELSE ($b % 16 + 16) << ($b // 16 - 1) END"
+
   val oracle: Map[String, String] = Map(
+    // k29: the full sketch replayed from the fact table — hourly→daily
+    // merge is count addition, so direct daily binning is IDENTICAL by
+    // associativity; quantile selection and the exact-rank audit repeat
+    // the engine's integer arithmetic verbatim
+    "k29_quantile_rollup" ->
+      s"""WITH v AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    date_trunc('hour', ts) AS hour,
+         |    greatest(CAST(floor(value * 100) AS BIGINT), 1) AS v1
+         |  FROM events),
+         |b AS (SELECT day, hour, v1, ${duckBinIdSql("v1")} AS bin_id
+         |      FROM v),
+         |d AS (SELECT day, bin_id, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |nh AS (SELECT day, COUNT(DISTINCT hour) AS n_hours
+         |       FROM b GROUP BY 1),
+         |c AS (
+         |  SELECT day, bin_id, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY bin_id)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+         |  FROM d),
+         |est AS (
+         |  SELECT day, MAX(n) AS n_events,
+         |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin_id END)
+         |      AS b50,
+         |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin_id END)
+         |      AS b95,
+         |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin_id END)
+         |      AS b99
+         |  FROM c GROUP BY day),
+         |r AS (
+         |  SELECT day, v1,
+         |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY v1) AS rn,
+         |    COUNT(*) OVER (PARTITION BY day) AS n
+         |  FROM b),
+         |ex AS (
+         |  SELECT day,
+         |    MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v1 END)
+         |      AS x50_cents,
+         |    MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v1 END)
+         |      AS x95_cents,
+         |    MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN v1 END)
+         |      AS x99_cents
+         |  FROM r GROUP BY day)
+         |SELECT est.day, nh.n_hours, est.n_events,
+         |  ${duckBinLbSql("b50")} AS p50_cents,
+         |  ${duckBinLbSql("b95")} AS p95_cents,
+         |  ${duckBinLbSql("b99")} AS p99_cents,
+         |  x50_cents, x95_cents, x99_cents,
+         |  (${duckBinIdSql("x50_cents")} = b50
+         |   AND ${duckBinIdSql("x95_cents")} = b95
+         |   AND ${duckBinIdSql("x99_cents")} = b99) AS est_ok
+         |FROM est JOIN nh USING (day) JOIN ex USING (day)
+         |ORDER BY day""".stripMargin,
     // k28: months and exact distincts recomputed from the fact table;
     // the 5%-band boolean is the tolerance contract (t05 pattern)
     "k28_sketch_rollup" ->
@@ -1163,6 +1310,7 @@ object Writers {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k28_sketch_rollup" -> (k28SketchRollup _),
+    "k29_quantile_rollup" -> (k29QuantileRollup _),
     "k15_zorder_write" -> (k15ZorderWrite _),
     "k16_footer_stats" -> (k16FooterStats _),
     "k17_vacuum" -> (k17Vacuum _),

@@ -342,6 +342,32 @@ class StreamingSinksSpec extends AnyFunSuite {
       === Seq(1L, 2L, 3L), "retry must replace the partial, not append")
   }
 
+  test("k29 quantile sketch: estimates bound the exact quantile inside " +
+    "one bin, and the pre-agg is KB-scale, not fact-scale") {
+    val out = Writers.k29QuantileRollup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p95, x95) = (r.getLong(4), r.getLong(7))
+      // lower-bound estimate: p <= exact, and exact < p * (1 + 1/16)
+      // (the 16-sub-bin octave geometry) — for all three quantiles
+      Seq((r.getLong(3), r.getLong(6)), (p95, x95),
+        (r.getLong(5), r.getLong(8))).foreach { case (p, x) =>
+        assert(p <= x && (x < 32 || x < p + (p + 15) / 16),
+          s"exact $x escaped its bin [$p, ~${p + p / 16}]")
+      }
+      assert(r.getBoolean(9), s"est_ok must hold: $r")
+    }
+    // the persisted sketch is VALUE-DOMAIN-bounded: ≤ ~16 bins per value
+    // octave per hour, independent of the hour's event count — that
+    // bound (not the tiny-fixture row count) is the 100 TB compression
+    val pre = Writers.k29HourlySketch(spark, sfDir)
+    val hours = pre.select("hour").distinct().count()
+    assert(pre.count() <= hours * 200,
+      "sketch rows must be bounded by hours x bin domain")
+    assert(pre.groupBy("hour").count().agg(max("count")).head.getLong(0)
+      <= 200L, "per-hour sketch must be bounded by bin count, not events")
+  }
+
   test("k17 vacuum keeps files shared with retained append manifests") {
     import spark.implicits._
     val root = graft.Scratch.dir("k17spec_")
