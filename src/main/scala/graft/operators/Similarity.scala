@@ -470,6 +470,33 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s09 — ANN-method recall evaluation (d13's "measure, don't guess"
+    * harness applied to the similarity ladder): every approximate path
+    * (s02 LSH, s03 IVF, s04 int8, s05 PQ) re-runs against s01's exact
+    * top-5 truth and reports hits and recall@5 as DATA — one row per
+    * method. This is how an ANN configuration is actually chosen at
+    * 100 TB: the truth set is bounded (Q·k pairs), each method's cost
+    * is its own documented scale shape, and the scoring join moves only
+    * (qid, nid) ids. Full oracle: the generated SQL for all five
+    * pipelines composes by CTE, so both engines re-derive the entire
+    * ladder end to end. */
+  def s09AnnRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val ex = s01AnnBruteforce(spark, dir).select(col("qid"), col("nid"))
+    def one(name: String, ap: DataFrame): DataFrame =
+      ex.join(ap.select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(name).as("method"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    one("int8", s04AnnQuantized(spark, dir))
+      .unionByName(one("ivf", s03AnnIvf(spark, dir)))
+      .unionByName(one("lsh", s02AnnLsh(spark, dir)))
+      .unionByName(one("pq", s05AnnPq(spark, dir)))
+      .orderBy(col("method"))
+  }
+
   /** s02's DuckDB oracle, GENERATED: the sign-random-projection family is
     * fully deterministic (ExprImpl.mix64 hyperplanes), so the oracle
     * re-derives the whole pipeline independently in SQL — the ±1
@@ -711,12 +738,41 @@ object Similarity {
        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** s09's oracle: recall of each approximate ladder rung against the
+    * exact truth, with EVERY rung's full generated pipeline composed as
+    * a CTE subquery — both engines re-derive the whole ladder. */
+  private def s09OracleSql: String =
+    s"""WITH ex AS (SELECT qid, nid FROM ($s01Sql)),
+       |m_lsh AS (SELECT qid, nid FROM ($s02OracleSql)),
+       |m_ivf AS (SELECT qid, nid FROM ($s03OracleSql)),
+       |m_int8 AS (SELECT qid, nid FROM ($s04Sql)),
+       |m_pq AS (SELECT qid, nid FROM ($s05OracleSql)),
+       |n AS (SELECT COUNT(*) AS n_exact FROM ex)
+       |SELECT method, n_exact, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM (
+       |  SELECT 'lsh' AS method, n_exact,
+       |    (SELECT COUNT(*) FROM ex JOIN m_lsh USING (qid, nid)) AS n_hit
+       |  FROM n
+       |  UNION ALL
+       |  SELECT 'ivf', n_exact,
+       |    (SELECT COUNT(*) FROM ex JOIN m_ivf USING (qid, nid)) FROM n
+       |  UNION ALL
+       |  SELECT 'int8', n_exact,
+       |    (SELECT COUNT(*) FROM ex JOIN m_int8 USING (qid, nid)) FROM n
+       |  UNION ALL
+       |  SELECT 'pq', n_exact,
+       |    (SELECT COUNT(*) FROM ex JOIN m_pq USING (qid, nid)) FROM n)
+       |ORDER BY method""".stripMargin
+
+  lazy val oracle: Map[String, String] = Map(
     "s02_ann_lsh" -> s02OracleSql,
     // s03: trained-quantizer IVF fully re-derived — see s03OracleSql
     "s03_ann_ivf" -> s03OracleSql,
     // s05: PQ+re-rank fully re-derived — see s05OracleSql
     "s05_ann_pq" -> s05OracleSql,
+    // s09: the whole ladder composed — see s09OracleSql
+    "s09_ann_recall_eval" -> s09OracleSql,
     // s04: the quantization arithmetic is replayed in FLOAT (x/mx*127
     // exactly as the Spark expression computes it — DuckDB keeps
     // FLOAT/FLOAT arithmetic in FLOAT, and both engines round half away
@@ -726,7 +782,14 @@ object Similarity {
     // trusting list_cosine_similarity's sqrt(na)*sqrt(nb) rounding.
     // Verified offline: every quantized code equal across sf0.001/0.01/
     // 0.1 (128k roundings, zero boundary disagreements).
-    "s04_ann_quantized" ->
+    "s04_ann_quantized" -> s04Sql,
+    "s08_mips" -> s08Sql,
+    "s07_ann_filtered" -> s07Sql,
+    "s06_hybrid_search" -> s06Sql,
+    "s01_ann_bruteforce" -> s01Sql
+  )
+
+  private val s04Sql: String =
       """WITH raw AS (SELECT vec_id, embedding FROM embeddings),
         |e AS (
         |  SELECT vec_id,
@@ -751,8 +814,9 @@ object Similarity {
         |      ORDER BY cos DESC, nid) AS rnk
         |  FROM scored)
         |SELECT qid, nid, rnk, round(cos, 6) AS cos
-        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    "s08_mips" ->
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private val s08Sql: String =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
@@ -766,8 +830,9 @@ object Similarity {
         |      ORDER BY ip DESC, nid) AS rnk
         |  FROM scored)
         |SELECT qid, nid, rnk, round(ip, 6) AS ip
-        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    "s07_ann_filtered" ->
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private val s07Sql: String =
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
@@ -783,8 +848,9 @@ object Similarity {
         |      ORDER BY cos DESC, nid) AS rnk
         |  FROM scored)
         |SELECT qid, nid, label, rnk, round(cos, 6) AS cos
-        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
-    "s06_hybrid_search" ->
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private val s06Sql: String =
       """WITH d AS (
         |  SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '),
@@ -835,8 +901,9 @@ object Similarity {
         |  COALESCE(1.0 / (60.0 + lex_rank), 0.0)
         |    + COALESCE(1.0 / (60.0 + vec_rank), 0.0) AS rrf
         |FROM lt FULL OUTER JOIN vt ON lt.doc_id = vt.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-    "s01_ann_bruteforce" ->
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
+  private val s01Sql: String =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |  q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
         |  scored AS (
@@ -849,7 +916,6 @@ object Similarity {
         |    FROM scored)
         |SELECT qid, nid, rnk, round(cos, 6) AS cos
         |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
-  )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteforce _),
@@ -859,6 +925,7 @@ object Similarity {
     "s05_ann_pq" -> (s05AnnPq _),
     "s06_hybrid_search" -> (s06HybridSearch _),
     "s07_ann_filtered" -> (s07AnnFiltered _),
-    "s08_mips" -> (s08Mips _)
+    "s08_mips" -> (s08Mips _),
+    "s09_ann_recall_eval" -> (s09AnnRecallEval _)
   )
 }

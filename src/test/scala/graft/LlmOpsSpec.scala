@@ -194,6 +194,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall@5 too low: $recall")
   }
 
+  test("s09 recall eval: one row per ladder rung, recall consistent with" +
+    " the per-method specs and n_hit arithmetic") {
+    val rows = Similarity.s09AnnRecallEval(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("int8", "ivf", "lsh", "pq"))
+    rows.foreach { case (m, (nExact, nHit, recall)) =>
+      assert(nExact === 50L, s"$m truth set must be Q*k = 50")
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-12,
+        s"$m recall must be n_hit/n_exact")
+    }
+    // the same bars the per-method specs pin, now as queryable data
+    assert(rows("int8")._3 >= 0.8, s"int8: ${rows("int8")}")
+    assert(rows("pq")._3 >= 0.6, s"pq: ${rows("pq")}")
+    assert(rows("ivf")._3 >= 0.5, s"ivf: ${rows("ivf")}")
+    assert(rows("lsh")._3 >= 0.2, s"lsh: ${rows("lsh")}")
+  }
+
   test("s02 LSH ANN returns well-formed top-k with usable recall vs s01") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
