@@ -638,11 +638,11 @@ object Writers {
     * octave (≤ 6.25% relative bin width), values ≤ 31 exact. All-integer
     * arithmetic, so the sketch is bit-identical across engines,
     * languages and merge orders. */
-  private def binIdSql(v: String): String =
+  private[graft] def binIdSql(v: String): String =
     s"""CASE WHEN length(bin($v)) - 1 <= 4 THEN $v
        |ELSE (length(bin($v)) - 5) * 16
        |     + shiftright($v, length(bin($v)) - 5) END""".stripMargin
-  private def binLbSql(b: String): String =
+  private[graft] def binLbSql(b: String): String =
     s"""CASE WHEN $b <= 31 THEN $b
        |ELSE shiftleft($b % 16 + 16, cast($b div 16 - 1 as int)) END"""
       .stripMargin
@@ -659,7 +659,7 @@ object Writers {
     * once here as the audit bound (at 100 TB you never would); est_ok
     * pins that each exact quantile lands INSIDE the sketch's chosen bin —
     * an exact invariant of a correct merge, not a tolerance band. */
-  private val k29Cents = "greatest(cast(floor(value * 100) as bigint), 1L)"
+  private[graft] val k29Cents = "greatest(cast(floor(value * 100) as bigint), 1L)"
 
   /** The hourly histogram k29 persists: (hour, bin_id, cnt) — a few
     * hundred rows per hour regardless of the hour's event count. */
@@ -1133,11 +1133,11 @@ object Writers {
 
   /** [[binIdSql]]/[[binLbSql]] in DuckDB dialect (`>>`/`<<`/`//` for
     * shiftright/shiftleft/div) — the same integer arithmetic. */
-  private def duckBinIdSql(v: String): String =
+  private[graft] def duckBinIdSql(v: String): String =
     s"""CASE WHEN length(bin($v)) - 1 <= 4 THEN $v
        |ELSE (length(bin($v)) - 5) * 16 + ($v >> (length(bin($v)) - 5))
        |END""".stripMargin
-  private def duckBinLbSql(b: String): String =
+  private[graft] def duckBinLbSql(b: String): String =
     s"CASE WHEN $b <= 31 THEN $b ELSE ($b % 16 + 16) << ($b // 16 - 1) END"
 
   val oracle: Map[String, String] = Map(

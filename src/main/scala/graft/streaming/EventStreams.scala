@@ -1115,6 +1115,41 @@ object EventStreams {
       .orderBy(col("day"))
   }
 
+  /** st25 — the streaming tip-follow twin of k29's quantile rollup: a
+    * live per-day integer log-binned histogram over the event stream.
+    * The state per day is the histogram itself (a few hundred (bin,
+    * count) rows — value-domain-bounded, never event-bounded), each
+    * micro-batch folds counts in, and quantiles derive from the merged
+    * cumulatives with k29's integer arithmetic. Because the whole
+    * sketch is integer-exact and merge-order-free, the streamed
+    * quantiles equal the batch quantiles EXACTLY — so unlike st24's
+    * tolerance band, this one carries a full-value oracle. */
+  def st25StreamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Writers.{binIdSql, binLbSql, k29Cents}
+    val hist = runToTable(
+      eventsStream(spark, dir)
+        .select(date_trunc("day", col("ts")).as("day"),
+          expr(k29Cents).as("v1"))
+        .select(col("day"), expr(binIdSql("v1")).as("bin_id"))
+        .groupBy(col("day"), col("bin_id"))
+        .agg(count(lit(1)).as("cnt")),
+      "complete")
+    val dayW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"))
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(dayW.orderBy(col("bin_id"))))
+      .withColumn("n", sum(col("cnt")).over(dayW))
+    def pick(q: Int) =
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bin_id")))
+    c.groupBy(col("day")).agg(max(col("n")).as("n_events"),
+        pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+      .select(col("day"), col("n_events"),
+        expr(binLbSql("b50")).as("p50_cents"),
+        expr(binLbSql("b95")).as("p95_cents"),
+        expr(binLbSql("b99")).as("p99_cents"))
+      .orderBy(col("day"))
+  }
+
   private val sessionizeOracle =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(1 + COALESCE(SUM(CASE WHEN prev IS NOT NULL
@@ -1162,6 +1197,37 @@ object EventStreams {
     // packer lands — c02's recursive-CTE oracle verbatim
     "st23_stream_pack" ->
       graft.operators.Corpus.oracle("c02_pack_greedy"),
+    // st25: the streamed sketch is integer-exact, so the oracle replays
+    // the FULL quantile values from the fact table (k29's arithmetic)
+    "st25_stream_quantile" -> {
+      import graft.sinks.Writers.{duckBinIdSql, duckBinLbSql}
+      s"""WITH v AS (
+         |  SELECT date_trunc('day', ts) AS day,
+         |    greatest(CAST(floor(value * 100) AS BIGINT), 1) AS v1
+         |  FROM events),
+         |b AS (SELECT day, ${duckBinIdSql("v1")} AS bin_id FROM v),
+         |d AS (SELECT day, bin_id, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |c AS (
+         |  SELECT day, bin_id,
+         |    CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY bin_id)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+         |  FROM d),
+         |est AS (
+         |  SELECT day, MAX(n) AS n_events,
+         |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin_id END)
+         |      AS b50,
+         |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin_id END)
+         |      AS b95,
+         |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin_id END)
+         |      AS b99
+         |  FROM c GROUP BY day)
+         |SELECT day, n_events,
+         |  ${duckBinLbSql("b50")} AS p50_cents,
+         |  ${duckBinLbSql("b95")} AS p95_cents,
+         |  ${duckBinLbSql("b99")} AS p99_cents
+         |FROM est ORDER BY day""".stripMargin
+    },
     // st24: per-day event counts + exact distincts; the 5%-band boolean
     // is k28's tolerance contract
     "st24_stream_sketch" ->
@@ -1317,6 +1383,7 @@ object EventStreams {
     "st19_stream_outer_join" -> (st19StreamOuterJoin _),
     "st20_stream_asof" -> (st20StreamAsof _),
     "st23_stream_pack" -> (st23StreamPack _),
-    "st24_stream_sketch" -> (st24StreamSketch _)
+    "st24_stream_sketch" -> (st24StreamSketch _),
+    "st25_stream_quantile" -> (st25StreamQuantile _)
   )
 }

@@ -368,6 +368,17 @@ class StreamingSinksSpec extends AnyFunSuite {
       <= 200L, "per-hour sketch must be bounded by bin count, not events")
   }
 
+  test("st25 streamed quantiles equal k29's batch quantiles exactly " +
+    "(integer sketch is merge-order-free)") {
+    val streamed = EventStreams.st25StreamQuantile(spark, sfDir)
+      .select("day", "n_events", "p50_cents", "p95_cents", "p99_cents")
+    val batch = Writers.k29QuantileRollup(spark, sfDir)
+      .select("day", "n_events", "p50_cents", "p95_cents", "p99_cents")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).union(batch.except(streamed)).count()
+      === 0L, "micro-batch histogram folding diverged from batch binning")
+  }
+
   test("k17 vacuum keeps files shared with retained append manifests") {
     import spark.implicits._
     val root = graft.Scratch.dir("k17spec_")
