@@ -377,6 +377,53 @@ object Corpus {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** c10 — multi-source mixing SCHEDULE: the weighted round-robin
+    * interleave of per-source block streams that a multi-corpus
+    * training run consumes (source s with weight w contributes a block
+    * every 1/w "ticks"). Naively this is ROW_NUMBER over all blocks
+    * ordered by (k/w, source) — a global sort. The engine instead
+    * computes every block's interleave position in CLOSED FORM:
+    * pos(s, k) = k + Σ_{s'≠s} min(B_s', ceil(t·w_s'/6)) (+ lexicographic
+    * tie credit), with t = k·(6/w) the integer tick — validated
+    * against the naive window, which IS the oracle. Zero windows, zero
+    * corpus shuffles: geometry and schedule are block-level tables
+    * (n/1024 rows) built from a 20-row source dictionary, and the
+    * corpus pass is one broadcast-joined map. Weights are a
+    * deterministic 1..3 from the source name; blocks are c08-style
+    * identity-hash shards, so membership is growth-stable. */
+  def c10MixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+    val geo = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        greatest(lit(1L), ceil(col("n") / lit(BucketDocs.toDouble)))
+          .cast("long").as("b"),
+        expr("cast(substring(source, 4) as bigint) % 3 + 1").as("w"))
+    val blocks = geo
+      .select(col("source"), col("w"),
+        explode(sequence(lit(0L), col("b") - 1)).as("k"))
+      .withColumn("t", col("k") * expr("6 div w"))
+    val other = geo.select(col("source").as("o_source"),
+      col("b").as("o_b"), col("w").as("o_w"))
+    val lt = least(col("o_b"), expr("(t * o_w + 5) div 6"))
+    val tie = when(col("o_source") < col("source") &&
+      expr("(t * o_w) % 6 = 0 and (t * o_w) div 6 < o_b"), 1L)
+      .otherwise(0L)
+    val sched = blocks
+      .join(broadcast(other), col("source") =!= col("o_source"), "left")
+      .groupBy(col("source"), col("k"))
+      .agg(coalesce(sum(lt + tie), lit(0L)).as("c"))
+      .select(col("source"), col("k").as("blk"),
+        (col("k") + col("c")).as("blk_pos"))
+    docs.join(broadcast(geo.select(col("source"), col("b"))), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        pmod(Shingles.md5Hash60(concat(lit("graft-mix:"),
+          col("doc_id").cast("string"))), col("b")).as("blk"))
+      .join(broadcast(sched), Seq("source", "blk"))
+      .select(col("doc_id"), col("source"), col("blk"), col("blk_pos"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def packInputSql: String =
@@ -575,7 +622,35 @@ object Corpus {
        |  ((global_pos - 1) * 10) // n AS phase
        |FROM r, nn ORDER BY doc_id""".stripMargin
 
+  /** c10's oracle IS the naive global interleave window the closed form
+    * replaces — ROW_NUMBER over every block ordered by (tick, source). */
+  private val c10Sql: String =
+    s"""WITH src AS (SELECT source, COUNT(*) AS n FROM documents
+       |            GROUP BY 1),
+       |geo AS (
+       |  SELECT source,
+       |    GREATEST(1, CAST(CEIL(n / $BucketDocs.0) AS BIGINT)) AS b,
+       |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+       |  FROM src),
+       |blocks AS (
+       |  SELECT source, CAST(k AS BIGINT) AS k,
+       |    CAST(k AS BIGINT) * (6 // w) AS t
+       |  FROM geo, LATERAL (SELECT unnest(range(0, b)) AS k)),
+       |pos AS (
+       |  SELECT source, k,
+       |    ROW_NUMBER() OVER (ORDER BY t, source) - 1 AS blk_pos
+       |  FROM blocks),
+       |d AS (
+       |  SELECT doc_id, dd.source,
+       |    CAST(('0x' || substr(md5('graft-mix:'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % b AS blk
+       |  FROM documents dd JOIN geo ON geo.source = dd.source)
+       |SELECT d.doc_id, d.source, d.blk, pos.blk_pos
+       |FROM d JOIN pos ON pos.source = d.source AND pos.k = d.blk
+       |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "c10_mix_schedule" -> c10Sql,
     "c01_pack_concat" -> c01Sql,
     "c02_pack_greedy" -> c02Sql,
     "c03_chunk_overlap" -> c03Sql,
@@ -596,6 +671,7 @@ object Corpus {
     "c06_split_assign" -> (c06SplitAssign _),
     "c07_split_leak" -> (c07SplitLeak _),
     "c08_epoch_shuffle" -> (c08EpochShuffle _),
-    "c09_curriculum" -> (c09Curriculum _)
+    "c09_curriculum" -> (c09Curriculum _),
+    "c10_mix_schedule" -> (c10MixSchedule _)
   )
 }

@@ -263,6 +263,30 @@ class CorpusSpec extends AnyFunSuite {
       (0L, 4L, 6L), (2L, 5L, 8L)))
   }
 
+  test("c10 mix schedule: closed-form positions equal the hand-computed " +
+    "weighted interleave, and form a permutation") {
+    // src0: 3000 docs -> B=3, w=1 (ticks 0,6,12); src1: 2500 -> B=3,
+    // w=2 (ticks 0,3,6); src2: 1100 -> B=2, w=3 (ticks 0,2). Order by
+    // (tick, source): src0k0, src1k0, src2k0, src2k1, src1k1, src0k1,
+    // src1k2, src0k2.
+    val rows =
+      (0L until 3000L).map(i => (i, "w", "en", "src0")) ++
+      (3000L until 5500L).map(i => (i, "w", "en", "src1")) ++
+      (5500L until 6600L).map(i => (i, "w", "en", "src2"))
+    val dir = docsDir(rows)
+    val got = Corpus.c10MixSchedule(spark, dir)
+    val sched = got.select("source", "blk", "blk_pos").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(sched === Map(
+      ("src0", 0L) -> 0L, ("src1", 0L) -> 1L, ("src2", 0L) -> 2L,
+      ("src2", 1L) -> 3L, ("src1", 1L) -> 4L, ("src0", 1L) -> 5L,
+      ("src1", 2L) -> 6L, ("src0", 2L) -> 7L))
+    // positions are a permutation of 0..n_blocks-1; every doc scheduled
+    assert(sched.values.toSeq.sorted === (0L until 8L))
+    assert(got.count() === 6600L)
+  }
+
   test("c06 split: stable under corpus growth, text-independent, ~98/1/1") {
     val dirSmall = docsDir((0L to 99L).map(i => (i, words(10), "en", "a")))
     val small = Corpus.c06SplitAssign(spark, dirSmall)
