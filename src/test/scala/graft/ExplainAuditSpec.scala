@@ -525,6 +525,20 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"per-doc rank window lost its chunk key: partition sizes $windows")
   }
 
+  test("c10 mix schedule: ZERO windows (the closed form replaces the " +
+    "naive interleave sort), corpus side broadcast-joined") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = graft.operators.Corpus.c10MixSchedule(spark, sfDir)
+      .queryExecution
+    assert(qe.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "closed-form schedule must not window")
+    val p = plan(graft.operators.Corpus.c10MixSchedule(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"doc-side schedule join must broadcast the block table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must never shuffle for the schedule:\n$p")
+  }
+
   test("c03 chunking: zero exchanges — a pure per-row map over the scan") {
     val p = plan(graft.operators.Corpus.c03ChunkOverlap(spark, sfDir))
     assert(!p.contains("Arguments: hashpartitioning") &&
