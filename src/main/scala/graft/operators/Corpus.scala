@@ -415,11 +415,15 @@ object Corpus {
       .agg(coalesce(sum(lt + tie), lit(0L)).as("c"))
       .select(col("source"), col("k").as("blk"),
         (col("k") + col("c")).as("blk_pos"))
+    // sched is n/1024 rows: auto-broadcast covers it to ~10^9-doc
+    // corpora; past that AQE degrades this to a plain equi-join moving
+    // only (source, blk, pos) ids — no forced hint, so neither regime
+    // is mis-planned
     docs.join(broadcast(geo.select(col("source"), col("b"))), Seq("source"))
       .select(col("doc_id"), col("source"),
         pmod(Shingles.md5Hash60(concat(lit("graft-mix:"),
           col("doc_id").cast("string"))), col("b")).as("blk"))
-      .join(broadcast(sched), Seq("source", "blk"))
+      .join(sched, Seq("source", "blk"))
       .select(col("doc_id"), col("source"), col("blk"), col("blk_pos"))
       .sortWithinPartitions(col("doc_id"))
   }
