@@ -281,6 +281,38 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d16 — asymmetric CONTAINMENT (|A∩B| / |A| over shingle sets): the
+    * quote / boilerplate-wrapped-copy case symmetric Jaccard
+    * structurally misses — a small doc fully quoted inside a large one
+    * has |∩|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so no resemblance
+    * threshold finds it. Emits both directions per pair; flagged when
+    * either side is ≥ 0.8 contained. Like d04 this is the BOUNDED
+    * (doc_id < 200, broadcast) exact truth baseline: the scale paths
+    * for the two containment regimes already exist — comparable-size
+    * near-supersets collide in d02's resemblance bands, and verbatim
+    * containment (the dominant real case) is exactly d10's
+    * suffix-window substring dedup. Docs whose shingle set is empty
+    * (< 3 words) are excluded on both sides, mirroring d04's
+    * null-filter contract. */
+  def d16Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        array_distinct(Shingles.strings(col("ws"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    docs.as("a").join(broadcast(docs.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / col("na")).as("a_in_b"),
+        (col("inter").cast("double") / col("nb")).as("b_in_a"))
+      .filter(greatest(col("a_in_b"), col("b_in_a")) >= 0.8)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** d05 — embedding-cosine near-dup over all pairs (exact baseline; the
     * scale path is s02's LSH bucketing). Cosine accumulates in double via
     * the codegen'd CosineSimilarity kernel; τ=0.35 is calibrated to the
@@ -1617,6 +1649,28 @@ object Dedup {
         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+    // d16: d04's shingle comprehension, containment ratios both ways
+    "d16_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ')
+        |      for i in range(1, len(ws)-1)]) AS s
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN len(string_split(text,' ')) >= 3
+        |               THEN string_split(text,' ') ELSE [text] END AS ws
+        |        FROM documents WHERE doc_id < 200)),
+        |nz AS (SELECT * FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+        |    AS a_in_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+        |    AS b_in_a
+        |FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |WHERE greatest(
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s),
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s))
+        |  >= 0.8
         |ORDER BY a, b""".stripMargin
   )
 
@@ -1635,6 +1689,7 @@ object Dedup {
     "d12_incremental_lsh_index" -> (d12IncrementalLshIndex _),
     "d13_dedup_eval" -> (d13DedupEval _),
     "d14_dedup_assign" -> (d14DedupAssign _),
-    "d15_embedding_assign" -> (d15EmbeddingAssign _)
+    "d15_embedding_assign" -> (d15EmbeddingAssign _),
+    "d16_containment" -> (d16Containment _)
   )
 }

@@ -135,6 +135,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!byPair.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("d16 containment flags the quoted-inside case Jaccard misses") {
+    val extra = (1 to 70).map(i => s"pad$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> baseText,                    // 30 words, fully quoted in 1
+      1L -> (baseText + " " + extra),    // 100-word container
+      2L -> unrelated))
+    val rows = Dedup.d16Containment(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // the quoted doc is 100% contained; the container is far below τ
+    val (aInB, bInA) = rows((0L, 1L))
+    assert(aInB === 1.0 && bInA < 0.4, s"containment: $aInB / $bInA")
+    assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // and symmetric Jaccard on the same pair sits below d02's τ=0.6 —
+    // the case this operator exists for
+    val jac = Dedup.d04NgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((0L, 1L)) < 0.6,
+      s"planted pair must be invisible to resemblance: ${jac((0L, 1L))}")
+  }
+
   test("t05 sketch stats: exact facts match, tolerance flags all true") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val got = TextAnalysis.t05CorpusStats(spark, sfDir).collect()
