@@ -91,7 +91,8 @@ class ExplainAuditSpec extends AnyFunSuite {
     // 1000x corpus for d04's 200-doc bound. The explicit hint pins the
     // broadcast at every SF, not just where the estimate happens to fit.
     Seq(Dedup.d04NgramJaccard(spark, sfDir),
-      Dedup.d05DedupEmbedding(spark, sfDir)).foreach { df =>
+      Dedup.d05DedupEmbedding(spark, sfDir),
+      Dedup.d16Containment(spark, sfDir)).foreach { df =>
       val p = plan(df)
       assert(p.contains("BroadcastNestedLoopJoin"), p)
       assert(!p.contains("CartesianProduct"), p)
