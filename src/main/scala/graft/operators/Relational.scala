@@ -860,7 +860,138 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q44 — windowed funnel (ClickHouse `windowFunnel`'s job, the event
+    * analytics every behavioral warehouse runs): per user, the deepest
+    * prefix of the view → click → purchase chain reachable with events
+    * strictly increasing in (ts, event_id) and the whole chain inside a
+    * 24 h window. ONE shuffle on user_id, then a per-user sorted fold —
+    * the greedy state is three longs (per level, the MAX first-event
+    * time over chains reaching it), and max-first dominance makes the
+    * single-slot greedy EXACT: a later-starting chain is extendable
+    * whenever any chain is, because the only constraint on the next
+    * event is ts ≤ first + W. Per-task state is bounded by one user's
+    * events, never the corpus; no self-joins anywhere (the oracle's
+    * EXISTS-join form is the semantics, quadratic per user — the fold
+    * is the linear form).
+    */
+  def q44Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val W = 24L * 3600 * 1000000 // 24 h in micros
+    val wanted = Seq("view", "click", "purchase")
+    val es = Tables(spark, dir).events
+      .filter(col("event_type").isin(wanted: _*))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("event_type").as("y")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    val init = struct(
+      lit(null).cast("long").as("g1"), lit(null).cast("long").as("g2"),
+      lit(null).cast("long").as("g3"))
+    val level = aggregate(col("es"), init,
+      (g, e) => {
+        val t = e.getField("t"); val y = e.getField("y")
+        val g1 = when(y === "view",
+          greatest(coalesce(g.getField("g1"), lit(Long.MinValue)), t))
+          .otherwise(g.getField("g1"))
+        val canC = y === "click" && g.getField("g1").isNotNull &&
+          t - g.getField("g1") <= W
+        val g2 = when(canC,
+          greatest(coalesce(g.getField("g2"), lit(Long.MinValue)),
+            g.getField("g1"))).otherwise(g.getField("g2"))
+        val canP = y === "purchase" && g.getField("g2").isNotNull &&
+          t - g.getField("g2") <= W
+        val g3 = when(canP,
+          greatest(coalesce(g.getField("g3"), lit(Long.MinValue)),
+            g.getField("g2"))).otherwise(g.getField("g3"))
+        struct(g1.as("g1"), g2.as("g2"), g3.as("g3"))
+      },
+      g => when(g.getField("g3").isNotNull, 3)
+        .when(g.getField("g2").isNotNull, 2)
+        .when(g.getField("g1").isNotNull, 1).otherwise(0))
+    val levels = es.select(col("user_id"),
+      level.cast("bigint").as("lvl"))
+    // users with none of the funnel events still report level 0
+    Tables(spark, dir).events.select(col("user_id")).distinct()
+      .join(levels, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("lvl"), lit(0L)).as("funnel_level"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q45 — retention cohorts (ClickHouse `retention`'s job): users
+    * cohorted by their FIRST-ever active week, then the fraction of
+    * each cohort still active k weeks later. Two hash aggregations
+    * (per-user first week; distinct user-week activity) + one shuffle
+    * join on user — at 100 TB both aggregates are map-side-combinable
+    * and the cohort-size table is thousands of rows, broadcast for the
+    * ratio. Weeks are Monday-truncated in BOTH engines. */
+  def q45Retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    weeks.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("(unix_seconds(wk) - unix_seconds(cohort_week)) div 604800")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        (col("n_active").cast("double") /
+          col("cohort_users").cast("double")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q44_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |l3 AS (
+        |  SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND v.event_type = 'view'
+        |    AND c.event_type = 'click' AND (v.ts, v.event_id) < (c.ts, c.event_id)
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND (c.ts, c.event_id) < (p.ts, p.event_id)
+        |    AND p.ts - v.ts <= INTERVAL 24 HOUR),
+        |l2 AS (
+        |  SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND v.event_type = 'view'
+        |    AND c.event_type = 'click' AND (v.ts, v.event_id) < (c.ts, c.event_id)
+        |    AND c.ts - v.ts <= INTERVAL 24 HOUR),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view')
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |       WHEN l2.user_id IS NOT NULL THEN 2
+        |       WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_level
+        |FROM u LEFT JOIN l3 USING (user_id) LEFT JOIN l2 USING (user_id)
+        |       LEFT JOIN l1 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q45_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1),
+        |s AS (SELECT cohort_week, COUNT(*) AS cohort_users
+        |      FROM c GROUP BY 1),
+        |a AS (
+        |  SELECT c.cohort_week,
+        |    (epoch_us(w.wk) - epoch_us(c.cohort_week)) // 604800000000
+        |      AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM w JOIN c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active,
+        |  CAST(a.n_active AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+        |    AS retention
+        |FROM a JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q43_multi_count_distinct" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_users,
@@ -1272,6 +1403,8 @@ object Relational {
     "q40_exact_percentile" -> (q40ExactPercentile _),
     "q41_higher_order_array" -> (q41HigherOrderArray _),
     "q42_filtered_agg" -> (q42FilteredAgg _),
-    "q43_multi_count_distinct" -> (q43MultiCountDistinct _)
+    "q43_multi_count_distinct" -> (q43MultiCountDistinct _),
+    "q44_funnel" -> (q44Funnel _),
+    "q45_retention" -> (q45Retention _)
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Behavior specs for the event-analytics operators q44 (windowed
+  * funnel) and q45 (retention cohorts) — hand-computed chains on a
+  * planted events table, including the chain-restart case that proves
+  * the greedy fold's max-first-timestamp dominance is exact.
+  */
+class FunnelRetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionFixture.spark
+  private val sfDir = SparkSessionFixture.sfDir
+
+  /** events.parquet with the driver's schema; ts as hours from t0. */
+  private def eventsDir(rows: Seq[(Long, Long, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val t0 = 1700000000000000L // micros
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val data = rows.zipWithIndex.map { case ((user, _, hours, typ), i) =>
+      Row(i.toLong, new Timestamp((t0 + (hours * 3600e6).toLong) / 1000L),
+        user, typ, 1.0, "{}")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q44 funnel levels on hand-computed chains, incl. chain restart") {
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    val dir = eventsDir(Seq(
+      // u1: clean 3-chain inside the window
+      e(1, 0, "view"), e(1, 1, "click"), e(1, 2, "purchase"),
+      // u2: click lands outside the 24 h window -> stuck at 1
+      e(2, 0, "view"), e(2, 25, "click"),
+      // u3: no click at all -> 1
+      e(3, 0, "view"), e(3, 1, "purchase"),
+      // u4: never views -> 0
+      e(4, 0, "click"), e(4, 1, "purchase"),
+      // u5: right events, wrong order -> only the view counts
+      e(5, 0, "purchase"), e(5, 1, "click"), e(5, 2, "view"),
+      // u6: chain spans 25 h total -> purchase misses the window -> 2
+      e(6, 0, "view"), e(6, 23, "click"), e(6, 25, "purchase"),
+      // u7: THE dominance case — only the chain restarting at the
+      // second view reaches purchase inside 24 h -> 3
+      e(7, 0, "view"), e(7, 10, "view"), e(7, 20, "click"),
+      e(7, 30, "purchase"),
+      // u8: unrelated types only -> 0
+      e(8, 0, "error"), e(8, 1, "signup")))
+    val got = Relational.q44Funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 0L))
+  }
+
+  test("q44 on the sf table: levels monotone-populated and in range") {
+    val levels = Relational.q44Funnel(spark, sfDir).collect()
+      .map(_.getLong(1))
+    assert(levels.nonEmpty && levels.forall(l => l >= 0 && l <= 3))
+    // the synthetic corpus has heavy event traffic: someone converts
+    assert(levels.max === 3L, "no user completed the funnel — suspicious")
+  }
+
+  test("q45 retention: offset-0 is 1.0 by construction, ratios bounded") {
+    val rows = Relational.q45Retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, ret) = (r.getLong(1), r.getDouble(3))
+      assert(ret > 0.0 && ret <= 1.0)
+      if (off == 0L) assert(ret === 1.0,
+        "every user is active in their own cohort week")
+    }
+  }
+}
