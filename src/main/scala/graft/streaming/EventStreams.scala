@@ -70,6 +70,39 @@ object EventStreams {
     UserSessions(userId, st.nEvents, st.nSessions)
   }
 
+  final case class FEv(user_id: Long, event_id: Long, ts_us: Long,
+    y: String)
+  /** Funnel greedy state: per level, the MAX first-event time over
+    * chains reaching it (Long.MinValue = unreached) — q44's exact
+    * dominance argument, carried across micro-batches. */
+  final case class FunnelState(g1: Long, g2: Long, g3: Long)
+  final case class UserFunnel(user_id: Long, funnel_level: Long)
+
+  /** The ONE funnel fold batch q44 and streaming st26 share in shape:
+    * events sorted by (ts, id); view raises g1, click/purchase extend
+    * within the 24 h window measured from the chain's first event. */
+  def foldFunnel(wUs: Long, init: FunnelState,
+      evs: Iterator[FEv]): FunnelState = {
+    var st = init
+    evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      e.y match {
+        case "view" => st = st.copy(g1 = math.max(st.g1, e.ts_us))
+        case "click" if st.g1 != Long.MinValue && e.ts_us - st.g1 <= wUs =>
+          st = st.copy(g2 = math.max(st.g2, st.g1))
+        case "purchase" if st.g2 != Long.MinValue &&
+            e.ts_us - st.g2 <= wUs =>
+          st = st.copy(g3 = math.max(st.g3, st.g2))
+        case _ =>
+      }
+    }
+    st
+  }
+
+  def funnelLevel(st: FunnelState): Long =
+    if (st.g3 != Long.MinValue) 3L
+    else if (st.g2 != Long.MinValue) 2L
+    else if (st.g1 != Long.MinValue) 1L else 0L
+
   /** st02 — stateful sessionization via mapGroupsWithState (30-min gap). */
   def sessionize(events: Dataset[Ev], gapUs: Long = 1800L * 1000000L)
       : Dataset[UserSessions] = {
@@ -1115,6 +1148,44 @@ object EventStreams {
       .orderBy(col("day"))
   }
 
+  /** st26 — the streaming twin of q44's windowed funnel: per-user
+    * funnel state live at the tip. State per user is THREE LONGS (the
+    * greedy max-first times), updated by the same fold as the batch
+    * operator; the ts-range-ordered chunk staging guarantees events
+    * arrive in global event-time order across micro-batches, so the
+    * incremental fold lands exactly on the batch answer (q44's oracle
+    * verifies the stream run verbatim). Level is monotone, so the
+    * update-mode sink finalizes with MAX per user. */
+  def st26StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val wUs = 24L * 3600 * 1000000
+    val evs = eventsStreamChunked(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("y"))
+      .as[FEv]
+    val updated = evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FEv],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val st = foldFunnel(wUs, state.getOption.getOrElse(
+            FunnelState(Long.MinValue, Long.MinValue, Long.MinValue)), it)
+          state.update(st)
+          UserFunnel(uid, funnelLevel(st))
+      }
+    val levels = runToTable(updated.toDF(), "update")
+      .groupBy(col("user_id")).agg(max(col("funnel_level")).as("lvl"))
+    graft.sources.Tables(spark, dir).events
+      .select(col("user_id")).distinct()
+      .join(levels, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("lvl"), lit(0L)).as("funnel_level"))
+      .orderBy(col("user_id"))
+  }
+
   /** st25 — the streaming tip-follow twin of k29's quantile rollup: a
     * live per-day integer log-binned histogram over the event stream.
     * The state per day is the histogram itself (a few hundred (bin,
@@ -1197,6 +1268,10 @@ object EventStreams {
     // packer lands — c02's recursive-CTE oracle verbatim
     "st23_stream_pack" ->
       graft.operators.Corpus.oracle("c02_pack_greedy"),
+    // st26: the incremental funnel must land exactly where the batch
+    // fold lands — q44's EXISTS-join oracle verbatim
+    "st26_stream_funnel" ->
+      graft.operators.Relational.oracle("q44_funnel"),
     // st25: the streamed sketch is integer-exact, so the oracle replays
     // the FULL quantile values from the fact table (k29's arithmetic)
     "st25_stream_quantile" -> {
@@ -1384,6 +1459,7 @@ object EventStreams {
     "st20_stream_asof" -> (st20StreamAsof _),
     "st23_stream_pack" -> (st23StreamPack _),
     "st24_stream_sketch" -> (st24StreamSketch _),
-    "st25_stream_quantile" -> (st25StreamQuantile _)
+    "st25_stream_quantile" -> (st25StreamQuantile _),
+    "st26_stream_funnel" -> (st26StreamFunnel _)
   )
 }

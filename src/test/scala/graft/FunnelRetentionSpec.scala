@@ -71,6 +71,28 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(levels.max === 3L, "no user completed the funnel — suspicious")
   }
 
+  test("st26 streaming funnel equals batch q44 on the sf table") {
+    val stream = streaming.EventStreams.st26StreamFunnel(spark, sfDir)
+    val batch = Relational.q44Funnel(spark, sfDir)
+    assert(batch.count() > 0)
+    assert(stream.except(batch).union(batch.except(stream)).count() === 0L,
+      "incremental funnel diverged from the batch fold")
+  }
+
+  test("st26 carries chain state across micro-batch boundaries") {
+    // user 1's chain spans the full ts range, so the ts-range chunking
+    // (>=2 chunks) necessarily splits it: view lands in an earlier
+    // trigger than the purchase — lost g-state would cap the level < 3
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    val filler = (10L to 29L).map(u => e(u, (u - 10L).toDouble, "error"))
+    val dir = eventsDir(Seq(
+      e(1, 0, "view"), e(1, 9, "click"), e(1, 19, "purchase")) ++ filler)
+    val got = streaming.EventStreams.st26StreamFunnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 3L, s"state lost across a chunk boundary: $got")
+    assert(got.filterNot(_._1 == 1L).values.forall(_ == 0L))
+  }
+
   test("q45 retention: offset-0 is 1.0 by construction, ratios bounded") {
     val rows = Relational.q45Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
