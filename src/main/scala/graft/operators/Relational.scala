@@ -946,7 +946,45 @@ object Relational {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q46 — user-path transition matrix (the journey/Markov analysis
+    * behind "where do users go after X"): consecutive event-type pairs
+    * per user in (ts, event_id) order, counted globally, with each
+    * from-type's outgoing probability. One user-keyed window (bounded
+    * by a user's events, the q09/q28 class) + one tiny aggregate; the
+    * per-from normalizer is a broadcast of ≤|types|² rows. */
+  def q46PathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outs = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(outs), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_out").cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q46_path_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |p AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_type, SUM(n) AS n_out FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  CAST(p.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p
+        |FROM p JOIN o USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q44_funnel" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, event_type FROM events
@@ -1405,6 +1443,7 @@ object Relational {
     "q42_filtered_agg" -> (q42FilteredAgg _),
     "q43_multi_count_distinct" -> (q43MultiCountDistinct _),
     "q44_funnel" -> (q44Funnel _),
-    "q45_retention" -> (q45Retention _)
+    "q45_retention" -> (q45Retention _),
+    "q46_path_transitions" -> (q46PathTransitions _)
   )
 }

@@ -93,6 +93,28 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got.filterNot(_._1 == 1L).values.forall(_ == 0L))
   }
 
+  test("q46 transitions: hand-computed counts, rows are a distribution") {
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    // u1: view->click->view->purchase; u2: view->click
+    val dir = eventsDir(Seq(
+      e(1, 0, "view"), e(1, 1, "click"), e(1, 2, "view"),
+      e(1, 3, "purchase"), e(2, 0, "view"), e(2, 1, "click")))
+    val got = Relational.q46PathTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // transitions: u1 v->c, c->v, v->p; u2 v->c. From 'view': 3 total.
+    assert(got === Map(
+      ("view", "click") -> (2L, 2.0 / 3.0),
+      ("view", "purchase") -> (1L, 1.0 / 3.0),
+      ("click", "view") -> (1L, 1.0)))
+    // on the sf table: each from_type's outgoing p sums to ~1
+    val sums = Relational.q46PathTransitions(spark, sfDir).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(3)).sum)
+    sums.foreach { case (f, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"$f outgoing p sums to $s") }
+  }
+
   test("q45 retention: offset-0 is 1.0 by construction, ratios bounded") {
     val rows = Relational.q45Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
