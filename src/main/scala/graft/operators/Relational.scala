@@ -908,15 +908,20 @@ object Relational {
       g => when(g.getField("g3").isNotNull, 3)
         .when(g.getField("g2").isNotNull, 2)
         .when(g.getField("g1").isNotNull, 1).otherwise(0))
-    val levels = es.select(col("user_id"),
-      level.cast("bigint").as("lvl"))
-    // users with none of the funnel events still report level 0
+    funnelAllUsers(spark, dir,
+      es.select(col("user_id"), level.cast("bigint").as("lvl")))
+  }
+
+  /** The funnel output contract q44 and its streaming twin st26 share:
+    * every user of the events table reports a level (0 when none of
+    * the funnel events occurred), named funnel_level, user-ordered. */
+  private[graft] def funnelAllUsers(spark: SparkSession, dir: String,
+      levels: DataFrame): DataFrame =
     Tables(spark, dir).events.select(col("user_id")).distinct()
       .join(levels, Seq("user_id"), "left")
       .select(col("user_id"),
         coalesce(col("lvl"), lit(0L)).as("funnel_level"))
       .orderBy(col("user_id"))
-  }
 
   /** q45 — retention cohorts (ClickHouse `retention`'s job): users
     * cohorted by their FIRST-ever active week, then the fraction of

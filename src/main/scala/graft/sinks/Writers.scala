@@ -671,6 +671,22 @@ object Writers {
       .select(col("hour"), expr(binIdSql("v1")).as("bin_id"))
       .groupBy(col("hour"), col("bin_id")).agg(count(lit(1)).as("cnt"))
 
+  /** Quantile selection over a merged (day, bin_id, cnt) histogram —
+    * the ONE derivation the batch rollup (k29) and the streaming twin
+    * (st25) share, like the bin kernel itself: rank = ceil(q·n/100),
+    * estimate = first bin whose cumulative count reaches it. */
+  private[graft] def histQuantiles(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayW = Window.partitionBy(col("day"))
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(dayW.orderBy(col("bin_id"))))
+      .withColumn("n", sum(col("cnt")).over(dayW))
+    def pick(q: Int): Column =
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bin_id")))
+    c.groupBy(col("day")).agg(max(col("n")).as("n_events"),
+      pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+  }
+
   def k29QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.sources.Tables(spark, dir).events
@@ -684,13 +700,7 @@ object Writers {
     val nHours = sk.groupBy(date_trunc("day", col("hour")).as("day"))
       .agg(countDistinct(col("hour")).as("n_hours"))
     val dayW = Window.partitionBy(col("day"))
-    val c = daily
-      .withColumn("cum", sum(col("cnt")).over(dayW.orderBy(col("bin_id"))))
-      .withColumn("n", sum(col("cnt")).over(dayW))
-    def pick(q: Int): Column =
-      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bin_id")))
-    val est = c.groupBy(col("day")).agg(max(col("n")).as("n_events"),
-      pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+    val est = histQuantiles(daily)
     // exact rank quantiles — the audit bound (k28 discipline: computed
     // at the gate SFs only to pin the sketch; per-day windows, bounded
     // by the day's events)

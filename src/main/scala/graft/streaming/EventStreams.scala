@@ -1178,12 +1178,8 @@ object EventStreams {
       }
     val levels = runToTable(updated.toDF(), "update")
       .groupBy(col("user_id")).agg(max(col("funnel_level")).as("lvl"))
-    graft.sources.Tables(spark, dir).events
-      .select(col("user_id")).distinct()
-      .join(levels, Seq("user_id"), "left")
-      .select(col("user_id"),
-        coalesce(col("lvl"), lit(0L)).as("funnel_level"))
-      .orderBy(col("user_id"))
+    // q44's output contract, one definition — level-0 backfill included
+    graft.operators.Relational.funnelAllUsers(spark, dir, levels)
   }
 
   /** st25 — the streaming tip-follow twin of k29's quantile rollup: a
@@ -1196,7 +1192,7 @@ object EventStreams {
     * quantiles equal the batch quantiles EXACTLY — so unlike st24's
     * tolerance band, this one carries a full-value oracle. */
   def st25StreamQuantile(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sinks.Writers.{binIdSql, binLbSql, k29Cents}
+    import graft.sinks.Writers.{binIdSql, binLbSql, histQuantiles, k29Cents}
     val hist = runToTable(
       eventsStream(spark, dir)
         .select(date_trunc("day", col("ts")).as("day"),
@@ -1205,15 +1201,7 @@ object EventStreams {
         .groupBy(col("day"), col("bin_id"))
         .agg(count(lit(1)).as("cnt")),
       "complete")
-    val dayW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("day"))
-    val c = hist
-      .withColumn("cum", sum(col("cnt")).over(dayW.orderBy(col("bin_id"))))
-      .withColumn("n", sum(col("cnt")).over(dayW))
-    def pick(q: Int) =
-      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("bin_id")))
-    c.groupBy(col("day")).agg(max(col("n")).as("n_events"),
-        pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+    histQuantiles(hist) // k29's selection, one definition — no drift
       .select(col("day"), col("n_events"),
         expr(binLbSql("b50")).as("p50_cents"),
         expr(binLbSql("b95")).as("p95_cents"),
