@@ -960,18 +960,26 @@ object Relational {
   def q46PathTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = Tables(spark, dir).events
+    transitionMatrix(Tables(spark, dir).events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .where(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-    val outs = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_out"))
-    pairs.join(broadcast(outs), "from_type")
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The transition-matrix output contract q46 and its streaming twin
+    * st27 share: (from_type, to_type, n) pairs normalized to each
+    * from-type's outgoing distribution. The normalizer is a window
+    * over the ≤|types|² pair rows (no self-join — a derived-aggregate
+    * join on a memory-sink lineage trips analyzer reference dedup). */
+  private[graft] def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("from_type"))
+    pairs
       .select(col("from_type"), col("to_type"), col("n"),
-        (col("n").cast("double") / col("n_out").cast("double")).as("p"))
+        (col("n").cast("double") /
+          sum(col("n")).over(w).cast("double")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 

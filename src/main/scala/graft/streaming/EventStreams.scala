@@ -1182,6 +1182,47 @@ object EventStreams {
     graft.operators.Relational.funnelAllUsers(spark, dir, levels)
   }
 
+  final case class TransDelta(user_id: Long, from_type: String,
+    to_type: String, n: Long)
+
+  /** st27 — the streaming twin of q46's path-transition matrix: the
+    * per-user state is ONE STRING (the chronologically-last event
+    * type), each micro-batch emits its DELTA of (from, to) pair counts
+    * — including the boundary pair formed by the stored last type and
+    * the batch's first event — and the batch-side sum + normalization
+    * is q46's shared transitionMatrix contract. ts-range-ordered chunk
+    * arrival makes the incremental pairing exactly the batch LAG, so
+    * q46's oracle verifies the stream run verbatim. The minimal-state
+    * extreme of the stateful-twin ladder: st02 keeps three counters,
+    * st26 three longs, st27 one enum-valued string per user. */
+  def st27StreamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val evs = eventsStreamChunked(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("y"))
+      .as[FEv]
+    val deltas = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FEv],
+         state: org.apache.spark.sql.streaming.GroupState[String]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          val types = state.getOption.toSeq ++ sorted.map(_.y)
+          if (sorted.nonEmpty) state.update(sorted.last.y)
+          types.sliding(2).collect { case Seq(a, b) => (a, b) }
+            .toSeq.groupBy(identity).map { case ((a, b), g) =>
+              TransDelta(uid, a, b, g.size.toLong)
+            }.iterator
+      }
+    graft.operators.Relational.transitionMatrix(
+      runToTable(deltas.toDF(), "update")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("n")))
+  }
+
   /** st25 — the streaming tip-follow twin of k29's quantile rollup: a
     * live per-day integer log-binned histogram over the event stream.
     * The state per day is the histogram itself (a few hundred (bin,
@@ -1256,6 +1297,10 @@ object EventStreams {
     // packer lands — c02's recursive-CTE oracle verbatim
     "st23_stream_pack" ->
       graft.operators.Corpus.oracle("c02_pack_greedy"),
+    // st27: the incremental pairing must land exactly where the batch
+    // LAG lands — q46's oracle verbatim
+    "st27_stream_transitions" ->
+      graft.operators.Relational.oracle("q46_path_transitions"),
     // st26: the incremental funnel must land exactly where the batch
     // fold lands — q44's EXISTS-join oracle verbatim
     "st26_stream_funnel" ->
@@ -1448,6 +1493,7 @@ object EventStreams {
     "st23_stream_pack" -> (st23StreamPack _),
     "st24_stream_sketch" -> (st24StreamSketch _),
     "st25_stream_quantile" -> (st25StreamQuantile _),
-    "st26_stream_funnel" -> (st26StreamFunnel _)
+    "st26_stream_funnel" -> (st26StreamFunnel _),
+    "st27_stream_transitions" -> (st27StreamTransitions _)
   )
 }

@@ -115,6 +115,29 @@ class FunnelRetentionSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-9, s"$f outgoing p sums to $s") }
   }
 
+  test("st27 streaming transitions equal batch q46 on the sf table") {
+    val stream = streaming.EventStreams.st27StreamTransitions(spark, sfDir)
+    val batch = Relational.q46PathTransitions(spark, sfDir)
+    assert(batch.count() > 0)
+    assert(stream.except(batch).union(batch.except(stream)).count() === 0L,
+      "incremental pairing diverged from the batch LAG")
+  }
+
+  test("st27 counts the boundary pair across micro-batches exactly once") {
+    // u1's two events straddle the full ts range, so the ts-range
+    // chunking splits them: the view->purchase pair exists ONLY as the
+    // stored-state boundary pair — lost state drops it, replayed state
+    // double-counts it
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    val filler = (0 until 20).map(i => e(10, i.toDouble, "error"))
+    val dir = eventsDir(Seq(e(1, 0, "view"), e(1, 19, "purchase")) ++ filler)
+    val got = streaming.EventStreams.st27StreamTransitions(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("view", "purchase")) === 1L, s"boundary pair wrong: $got")
+    assert(got(("error", "error")) === 19L)
+  }
+
   test("q45 retention: offset-0 is 1.0 by construction, ratios bounded") {
     val rows = Relational.q45Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
