@@ -351,7 +351,18 @@ object Corpus {
       .select(col("doc_id"),
         tokCount(col("text")).cast("bigint").as("score"),
         expr(s"doc_id div $BucketDocs").as("chunk"))
-    // value-domain-bounded score histogram -> driver -> prefix offsets
+    // value-domain-bounded score histogram -> driver -> prefix offsets.
+    // Fail-LOUD guard first: the collect is sized by the value domain,
+    // and an adversarial corpus with near-unique scores would silently
+    // turn it into an O(n) driver collect. One scalar probe (the
+    // dup-density discipline) refuses past a few million distinct
+    // scores instead of OOMing the driver.
+    val approxScores = scored
+      .agg(approx_count_distinct(col("score")).as("nd"))
+      .first().getLong(0)
+    require(approxScores <= 4000000L,
+      s"c09: ~$approxScores distinct scores — value domain too large " +
+        "to collect; coarsen the score or add a third rank level")
     val hist = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -398,10 +409,26 @@ object Corpus {
       .select(col("source"),
         greatest(lit(1L), ceil(col("n") / lit(BucketDocs.toDouble)))
           .cast("long").as("b"),
-        expr("cast(substring(source, 4) as bigint) % 3 + 1").as("w"))
+        // try_cast keeps the weight TOTAL: Spark's plain cast silently
+        // NULLs a non-numeric suffix (nulling the whole schedule) while
+        // DuckDB's throws — divergent failure modes. Both engines now
+        // agree: unparseable suffix -> weight 1.
+        expr("coalesce(try_cast(substring(source, 4) as bigint), 0)" +
+          " % 3 + 1").as("w"))
+    // two-level block-id generation: ONE sequence per source would
+    // materialize all B_s ids in a single in-memory array (tens of
+    // millions of elements at the 10^9-doc regime, over Spark's array
+    // cap past that). Chunking bounds every materialized array to
+    // max(B_s/4096, 4096) elements — the c03-style bounded explode.
+    val C = 4096L
     val blocks = geo
-      .select(col("source"), col("w"),
-        explode(sequence(lit(0L), col("b") - 1)).as("k"))
+      .select(col("source"), col("w"), col("b"),
+        explode(sequence(lit(0L), expr(s"(b - 1) div $C"))).as("kc"))
+      .select(col("source"), col("w"), col("b"), col("kc"),
+        explode(sequence(lit(0L), lit(C - 1))).as("ki"))
+      .select(col("source"), col("w"), col("b"),
+        (col("kc") * C + col("ki")).as("k"))
+      .where(col("k") < col("b"))
       .withColumn("t", col("k") * expr("6 div w"))
     val other = geo.select(col("source").as("o_source"),
       col("b").as("o_b"), col("w").as("o_w"))
@@ -634,7 +661,7 @@ object Corpus {
        |geo AS (
        |  SELECT source,
        |    GREATEST(1, CAST(CEIL(n / $BucketDocs.0) AS BIGINT)) AS b,
-       |    CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+       |    COALESCE(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 3 + 1 AS w
        |  FROM src),
        |blocks AS (
        |  SELECT source, CAST(k AS BIGINT) AS k,

@@ -869,47 +869,34 @@ object Relational {
     * time over chains reaching it), and max-first dominance makes the
     * single-slot greedy EXACT: a later-starting chain is extendable
     * whenever any chain is, because the only constraint on the next
-    * event is ts ≤ first + W. Per-task state is bounded by one user's
-    * events, never the corpus; no self-joins anywhere (the oracle's
-    * EXISTS-join form is the semantics, quadratic per user — the fold
-    * is the linear form).
+    * event is ts ≤ first + W. Per-task state is THREE LONGS (the
+    * current user's greedy state, [[Funnel.step]]), never the user's
+    * event list: the plan is repartition(user) →
+    * sortWithinPartitions(user, ts, id) → one streaming pass
+    * ([[Funnel.levelsByUser]]) — the secondary-sort reduce. A hot user
+    * holding 10% of a 100 TB corpus costs a sort-spill, not a
+    * multi-GB in-memory array (the previous sort_array(collect_list)
+    * spelling materialized each user's history in one row — task OOM /
+    * 2 GB row limit at power-law skew). No self-joins anywhere (the
+    * oracle's EXISTS-join form is the semantics, quadratic per user —
+    * the fold is the linear form); st26 carries the identical fold
+    * incrementally.
     */
   def q44Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val W = 24L * 3600 * 1000000 // 24 h in micros
     val wanted = Seq("view", "click", "purchase")
-    val es = Tables(spark, dir).events
+    val levels = Tables(spark, dir).events
       .filter(col("event_type").isin(wanted: _*))
-      .select(col("user_id"),
-        struct(unix_micros(col("ts")).as("t"), col("event_id").as("i"),
-          col("event_type").as("y")).as("e"))
-      .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("e"))).as("es"))
-    val init = struct(
-      lit(null).cast("long").as("g1"), lit(null).cast("long").as("g2"),
-      lit(null).cast("long").as("g3"))
-    val level = aggregate(col("es"), init,
-      (g, e) => {
-        val t = e.getField("t"); val y = e.getField("y")
-        val g1 = when(y === "view",
-          greatest(coalesce(g.getField("g1"), lit(Long.MinValue)), t))
-          .otherwise(g.getField("g1"))
-        val canC = y === "click" && g.getField("g1").isNotNull &&
-          t - g.getField("g1") <= W
-        val g2 = when(canC,
-          greatest(coalesce(g.getField("g2"), lit(Long.MinValue)),
-            g.getField("g1"))).otherwise(g.getField("g2"))
-        val canP = y === "purchase" && g.getField("g2").isNotNull &&
-          t - g.getField("g2") <= W
-        val g3 = when(canP,
-          greatest(coalesce(g.getField("g3"), lit(Long.MinValue)),
-            g.getField("g2"))).otherwise(g.getField("g3"))
-        struct(g1.as("g1"), g2.as("g2"), g3.as("g3"))
-      },
-      g => when(g.getField("g3").isNotNull, 3)
-        .when(g.getField("g2").isNotNull, 2)
-        .when(g.getField("g1").isNotNull, 1).otherwise(0))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type").as("y"))
+      .as[Funnel.FEv]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions(it => Funnel.levelsByUser(W, it))
     funnelAllUsers(spark, dir,
-      es.select(col("user_id"), level.cast("bigint").as("lvl")))
+      levels.toDF().select(col("user_id"), col("funnel_level").as("lvl")))
   }
 
   /** The funnel output contract q44 and its streaming twin st26 share:
@@ -939,9 +926,13 @@ object Relational {
     val sizes = cohorts.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("cohort_users"))
     weeks.join(cohorts, "user_id")
+      // calendar-day difference, not epoch-second: under a DST-shifting
+      // session timezone a week gap is not exactly 604800 s and the
+      // epoch form floors to k-1; datediff counts calendar days, so the
+      // offset is TZ-stable (both week columns are week-truncated, so
+      // the day gap is always an exact multiple of 7)
       .select(col("cohort_week"),
-        expr("(unix_seconds(wk) - unix_seconds(cohort_week)) div 604800")
-          .as("week_offset"))
+        expr("datediff(wk, cohort_week) div 7").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
       .join(broadcast(sizes), "cohort_week")
@@ -1033,8 +1024,7 @@ object Relational {
         |      FROM c GROUP BY 1),
         |a AS (
         |  SELECT c.cohort_week,
-        |    (epoch_us(w.wk) - epoch_us(c.cohort_week)) // 604800000000
-        |      AS week_offset,
+        |    date_diff('day', c.cohort_week, w.wk) // 7 AS week_offset,
         |    COUNT(*) AS n_active
         |  FROM w JOIN c USING (user_id)
         |  GROUP BY 1, 2)

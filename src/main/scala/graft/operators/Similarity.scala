@@ -251,9 +251,15 @@ object Similarity {
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("embedding"), s * subDim + 1, lit(subDim))))
           .as(Seq("sub", "sv")))
+    // unrolled: element_at arithmetic stays inside whole-stage codegen
+    // where a zip_with/aggregate lambda pair does not — this distance
+    // runs |corpus|×m×k times (5.6M at gate SF, the encode hot path).
+    // Left-to-right ((t1+t2)+t3)+t4 is exactly the oracle's l2F fold.
     def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      (1 to subDim).map { j =>
+        (element_at(a, j) - element_at(b, j)) *
+          (element_at(a, j) - element_at(b, j))
+      }.reduce(_ + _)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     // --- codebook: seed + one deterministic Lloyd refinement, trained
@@ -264,15 +270,20 @@ object Similarity {
     val svTrain = subs(trainSample(e), "vid")
     var cb = subs(e.filter(col("vec_id") < k), "cid")
       .select(col("sub"), col("cid"), col("sv").as("cemb"))
-    val aw = Window.partitionBy(col("vid"), col("sub"))
-      .orderBy(col("d2"), col("cid"))
+    // nearest-centroid = MIN(struct(d2, cid)) per (vid, sub): a hash
+    // aggregation with map-side partials — the row_number window
+    // spelling sorted the full |corpus|×16-row assign join (5M rows at
+    // gate SF, the plan's dominant sort); the struct-min is
+    // order-independent with the same (d2, cid) tiebreak, so the DuckDB
+    // oracle's ROW_NUMBER form still matches value-for-value
     locally {
       import org.apache.spark.sql.types.DecimalType
       val assigned = svTrain.join(broadcast(cb), Seq("sub"))
         .select(col("vid"), col("sub"), col("sv"), col("cid"),
           l2(col("sv"), col("cemb")).as("d2"))
-        .withColumn("crnk", row_number().over(aw))
-        .filter(col("crnk") === 1)
+        .groupBy(col("vid"), col("sub"))
+        .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"),
+          first(col("sv")).as("sv")) // sv is constant per (vid, sub)
       cb = assigned
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("cid"), col("dim"))
@@ -284,14 +295,20 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("cx")))),
           s => s.getField("cx")).as("cemb"))
+        // pin the trained codebook: m×k rows (256 — bounded by the PQ
+        // geometry, never the corpus). It is broadcast into BOTH the
+        // encode join and the LUT join; unpinned, each broadcast build
+        // re-executes the whole Lloyd lineage
+        .localCheckpoint(true)
     }
-    // --- encode the corpus: m 4-bit codes per vector ---
+    // --- encode the corpus: m 4-bit codes per vector (same struct-min
+    // hash agg as training — encode sees EVERY vector, so this is the
+    // path where dodging the window sort pays at 100 TB) ---
     val codes = sv.join(broadcast(cb), Seq("sub"))
       .select(col("vid").as("nid"), col("sub"), col("cid"),
         l2(col("sv"), col("cemb")).as("d2"))
-      .withColumn("crnk", row_number().over(Window
-        .partitionBy(col("nid"), col("sub")).orderBy(col("d2"), col("cid"))))
-      .filter(col("crnk") === 1)
+      .groupBy(col("nid"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"))
       .select(col("nid"), col("sub"), col("cid"))
     // --- per-query LUT (asymmetric: exact query side) + query norms ---
     val qs = e.filter(col("vec_id") < 10)
@@ -302,19 +319,20 @@ object Similarity {
     val qnorm = qs.select(col("vec_id").as("qid"),
       dot(col("embedding"), col("embedding")).as("qn2"))
     // --- ADC scoring: code lookups + one (qid, nid) reduce. The
-    // 16-term partial sums accumulate through DECIMAL(38,18): exact, so
+    // 16-term partial sums accumulate as INTEGER-SCALED LONGS
+    // (floor(x * 1e12), the k29/t13 fixed-point technique): exact, so
     // ORDER-INDEPENDENT — a double sum() over shuffle arrival order is
-    // non-deterministic run to run, and the decimal sum is what lets
-    // the DuckDB oracle reproduce every ADC score (the round-9 interim
-    // collect/sort/left-fold spelling was also deterministic but
-    // defeated map-side partial aggregation — measured +12 s at sf1).
-    // Scale 18 carries every double's shortest-repr fraction digit for
-    // |pdot| ≥ 1e-1; residual cross-engine drift ≤ ~1e-17 per term,
-    // orders of magnitude inside the ADC score gaps that decide the
-    // shortlist boundary ---
-    import org.apache.spark.sql.types.DecimalType
+    // non-deterministic run to run — and both engines floor the SAME
+    // double product, so the DuckDB oracle reproduces every ADC score.
+    // Long sums keep map-side partial aggregation codegen'd and cheap;
+    // the previous DECIMAL(38,18) spelling was also exact but paid the
+    // BigDecimal hash-agg tax (measured +2.1 s at sf0.1, ~27x at
+    // sf100). Headroom: |pdot| ≤ 4·max|x|² per 4-dim subspace, so the
+    // 16-term scaled sum overflows only past |x| ≈ 190 — these are
+    // embedding coordinates, |x| < 1. Quantization ≤ 1.6e-11 per
+    // score, orders inside the ADC gaps that decide the shortlist ---
     def decSum(c: String) =
-      sum(col(c).cast(DecimalType(38, 18))).cast("double")
+      sum(floor(col(c) * lit(1e12))).cast("double") / lit(1e12)
     val adcW = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("nid"))
     val adcTop = codes.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy(col("qid"), col("nid"))
@@ -340,7 +358,10 @@ object Similarity {
         row_number().over(w).as("rnk"))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("qid"), col("rnk"))
+      // Q×5 output rows: one partition + a local sort is the same total
+      // order as orderBy WITHOUT the range-exchange sampling pass (which
+      // re-executes the full PQ lineage just to place 50 rows)
+      .coalesce(1).sortWithinPartitions(col("qid"), col("rnk"))
   }
 
   /** s06 — hybrid retrieval: BM25-family lexical scoring fused with
@@ -710,8 +731,10 @@ object Similarity {
        |       FROM rawf WHERE vec_id < 10),
        |adcsum AS (
        |  SELECT qid, nid,
-       |    CAST(SUM(CAST(pdot AS DECIMAL(38, 18))) AS DOUBLE) AS sdot,
-       |    CAST(SUM(CAST(pnorm AS DECIMAL(38, 18))) AS DOUBLE) AS sn2
+       |    CAST(SUM(CAST(FLOOR(pdot * 1e12) AS BIGINT)) AS DOUBLE)
+       |      / 1e12 AS sdot,
+       |    CAST(SUM(CAST(FLOOR(pnorm * 1e12) AS BIGINT)) AS DOUBLE)
+       |      / 1e12 AS sn2
        |  FROM codes JOIN lut USING (sub, cid)
        |  GROUP BY qid, nid),
        |adct AS (

@@ -876,16 +876,37 @@ object TextAnalysis {
     * element is a null mismatch, never an ANSI index error.
     */
   private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    mergePairs(syms, Seq((a, b)))
+
+  /** One combined left-to-right pass applying a whole BATCH of merges —
+    * expression size LINEAR in the batch (composing per-pair folds puts
+    * the input column in the lambda 3x per wrap: 3^k expression copies,
+    * a driver OOM at k=10). Equivalent to applying the pairs one after
+    * another BECAUSE the batch is symbol-disjoint: occurrences of two
+    * different pairs can never overlap (they'd share the middle symbol)
+    * and no pair references another's concatenated output symbol
+    * (bpeDisjointPrefix rejects that), so no application can create or
+    * destroy another's match sites. */
+  private[graft] def mergePairs(syms: Column,
+      pairs: Seq[(String, String)]): Column =
     aggregate(
       sequence(lit(0), size(syms) - 1),
       struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("skip")),
       (acc, i) => {
         val cur = get(syms, i)
         val nxt = get(syms, i + 1)
+        val hit = pairs.map { case (a, b) =>
+          cur === lit(a) && nxt === lit(b)
+        }.reduce(_ || _)
+        val rep = pairs.tail.foldLeft(
+          when(cur === lit(pairs.head._1) && nxt === lit(pairs.head._2),
+            lit(pairs.head._1 + pairs.head._2))) { case (w, (a, b)) =>
+          w.when(cur === lit(a) && nxt === lit(b), lit(a + b))
+        }
         when(acc.getField("skip"),
           struct(acc.getField("out").as("out"), lit(false).as("skip")))
-          .when(cur === lit(a) && nxt === lit(b),
-            struct(array_append(acc.getField("out"), lit(a + b)).as("out"),
+          .when(hit,
+            struct(array_append(acc.getField("out"), rep).as("out"),
               lit(true).as("skip")))
           .otherwise(
             struct(array_append(acc.getField("out"), cur).as("out"),
@@ -897,20 +918,65 @@ object TextAnalysis {
     * distributed way. The corpus collapses ONCE to a (word, freq) table —
     * everything after is proportional to the VOCABULARY, not the corpus:
     * each round counts adjacent symbol pairs (freq-weighted, map-side
-    * combined), the driver collects exactly ONE winning row
-    * (count desc, then lexicographic — fully deterministic), and the
-    * merge is applied as the `mergePair` fold. localCheckpoint per round
-    * cuts the otherwise-nesting lambda lineage (same discipline as d08's
+    * combined), the driver collects the top-K ranked rows (count desc,
+    * then lexicographic — fully deterministic) and applies a BATCH of
+    * merges per round, so a production 32k-merge vocabulary is thousands
+    * of Spark jobs, not 32k. localCheckpoint per round cuts the
+    * otherwise-nesting lambda lineage (same discipline as d08's
     * label-propagation loop). At 100 TB the word table is ~millions of
     * rows against billions of documents; rounds never rescan the corpus.
+    *
+    * BATCHING IS EXACT — the merge sequence is byte-identical to the
+    * one-merge-per-round greedy. The batch is the maximal PREFIX of the
+    * round's ranked pair list that is pairwise symbol-DISJOINT (stop at
+    * the first pair sharing a symbol with an earlier selected pair).
+    * Why that reproduces the sequential order: applying a merge (a,b)
+    * only changes counts of pairs touching a or b and only CREATES pairs
+    * containing the merged symbol "ab", each new/changed count bounded
+    * by the OLD count of some pair overlapping (a,b). For the i-th
+    * selected pair p_i, every pair ranked above it is selected and
+    * disjoint, so no pair that could outrank p_i after merges 1..i-1
+    * exists: such a pair's bound — an old overlapping pair — would have
+    * outranked p_i in the old list and ended the prefix (ties break
+    * lexicographically, and a merged symbol "xy" always sorts after its
+    * own prefix x, so a tied bound also ends the prefix first).
     */
   /** A trained BPE model: the ranked merge list plus the fully-merged
     * per-word symbol table the training loop ends with — encode (t18)
     * reads the latter directly instead of re-running every fold. */
   private[graft] final case class BpeModel(
-      merges: Seq[(Int, String, String, Long)], vocab: DataFrame)
+      merges: Seq[(Int, String, String, Long)], vocab: DataFrame,
+      rounds: Int)
 
-  private def bpeTrain(docs: DataFrame, nMerges: Int): BpeModel = {
+  /** Merges applied per round cap: bounds the combined-pass match arm
+    * count in one projection, while cutting driver round-trips ~an
+    * order of magnitude on natural text. */
+  private val BpeBatchK = 16
+
+  /** Maximal symbol-disjoint PREFIX of the ranked (a, b, cnt) rows —
+    * the batch that is provably order-equivalent to sequential greedy.
+    * A pair is also rejected (ending the prefix) when it references an
+    * EARLIER selected pair's concatenated output symbol: sequential
+    * application would let the later merge consume symbols the earlier
+    * one just created, which the single combined [[mergePairs]] pass —
+    * by design — never rescans. */
+  private[graft] def bpeDisjointPrefix(
+      ranked: Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val concats = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[(String, String, Long)]
+    var open = true
+    ranked.foreach { case p @ (a, b, _) =>
+      if (open && !used.contains(a) && !used.contains(b) &&
+          !concats.contains(a) && !concats.contains(b)) {
+        used += a; used += b; concats += (a + b); out += p
+      } else open = false
+    }
+    out.result()
+  }
+
+  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int,
+      batchK: Int = BpeBatchK): BpeModel = {
     var vocab = docs
       .select(explode(filter(split(lower(col("text")), " "),
         w => length(w) > 0)).as("word"))
@@ -920,8 +986,10 @@ object TextAnalysis {
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
+    var rounds = 0
     var done = false
     while (rank <= nMerges && !done) {
+      rounds += 1
       val pairIdx = sequence(lit(1), size(col("syms")) - 1)
       val top = vocab
         .filter(size(col("syms")) > 1) // fully-merged words have no pairs
@@ -932,27 +1000,30 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(math.min(batchK, nMerges - rank + 1)).collect()
       if (top.isEmpty) done = true
       else {
-        val (a, b, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, cnt))
+        val batch = bpeDisjointPrefix(top.toIndexedSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2))))
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((rank, a, b, cnt)); rank += 1
+        }
         val next = vocab
           .select(col("word"), col("freq"),
-            mergePair(col("syms"), a, b).as("syms"))
+            mergePairs(col("syms"),
+              batch.map { case (a, b, _) => (a, b) }).as("syms"))
           .localCheckpoint(true)
         vocab.unpersist()
         vocab = next
-        rank += 1
       }
     }
-    BpeModel(merges.result(), vocab)
+    BpeModel(merges.result(), vocab, rounds)
   }
 
-  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+  private[graft] def bpeMerges(docs: DataFrame, nMerges: Int,
+      batchK: Int = BpeBatchK): DataFrame = {
     val spark = docs.sparkSession
-    val model = bpeTrain(docs, nMerges)
+    val model = bpeTrain(docs, nMerges, batchK)
     model.vocab.unpersist()
     import spark.implicits._
     model.merges.toDF("rank", "left", "right", "pair_count")

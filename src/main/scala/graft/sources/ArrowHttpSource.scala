@@ -88,14 +88,59 @@ object ArrowHttpSource {
     HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
+  /** Bearer token for a REAL portal, from the environment rather than a
+    * read option: an option value would leak into `Scan.description()`
+    * (and thus .explain output and the event log), the env never does.
+    * On a real cluster executors receive it via `spark.executorEnv.*`;
+    * unset (the loopback stub, local tests) sends no header. */
+  private[sources] def bearerToken: Option[String] =
+    sys.env.get("GRAFT_PORTAL_BEARER").filter(_.nonEmpty)
+      .orElse(sys.props.get("graft.portal.bearer").filter(_.nonEmpty))
+
+  private[sources] def withAuth(b: HttpRequest.Builder): HttpRequest.Builder =
+    bearerToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+
+  /** Bounded exponential-backoff retry for the wire calls. Every portal
+    * request is a PURE idempotent read (same query → same bytes — the
+    * cursor only advances when a page is successfully decoded), so
+    * replaying on connect errors / 429 / 5xx is always safe; other 4xx
+    * are caller bugs and fail fast. 5 attempts, 250 ms doubling. */
+  private[sources] def sendWithRetry[T](req: HttpRequest,
+      handler: HttpResponse.BodyHandler[T], client: HttpClient,
+      what: String): HttpResponse[T] = {
+    val maxAttempts = 5
+    var attempt = 0
+    var lastErr: Throwable = null
+    var lastCode = -1
+    while (attempt < maxAttempts) {
+      try {
+        val resp = client.send(req, handler)
+        val sc = resp.statusCode()
+        if (sc == 200) return resp
+        require(sc == 429 || sc >= 500,
+          s"$what: HTTP $sc (not retryable)")
+        lastCode = sc; lastErr = null
+      } catch {
+        case e: java.io.IOException => lastErr = e
+      }
+      attempt += 1
+      if (attempt < maxAttempts) Thread.sleep(250L << (attempt - 1))
+    }
+    if (lastErr != null)
+      throw new java.io.IOException(
+        s"$what: failed after $maxAttempts attempts", lastErr)
+    throw new IllegalStateException(
+      s"$what: HTTP $lastCode after $maxAttempts attempts")
+  }
+
   /** GET {url}/metadata → (start_block, height). Driver-side, once per
     * scan — the twin of main.py:191-193 get_solana_start_block. */
   private[sources] def fetchMetadata(url: String): (Long, Long) = {
-    val resp = httpClient().send(
-      HttpRequest.newBuilder(URI.create(s"$url/metadata")).GET().build(),
-      HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200,
-      s"metadata fetch failed: HTTP ${resp.statusCode()} from $url/metadata")
+    val resp = sendWithRetry(
+      withAuth(HttpRequest.newBuilder(URI.create(s"$url/metadata"))).GET()
+        .build(),
+      HttpResponse.BodyHandlers.ofString(), httpClient(),
+      s"metadata fetch from $url/metadata")
     val node = mapper.readTree(resp.body())
     (node.get("start_block").asLong(), node.get("height").asLong())
   }
@@ -340,14 +385,13 @@ final class ArrowHttpPartitionReader(url: String, start: Long, end: Long,
   private final case class Page(body: Array[Byte], nextBlock: Long)
 
   private def fetch(cursor: Long): Page = {
-    val req = HttpRequest.newBuilder(URI.create(s"$url/query"))
+    val req = withAuth(HttpRequest.newBuilder(URI.create(s"$url/query")))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(
         queryJson(cursor, end, fields, eventTypes)))
       .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-    require(resp.statusCode() == 200,
-      s"page fetch failed: HTTP ${resp.statusCode()} at from_block=$cursor")
+    val resp = sendWithRetry(req, HttpResponse.BodyHandlers.ofByteArray(),
+      client, s"page fetch at from_block=$cursor")
     val nextOpt = resp.headers().firstValue("X-Next-Block")
     val next = if (nextOpt.isPresent) nextOpt.get().toLong else end
     require(next > cursor,

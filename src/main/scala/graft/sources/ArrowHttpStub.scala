@@ -45,16 +45,22 @@ object ArrowHttpStub {
       eventType: String, value: Double, props: String)
 
   final class Stub private[ArrowHttpStub] (server: HttpServer,
-      counter: AtomicInteger) {
+      counter: AtomicInteger,
+      lastAuth: java.util.concurrent.atomic.AtomicReference[Option[String]]) {
     def url: String =
       s"http://127.0.0.1:${server.getAddress.getPort}"
-    /** Number of /query requests served — specs assert pagination. */
+    /** Number of /query requests received — specs assert pagination
+      * (and, in flaky mode, that retries actually re-requested). */
     def queryRequests: Int = counter.get()
+    /** Authorization header of the most recent /query request (the
+      * auth specs assert the bearer layer end-to-end). */
+    def lastAuthHeader: Option[String] = lastAuth.get()
     def stop(): Unit = server.stop(0)
   }
 
   def start(spark: SparkSession, dir: String,
-      maxServedBlocks: Long = 60000L, pageRows: Int = 4096): Stub = {
+      maxServedBlocks: Long = 60000L, pageRows: Int = 4096,
+      failEveryNth: Int = 0): Stub = {
     val rows = Tables(spark, dir).events
       .where(col("event_id") < maxServedBlocks)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -73,6 +79,8 @@ object ArrowHttpStub {
     val height = ids.last + 1
 
     val counter = new AtomicInteger(0)
+    val lastAuth =
+      new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
     val server = HttpServer.create(
       new InetSocketAddress(InetAddress.getLoopbackAddress, 0), 0)
     server.setExecutor(Executors.newFixedThreadPool(8, (r: Runnable) => {
@@ -91,7 +99,28 @@ object ArrowHttpStub {
 
     server.createContext("/query", (ex: HttpExchange) => {
       try {
-        counter.incrementAndGet(): Unit
+        val n = counter.incrementAndGet()
+        lastAuth.set(Option(ex.getRequestHeaders.getFirst("Authorization")))
+        // flaky mode: every Nth request 503s BEFORE reading the body —
+        // the retry layer must re-request and the run must still land
+        // on the exact answer (requests are pure reads; the cursor only
+        // advances on a decoded page)
+        if (failEveryNth > 0 && n % failEveryNth == 0) {
+          ex.sendResponseHeaders(503, -1L)
+          ex.close()
+        } else serveQuery(ex)
+      } catch {
+        case e: Throwable =>
+          val msg = String.valueOf(e.getMessage)
+            .getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(500, msg.length.toLong)
+          ex.getResponseBody.write(msg)
+          ex.close()
+      }
+    })
+
+    // errors propagate to the handler's catch → a 500 response
+    def serveQuery(ex: HttpExchange): Unit = {
         val req = ArrowHttpSource.mapper.readTree(ex.getRequestBody.readAllBytes())
         val from = req.get("from_block").asLong()
         val to = math.min(req.get("to_block").asLong(), height)
@@ -126,17 +155,9 @@ object ArrowHttpStub {
         ex.sendResponseHeaders(200, body.length.toLong)
         ex.getResponseBody.write(body)
         ex.close()
-      } catch {
-        case e: Throwable =>
-          val msg = String.valueOf(e.getMessage)
-            .getBytes(StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(500, msg.length.toLong)
-          ex.getResponseBody.write(msg)
-          ex.close()
-      }
-    })
+    }
     server.start()
-    new Stub(server, counter)
+    new Stub(server, counter, lastAuth)
   }
 
   private def arrowField(name: String): Field = name match {

@@ -70,38 +70,16 @@ object EventStreams {
     UserSessions(userId, st.nEvents, st.nSessions)
   }
 
-  final case class FEv(user_id: Long, event_id: Long, ts_us: Long,
-    y: String)
-  /** Funnel greedy state: per level, the MAX first-event time over
-    * chains reaching it (Long.MinValue = unreached) — q44's exact
-    * dominance argument, carried across micro-batches. */
-  final case class FunnelState(g1: Long, g2: Long, g3: Long)
-  final case class UserFunnel(user_id: Long, funnel_level: Long)
-
-  /** The ONE funnel fold batch q44 and streaming st26 share in shape:
-    * events sorted by (ts, id); view raises g1, click/purchase extend
-    * within the 24 h window measured from the chain's first event. */
+  // The funnel event/state/fold contract lives in graft.operators.Funnel
+  // — ONE definition shared verbatim by batch q44 and streaming st26.
+  type FEv = graft.operators.Funnel.FEv
+  type FunnelState = graft.operators.Funnel.FunnelState
+  type UserFunnel = graft.operators.Funnel.UserFunnel
   def foldFunnel(wUs: Long, init: FunnelState,
-      evs: Iterator[FEv]): FunnelState = {
-    var st = init
-    evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-      e.y match {
-        case "view" => st = st.copy(g1 = math.max(st.g1, e.ts_us))
-        case "click" if st.g1 != Long.MinValue && e.ts_us - st.g1 <= wUs =>
-          st = st.copy(g2 = math.max(st.g2, st.g1))
-        case "purchase" if st.g2 != Long.MinValue &&
-            e.ts_us - st.g2 <= wUs =>
-          st = st.copy(g3 = math.max(st.g3, st.g2))
-        case _ =>
-      }
-    }
-    st
-  }
-
+      evs: Iterator[FEv]): FunnelState =
+    graft.operators.Funnel.foldFunnel(wUs, init, evs)
   def funnelLevel(st: FunnelState): Long =
-    if (st.g3 != Long.MinValue) 3L
-    else if (st.g2 != Long.MinValue) 2L
-    else if (st.g1 != Long.MinValue) 1L else 0L
+    graft.operators.Funnel.funnelLevel(st)
 
   /** st02 — stateful sessionization via mapGroupsWithState (30-min gap). */
   def sessionize(events: Dataset[Ev], gapUs: Long = 1800L * 1000000L)
@@ -1171,10 +1149,10 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FEv],
          state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
-          val st = foldFunnel(wUs, state.getOption.getOrElse(
-            FunnelState(Long.MinValue, Long.MinValue, Long.MinValue)), it)
+          val st = foldFunnel(wUs,
+            state.getOption.getOrElse(graft.operators.Funnel.unreached), it)
           state.update(st)
-          UserFunnel(uid, funnelLevel(st))
+          graft.operators.Funnel.UserFunnel(uid, funnelLevel(st))
       }
     val levels = runToTable(updated.toDF(), "update")
       .groupBy(col("user_id")).agg(max(col("funnel_level")).as("lvl"))

@@ -229,6 +229,44 @@ class ArrowHttpSourceSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("flaky portal: every 2nd /query 503s, retry still lands exactly") {
+    val stub = ArrowHttpStub.start(spark, dir, pageRows = 100,
+      failEveryNth = 2)
+    try {
+      val got = readHttp(stub.url, bpp = 512)
+        .where(col("event_id") >= 0 && col("event_id") < 600)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+        .collect()(0)
+      val want = spark.read.parquet(s"$dir/events.parquet")
+        .where(col("event_id") >= 0 && col("event_id") < 600)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+        .collect()(0)
+      assert(got === want)
+      // half the requests 503'd, so retries must have re-requested
+      assert(stub.queryRequests >= 4,
+        s"expected retried pages, saw ${stub.queryRequests} requests")
+    } finally stub.stop()
+  }
+
+  test("bearer token from the environment rides every wire request") {
+    sys.props("graft.portal.bearer") = "t0k3n"
+    try {
+      val stub = ArrowHttpStub.start(spark, dir)
+      try {
+        readHttp(stub.url).where(col("event_id") < 100).count(): Unit
+        assert(stub.lastAuthHeader === Some("Bearer t0k3n"))
+      } finally stub.stop()
+    } finally sys.props -= "graft.portal.bearer"
+  }
+
+  test("no bearer configured -> no Authorization header on the wire") {
+    val stub = ArrowHttpStub.start(spark, dir)
+    try {
+      readHttp(stub.url).where(col("event_id") < 100).count(): Unit
+      assert(stub.lastAuthHeader === None)
+    } finally stub.stop()
+  }
+
   test("the wire rejects unknown fields instead of serving garbage") {
     val stub = ArrowHttpStub.start(spark, dir)
     try {

@@ -580,10 +580,22 @@ class ExplainAuditSpec extends AnyFunSuite {
     // how the intentional cross joins (scalar-aggregate broadcasts,
     // bounded ANN query sides) plan.
     import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // At sparkPlan stage a subquery expression may still carry a LOGICAL
+    // plan (e.g. the bloom_filter_agg of InjectRuntimeFilter, planned
+    // only in prepareForExecution) — subqueriesAll would CCE on it; keep
+    // the physical ones, which are the only ones that can host the
+    // offending exec nodes.
+    def withPhysicalSubqueries(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect { case n => n }.flatMap(_.expressions.flatMap(
+        _.collect {
+          case pe: org.apache.spark.sql.catalyst.expressions
+              .PlanExpression[_] => pe.plan
+        }.collect { case sp: SparkPlan => sp }
+          .flatMap(withPhysicalSubqueries)))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.sparkPlan
-        (plan +: plan.subqueriesAll).flatMap(_.collect {
+        withPhysicalSubqueries(plan).flatMap(_.collect {
           case w: WindowExec
               if w.partitionSpec.isEmpty && !bounded(w.child) =>
             s"$name: unbounded unpartitioned WindowExec over ${w.child.nodeName}"
