@@ -20,6 +20,40 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** All (a, b) pairs with a < b WITHIN each equal-key group — the
+    * member-pair expansion d02/d03/m07's collapsed paths share. The
+    * naive spelling (self-join on the group key) puts an entire group's
+    * |g|² output on ONE join key = one task: a planted 10%-hot-key
+    * corpus (one text owned by 10% of a 100 TB crawl) makes that a
+    * billion-row straggler. Chunk-balanced instead: members rank within
+    * their group (one bounded window per group, parallel across
+    * groups), chunks of 256 pair with every not-earlier chunk, and the
+    * join key becomes (key, chunk) — ~|g|/256 keys per hot group, the
+    * largest task bounded at |g|×256 pairs (≤2× the mean — the
+    * triangle), instead of |g|²/2 on one. Pair output itself is
+    * quadratic in group size BY CONTRACT (it's a pair list — d14's
+    * linear assignment is the production shape); this bounds the
+    * per-task slice, which is what OOMs. */
+  private[operators] def withinGroupPairs(members: DataFrame,
+      key: String, id: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = 256
+    val w = Window.partitionBy(col(key)).orderBy(col(id))
+    val ranked = members
+      .select(col(key), col(id))
+      .withColumn("r", row_number().over(w).cast("long") - 1)
+      .withColumn("c", expr(s"r div $C"))
+    val cmax = ranked.groupBy(col(key)).agg(max(col("c")).as("cmax"))
+    val lhs = ranked.join(cmax, Seq(key))
+      .select(col(key), col(id).as("ia"), col("r").as("ra"),
+        explode(sequence(col("c"), col("cmax"))).as("cb"))
+    val rhs = ranked.select(col(key), col(id).as("ib"), col("r").as("rb"),
+      col("c").as("cb"))
+    lhs.join(rhs, Seq(key, "cb"))
+      .where(col("ra") < col("rb"))
+      .select(col("ia").as("a"), col("ib").as("b"))
+  }
+
   /** d01 — exact dedup: content-hash groupBy, keep lowest doc_id.
     * One shuffle on the 128-bit hash; partial agg combines map-side. */
   def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -152,12 +186,12 @@ object Dedup {
       .join(members.select(col("th").as("tb"), col("doc_id").as("ib")), Seq("tb"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("jaccard"))
-    val within = members.as("x")
-      .join(members.as("y"),
-        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within).orderBy(col("a"), col("b"))
+    val within = withinGroupPairs(members, "th", "doc_id")
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    // pair output is corpus-scale on dup-heavy data: partition-local
+    // sort (a global orderBy's range sampling re-executes the lineage
+    // and single-tasks the hot range)
+    cross.unionByName(within).sortWithinPartitions(col("a"), col("b"))
   }
 
   /** d03 — SimHash near-dup: 60-bit per-token-majority signature (the
@@ -243,14 +277,11 @@ object Dedup {
         Seq("sb"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("hamming"))
-    // within-group pairs: identical signatures, hamming 0
-    val within = docs.as("x")
-      .join(docs.as("y"),
-        col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        lit(0).cast("integer").as("hamming"))
-    cross.unionByName(within).orderBy(col("a"), col("b"))
+    // within-group pairs: identical signatures, hamming 0 —
+    // chunk-balanced so one hot signature can't single-task its |g|²
+    val within = withinGroupPairs(docs, "sig", "doc_id")
+      .select(col("a"), col("b"), lit(0).cast("integer").as("hamming"))
+    cross.unionByName(within).sortWithinPartitions(col("a"), col("b"))
   }
 
   /** d04 — exact n-gram Jaccard over a bounded subset (doc_id < 200): the

@@ -364,14 +364,12 @@ object Multimodal {
         Seq("hb"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col("hamming"))
-    // within-group pairs: identical hashes, hamming 0
-    val within = hashed.as("x")
-      .join(hashed.as("y"),
-        col("x.ahash") === col("y.ahash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        lit(0).cast("integer").as("hamming"))
-    cross.unionByName(within).orderBy(col("a"), col("b"))
+    // within-group pairs: identical hashes, hamming 0 — chunk-balanced
+    // (Dedup.withinGroupPairs) so one hot perceptual hash can't
+    // single-task its |g|² member pairs
+    val within = Dedup.withinGroupPairs(hashed, "ahash", "doc_id")
+      .select(col("a"), col("b"), lit(0).cast("integer").as("hamming"))
+    cross.unionByName(within).sortWithinPartitions(col("a"), col("b"))
   }
 
   /** Per-doc audio stats from the stub "decoder": 32-sample windowed

@@ -142,7 +142,8 @@ object EventStreams {
     * st04/st19 batch oracles hold unchanged. Monotone forced mtimes pin
     * the file-stream admission order (the st18 technique).
     */
-  private def eventsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsStreamChunked(spark: SparkSession, dir: String,
+      triggerCap: Int = Int.MaxValue): DataFrame = {
     val staged = chunkedCache.computeIfAbsent(dir, { d =>
       val ev = graft.sources.Tables(spark, d).events
       // chunk size trades per-trigger fixed cost (planning, 2 source
@@ -160,8 +161,21 @@ object EventStreams {
     })
     val schema = schemaCache.computeIfAbsent(staged,
       p => spark.read.parquet(p).schema)
+    // triggerCap bounds the NUMBER of micro-batches, not the chunking:
+    // the staged files are shared (one repartition pass serves every
+    // chunked twin), and a query whose per-key state is O(1) — the
+    // funnel's three longs, the transition matrix's one string — gains
+    // nothing from fine admission while paying the ~1 s scheduling
+    // floor per trigger (64 chunks at sf100 = a 64 s floor, the whole
+    // stream-vs-batch gap). Admitting k consecutive ts-range files per
+    // trigger preserves global event-time order across triggers, so
+    // the incremental folds stay exactly batch-equal.
+    val nParts = new java.io.File(staged).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val perTrigger =
+      math.max(1, math.ceil(nParts.toDouble / triggerCap).toInt)
     spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .option("maxFilesPerTrigger", perTrigger.toString).parquet(staged)
   }
 
   /** eventsStreamChunked plus one trailing SENTINEL file — a single row
@@ -1138,7 +1152,10 @@ object EventStreams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val wUs = 24L * 3600 * 1000000
-    val evs = eventsStreamChunked(spark, dir)
+    // O(1)-state twin: cap the trigger count (files admitted per
+    // trigger grow with SF instead) — the per-trigger scheduling floor
+    // was 2.5x the batch twin at sf100
+    val evs = eventsStreamChunked(spark, dir, triggerCap = 8)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
@@ -1176,7 +1193,8 @@ object EventStreams {
   def st27StreamTransitions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val evs = eventsStreamChunked(spark, dir)
+    // O(1)-state twin: trigger count capped like st26
+    val evs = eventsStreamChunked(spark, dir, triggerCap = 8)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         unix_micros(col("ts")).as("ts_us"),

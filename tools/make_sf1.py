@@ -35,6 +35,20 @@ import pyarrow.parquet as pq
 SRC = os.environ.get("GRAFT_SF_SRC", "/root/testdata/sf0.1")
 DST = os.environ.get("GRAFT_SF_DST", "/tmp/sf1")
 COPIES = int(os.environ.get("GRAFT_SF_COPIES", "10"))
+# GRAFT_SF_SKEW=1: power-law key mode — the sf ladder replicates
+# uniformly, which never exercises the hot-key paths (salting, the
+# funnel's hot user, LSH's hot band). Skew mode plants, at EVERY scale:
+#  - a hot JOIN key: ~10% of lineitem rows point at l_orderkey=1
+#    (q22's salted join, and any orders join, sees one 10%-mass key);
+#  - a hot USER: ~10% of events belong to user_id=1 (q44/q46 and the
+#    st26/st27 streaming twins carry one power-law user);
+#  - a hot TEXT/BAND: ~10% of documents share ONE verbatim text (every
+#    minhash band of it collides into one bucket — d02/d14's
+#    exact-dup pre-collapse and banding must absorb it).
+SKEW = os.environ.get("GRAFT_SF_SKEW", "0") == "1"
+HOT_TEXT = ("the quick brown fox jumps over the lazy dog while the "
+            "hot bucket fills with ten percent of the corpus and the "
+            "band join must not go quadratic on it ") * 4
 
 os.makedirs(DST, exist_ok=True)
 
@@ -43,21 +57,33 @@ stride = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetcho
 dc = con.sql(f"SELECT MAX(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
 vc = con.sql(f"SELECT MAX(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
 
-def rep(table, key, k):
+def rep(table, key, k, key_sql=None, extra_sql=""):
     d = f"{DST}/{table}.parquet"
     if os.path.exists(d) and not os.path.isdir(d):
         os.remove(d)
     os.makedirs(d, exist_ok=True)
     for i in range(COPIES):
+        ksql = (key_sql or "{key} + {off}").format(key=key, off=i * k)
         con.sql(
-            f"COPY (SELECT {key} + {i*k} AS {key}, * EXCLUDE ({key}) "
+            f"COPY (SELECT {ksql} AS {key}, {extra_sql}"
+            f"* EXCLUDE ({key}{', text' if extra_sql else ''}) "
             f"FROM '{SRC}/{table}.parquet') "
             f"TO '{d}/part-{i:05d}.parquet' "
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 20000)")
 
-rep("lineitem", "l_orderkey", stride)
+if SKEW:
+    # hot join key: every 10th source orderkey collapses to key 1 in
+    # every copy (orders keeps unique keys, so the join itself stays
+    # valid — the PROBE side is what's skewed)
+    rep("lineitem", "l_orderkey", stride,
+        key_sql="CASE WHEN {key} % 10 = 0 THEN 1 ELSE {key} + {off} END")
+    rep("documents", "doc_id", dc,
+        extra_sql=("CASE WHEN doc_id % 10 = 0 THEN '" + HOT_TEXT +
+                   "' ELSE text END AS text, "))
+else:
+    rep("lineitem", "l_orderkey", stride)
+    rep("documents", "doc_id", dc)
 rep("orders", "o_orderkey", stride)
-rep("documents", "doc_id", dc)
 rep("embeddings", "vec_id", vc)
 
 src = pq.read_table(f"{SRC}/events.parquet")
@@ -77,6 +103,17 @@ ev_dir = f"{DST}/events.parquet"
 if os.path.exists(ev_dir) and not os.path.isdir(ev_dir):
     os.remove(ev_dir)
 os.makedirs(ev_dir, exist_ok=True)
+if SKEW:
+    # hot user: every 10th event (by source event_id) belongs to user 1
+    # in every copy — ONE user carries ~10% of the whole corpus
+    pc = pa.compute
+    eid = src.column("event_id")
+    mod10 = pc.subtract(eid, pc.multiply(pc.divide(eid, 10), 10))
+    hot = pc.equal(mod10, 0)
+    uid_idx = src.schema.get_field_index("user_id")
+    src = src.set_column(
+        uid_idx, "user_id",
+        pc.if_else(hot, pa.scalar(1, pa.int64()), src.column("user_id")))
 for i in range(COPIES):
     t = src.set_column(src.schema.get_field_index("event_id"), "event_id",
                        pa.compute.add(src.column("event_id"), i * ev))
