@@ -455,6 +455,55 @@ object Corpus {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** Per-batch token budget for c11 — real fine-tuning values are
+    * 16k-1M; 4096 keeps the test corpora's batch populations
+    * interesting (pad buckets 16-64, so 64-256 docs per batch). */
+  private val BatchBudget = 4096L
+
+  /** c11 — padding-minimizing length-bucketed batching (the
+    * fine-tuning counterpart of c01/c02's pretraining packers): when
+    * sequences are NOT concatenated, every doc in a batch pads to the
+    * batch's longest member, so batches of similar-length docs waste
+    * the least compute. Docs bucket by token-length OCTAVE (pad_len =
+    * the next power of two ≥ cost, floor 16 — k29's
+    * binary-string-length exponent trick, exact in both engines'
+    * integers), pad to the octave ceiling, and fill fixed-budget
+    * batches of capacity `budget div pad_len` in doc_id order. With
+    * every member costing exactly pad_len, assignment is CLOSED FORM —
+    * (rank-1) div capacity — so the only hard part is the per-octave
+    * rank, which reuses c09's bounded two-level decomposition: chunk
+    * offsets from a window over n/1024 CHUNK-count rows, a row_number
+    * over ≤1024-doc (octave, chunk) groups — no window ever sees a
+    * corpus-sized partition even though an octave can hold half the
+    * corpus. Emits each doc's batch and its padding waste (the metric
+    * a batching strategy is judged by). */
+  def c11LengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        greatest(tokCount(col("text")).cast("bigint"), lit(1L)).as("cost"),
+        expr(s"doc_id div $BucketDocs").as("chunk"))
+      .withColumn("pad_len",
+        expr("CASE WHEN cost <= 16 THEN CAST(16 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(cost - 1))) END"))
+    val chunkW = Window.partitionBy(col("pad_len")).orderBy(col("chunk"))
+    val chunkOff = scored.groupBy(col("pad_len"), col("chunk"))
+      .agg(count(lit(1)).as("ccnt"))
+      .withColumn("chunk_off",
+        sum(col("ccnt")).over(chunkW) - col("ccnt"))
+      .select(col("pad_len"), col("chunk"), col("chunk_off"))
+    val rowW = Window.partitionBy(col("pad_len"), col("chunk"))
+      .orderBy(col("doc_id"))
+    scored
+      .join(chunkOff, Seq("pad_len", "chunk"))
+      .withColumn("rnk", col("chunk_off") + row_number().over(rowW))
+      .select(col("doc_id"), col("pad_len"),
+        col("cost").as("n_tokens"),
+        expr(s"(rnk - 1) div greatest(1, $BatchBudget div pad_len)")
+          .as("batch_seq"),
+        (col("pad_len") - col("cost")).as("waste"))
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def packInputSql: String =
@@ -680,7 +729,32 @@ object Corpus {
        |FROM d JOIN pos ON pos.source = d.source AND pos.k = d.blk
        |ORDER BY doc_id""".stripMargin
 
+  /** c11's oracle IS the naive per-octave window the engine
+    * decomposes — ROW_NUMBER over each pad bucket; the octave ceiling
+    * is the same binary-string-length arithmetic in both engines. */
+  private val c11Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    GREATEST(1, CAST($tokCountSql AS BIGINT)) AS cost
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, cost,
+       |    CASE WHEN cost <= 16 THEN CAST(16 AS BIGINT)
+       |         ELSE CAST(1 AS BIGINT) << length(bin(cost - 1)) END
+       |      AS pad_len
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, cost, pad_len,
+       |    ROW_NUMBER() OVER (PARTITION BY pad_len ORDER BY doc_id)
+       |      AS rnk
+       |  FROM p)
+       |SELECT doc_id, pad_len, cost AS n_tokens,
+       |  (rnk - 1) // GREATEST(1, $BatchBudget // pad_len) AS batch_seq,
+       |  pad_len - cost AS waste
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "c11_length_batches" -> c11Sql,
     "c10_mix_schedule" -> c10Sql,
     "c01_pack_concat" -> c01Sql,
     "c02_pack_greedy" -> c02Sql,
@@ -703,6 +777,7 @@ object Corpus {
     "c07_split_leak" -> (c07SplitLeak _),
     "c08_epoch_shuffle" -> (c08EpochShuffle _),
     "c09_curriculum" -> (c09Curriculum _),
-    "c10_mix_schedule" -> (c10MixSchedule _)
+    "c10_mix_schedule" -> (c10MixSchedule _),
+    "c11_length_batches" -> (c11LengthBatches _)
   )
 }

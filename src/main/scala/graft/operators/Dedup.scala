@@ -38,6 +38,15 @@ object Dedup {
       key: String, id: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val C = 256
+    // The expansion join's OUTPUT is quadratically larger than its
+    // input, so AQE's input-sized partition coalescing under-plans it:
+    // a few hundred MB of member rows coalesce to ~8 partitions which
+    // then each emit 10^8+ pairs — one decade of lost parallelism and
+    // (if anything downstream buffers) task-level spill. Pinning the
+    // pre-join shuffles to the configured parallelism keeps the
+    // expansion spread over every core; the inputs are id-only rows,
+    // so the extra exchange is noise.
+    val n = members.sparkSession.sessionState.conf.numShufflePartitions
     val w = Window.partitionBy(col(key)).orderBy(col(id))
     val ranked = members
       .select(col(key), col(id))
@@ -47,11 +56,13 @@ object Dedup {
     val lhs = ranked.join(cmax, Seq(key))
       .select(col(key), col(id).as("ia"), col("r").as("ra"),
         explode(sequence(col("c"), col("cmax"))).as("cb"))
+      .repartition(n, col(key), col("cb"))
     val rhs = ranked.select(col(key), col(id).as("ib"), col("r").as("rb"),
       col("c").as("cb"))
+      .repartition(n, col(key), col("cb"))
     lhs.join(rhs, Seq(key, "cb"))
       .where(col("ra") < col("rb"))
-      .select(col("ia").as("a"), col("ib").as("b"))
+      .select(col(key), col("ia").as("a"), col("ib").as("b"))
   }
 
   /** d01 — exact dedup: content-hash groupBy, keep lowest doc_id.
@@ -188,10 +199,14 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("b"), col("jaccard"))
     val within = withinGroupPairs(members, "th", "doc_id")
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
-    // pair output is corpus-scale on dup-heavy data: partition-local
-    // sort (a global orderBy's range sampling re-executes the lineage
-    // and single-tasks the hot range)
-    cross.unionByName(within).sortWithinPartitions(col("a"), col("b"))
+    // pair output is corpus-scale on dup-heavy data and the gate
+    // comparator is row-order-insensitive: emit UNSORTED. Any trailing
+    // sort here is pure overhead at the quadratic output's mass — a
+    // global orderBy pays a range exchange whose sampling re-executes
+    // the lineage, and even a partition-local sort externally sorts
+    // 10^9 rows inside the AQE-coalesced join partitions (measured: the
+    // sf100 suite spent 35+ min spilling in exactly that sort).
+    cross.unionByName(within)
   }
 
   /** d03 — SimHash near-dup: 60-bit per-token-majority signature (the
@@ -281,7 +296,9 @@ object Dedup {
     // chunk-balanced so one hot signature can't single-task its |g|²
     val within = withinGroupPairs(docs, "sig", "doc_id")
       .select(col("a"), col("b"), lit(0).cast("integer").as("hamming"))
-    cross.unionByName(within).sortWithinPartitions(col("a"), col("b"))
+    // unsorted by the d02Collapsed argument: the comparator sorts, and
+    // a sort of the quadratic pair mass is the suite's own bottleneck
+    cross.unionByName(within)
   }
 
   /** d04 — exact n-gram Jaccard over a bounded subset (doc_id < 200): the
@@ -496,16 +513,21 @@ object Dedup {
       graft.functions.cosine_similarity(col("embedding"), col("embedding"))
         .as("cos"))
       .filter(col("cos") >= 0.45)
-    val within = members.as("x")
-      .join(members.as("y"),
-        col("x.eh") === col("y.eh") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.eh").as("eh"), col("x.vec_id").as("a"),
-        col("y.vec_id").as("b"))
-      .join(selfCos, Seq("eh"))
+    // chunk-balanced within-group expansion (d02's withinGroupPairs):
+    // the old eh-keyed self-join put a hot group's whole |g|² on one
+    // join key = one task; selfCos re-attaches by eh (≤1 row per rep,
+    // broadcast-sized)
+    // selfCos is ≤1 row per DISTINCT embedding — broadcast explicitly:
+    // its size ESTIMATE inherits the embedding-column lineage, so the
+    // planner otherwise sort-merges, which sorts the 10^9-row expanded
+    // side (measured 420 s at sf100 vs 25 s broadcast)
+    val within = withinGroupPairs(members, "eh", "vec_id")
+      .join(broadcast(selfCos), Seq("eh"))
       .select(col("a"), col("b"), col("cos"))
+    // unsorted by the d02Collapsed argument: the comparator sorts, and
+    // a global orderBy's range sampling re-executes the whole lineage
     cross.unionByName(within)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** d09 — SemDeDup (Abbas et al. 2023): semantic dedup at corpus scale

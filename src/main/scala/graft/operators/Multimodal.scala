@@ -369,7 +369,9 @@ object Multimodal {
     // single-task its |g|² member pairs
     val within = Dedup.withinGroupPairs(hashed, "ahash", "doc_id")
       .select(col("a"), col("b"), lit(0).cast("integer").as("hamming"))
-    cross.unionByName(within).sortWithinPartitions(col("a"), col("b"))
+    // unsorted (the gate comparator sorts): a sort of the quadratic
+    // pair mass is pure overhead — see Dedup.d02Collapsed
+    cross.unionByName(within)
   }
 
   /** Per-doc audio stats from the stub "decoder": 32-sample windowed

@@ -974,7 +974,58 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q47 — batch gap sessionization: the BATCH twin of st09's
+    * streaming `session_window` (30-minute inactivity gap; session end
+    * = last event + gap by definition, so an open tail still reports
+    * an end). The classic lag→flag→cumulative-sum assignment: both
+    * windows are user-partitioned — bounded by one user's events, the
+    * q09/q28/q46 class — and the grouped aggregate is map-side
+    * combinable, so the plan is one user-keyed exchange end to end.
+    * A power-law user is a sort-spill in that user's partition, never
+    * a buffered array (the skew sweep's q46 measured the same shape at
+    * 1.8x under a 10%-hot user). Output contract = st09's, verbatim:
+    * stream and batch sessionization must agree row for row. */
+  def q47Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L // 30 min
+    Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      // fact-scale output (one row per session): part-sorted
+      .sortWithinPartitions(col("user_id"), col("session_start"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q47_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |assigned AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM assigned GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q46_path_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
@@ -1447,6 +1498,7 @@ object Relational {
     "q43_multi_count_distinct" -> (q43MultiCountDistinct _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
-    "q46_path_transitions" -> (q46PathTransitions _)
+    "q46_path_transitions" -> (q46PathTransitions _),
+    "q47_sessionize" -> (q47Sessionize _)
   )
 }

@@ -345,6 +345,60 @@ class CorpusSpec extends AnyFunSuite {
     assert(cleanSum.forall(_.getLong(2) === 0L) )
   }
 
+  test("c11 length batches: octave ceilings exact at the power-of-two " +
+    "boundaries, capacity fills in doc_id order") {
+    // costs 10, 1 (empty), 16 -> pad 16; 17, 32 -> pad 32; 33 -> pad 64
+    val dir = docsDir(Seq(
+      (0L, words(10), "en", "a"), (1L, "", "en", "a"),
+      (2L, words(16), "en", "a"), (3L, words(17), "en", "a"),
+      (4L, words(32), "en", "a"), (5L, words(33), "en", "a")))
+    val got = Corpus.c11LengthBatches(spark, dir).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0L, 16L, 10L, 0L, 6L), (1L, 16L, 1L, 0L, 15L),
+      (2L, 16L, 16L, 0L, 0L), (3L, 32L, 17L, 0L, 15L),
+      (4L, 32L, 32L, 0L, 0L), (5L, 64L, 33L, 0L, 31L)))
+  }
+
+  test("c11: batch capacity is budget div pad_len, sequential in rank") {
+    // 300 docs of 20 tokens -> pad 32, capacity 4096/32 = 128:
+    // ids 0-127 -> batch 0, 128-255 -> 1, 256-299 -> 2
+    val dir = docsDir((0L until 300L).map(i => (i, words(20), "en", "a")))
+    val seqs = Corpus.c11LengthBatches(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(seqs(0L) === 0L && seqs(127L) === 0L)
+    assert(seqs(128L) === 1L && seqs(255L) === 1L)
+    assert(seqs(256L) === 2L && seqs(299L) === 2L)
+  }
+
+  test("c11 on the sf table: two-level rank equals the naive per-octave " +
+    "window; waste bounded by half the pad") {
+    val got = Corpus.c11LengthBatches(spark, sfDir)
+    val toks = greatest(size(filter(split(lower(col("text")), " "),
+      w => length(w) > 0)).cast("bigint"), lit(1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pad_len")).orderBy(col("doc_id"))
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), toks.as("cost"))
+      .withColumn("pad_len",
+        expr("CASE WHEN cost <= 16 THEN CAST(16 AS BIGINT) " +
+          "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(cost - 1))) END"))
+      .withColumn("batch_seq",
+        expr("(row_number() OVER (PARTITION BY pad_len ORDER BY doc_id)" +
+          " - 1) div greatest(1, 4096 div pad_len)"))
+      .select(col("doc_id"), col("pad_len"), col("cost").as("n_tokens"),
+        col("batch_seq"), (col("pad_len") - col("cost")).as("waste"))
+    assert(got.except(naive).count() === 0L &&
+      naive.except(got).count() === 0L,
+      "decomposed per-octave rank must equal the single-window form")
+    // octave padding wastes strictly less than half the pad (pad/2 < cost)
+    // except in the floor-16 bucket, where tiny docs may waste up to 15
+    val bad = got.where(col("pad_len") > 16 &&
+      col("waste") * 2 >= col("pad_len")).count()
+    assert(bad === 0L, "octave ceiling must be the TIGHT power of two")
+  }
+
   test("c05 eval: concat fills at least as densely as greedy; " +
     "straddles only on the concat row") {
     val rows = Corpus.c05PackEval(spark, sfDir).orderBy("method").collect()

@@ -526,6 +526,32 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"per-doc rank window lost its chunk key: partition sizes $windows")
   }
 
+  test("c11 length batches: every window is partitioned; the per-doc " +
+    "rank window carries both (pad_len, chunk) keys; output part-sorted") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.Corpus.c11LengthBatches(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w.partitionSpec.size }
+    assert(windows.nonEmpty && windows.forall(_ >= 1),
+      s"an unpartitioned window crept into the rank decomposition: $windows")
+    assert(windows.contains(2),
+      s"per-doc rank window lost its chunk key: partition sizes $windows")
+    assert(!plan(df).contains("rangepartitioning"),
+      "fact-scale output re-shuffled by a global sort")
+  }
+
+  test("q47 sessionize: ONE user-keyed exchange end to end — the " +
+    "session aggregate reuses the window's partitioning") {
+    val p = plan(Relational.q47Sessionize(spark, sfDir))
+    assert(!p.toLowerCase.contains("join"),
+      "sessionization should be windows + aggregate, never a self-join")
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"the (user, session) aggregate must reuse the user-keyed " +
+        s"window exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"fact-scale session output re-shuffled by a global sort:\n$p")
+  }
+
   test("c10 mix schedule: ZERO windows (the closed form replaces the " +
     "naive interleave sort), corpus side broadcast-joined") {
     import org.apache.spark.sql.execution.window.WindowExec

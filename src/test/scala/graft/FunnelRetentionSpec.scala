@@ -138,6 +138,39 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got(("error", "error")) === 19L)
   }
 
+  test("q47 sessionize: hand-computed gap splits, boundary gap exactly " +
+    "30 min stays one session") {
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    val dir = eventsDir(Seq(
+      // u1: 42-min gap splits; 12-min and 6-min gaps don't
+      e(1, 0.0, "view"), e(1, 0.2, "click"),
+      e(1, 0.9, "view"), e(1, 1.0, "click"),
+      // u2: singleton session
+      e(2, 5.0, "view"),
+      // u3: gap EXACTLY 30 min -> NOT > gap -> one session
+      e(3, 0.0, "view"), e(3, 0.5, "click")))
+    val got = Relational.q47Sessionize(spark, dir).collect().map { r =>
+      val t0 = 1700000000000L // ms
+      (r.getLong(0),
+        (r.getTimestamp(1).getTime - t0) / 60000L, // start, minutes
+        (r.getTimestamp(2).getTime - t0) / 60000L, // end, minutes
+        r.getLong(3))
+    }.toSet
+    assert(got === Set(
+      (1L, 0L, 42L, 2L),   // 0h-0.2h, end = 12 min + 30
+      (1L, 54L, 90L, 2L),  // 0.9h-1.0h, end = 60 min + 30
+      (2L, 300L, 330L, 1L),
+      (3L, 0L, 60L, 2L)))  // one session despite the 30-min gap
+  }
+
+  test("q47 equals st09's streaming session windows on the sf table") {
+    val batch = Relational.q47Sessionize(spark, sfDir)
+    val stream = streaming.EventStreams.st09SessionWindow(spark, sfDir)
+    assert(batch.count() === stream.count())
+    assert(batch.except(stream).count() === 0L,
+      "batch sessionization must equal the streaming session_window set")
+  }
+
   test("q45 retention: offset-0 is 1.0 by construction, ratios bounded") {
     val rows = Relational.q45Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
