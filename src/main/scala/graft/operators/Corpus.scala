@@ -477,14 +477,26 @@ object Corpus {
     * corpus-sized partition even though an octave can hold half the
     * corpus. Emits each doc's batch and its padding waste (the metric
     * a batching strategy is judged by). */
-  def c11LengthBatches(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables(spark, dir).documents
+  /** Shared c11/st28 input: each doc's token cost, its pad-length
+    * octave, and the octave's fixed batch capacity — one definition,
+    * so the batch packer and its streaming twin cannot drift. */
+  private[graft] def c11Input(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
       .select(col("doc_id"),
-        greatest(tokCount(col("text")).cast("bigint"), lit(1L)).as("cost"),
-        expr(s"doc_id div $BucketDocs").as("chunk"))
+        greatest(tokCount(col("text")).cast("bigint"), lit(1L)).as("cost"))
       .withColumn("pad_len",
         expr("CASE WHEN cost <= 16 THEN CAST(16 AS BIGINT) " +
           "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(cost - 1))) END"))
+      .withColumn("capacity",
+        expr(s"greatest(CAST(1 AS BIGINT), $BatchBudget div pad_len)"))
+
+  /** st28's oracle is literally c11's — the streaming twin's emitted
+    * assignment set is pinned identical to the batch packer's. */
+  private[graft] def c11OracleSql: String = c11Sql
+
+  def c11LengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val scored = c11Input(spark, dir)
+      .withColumn("chunk", expr(s"doc_id div $BucketDocs"))
     val chunkW = Window.partitionBy(col("pad_len")).orderBy(col("chunk"))
     val chunkOff = scored.groupBy(col("pad_len"), col("chunk"))
       .agg(count(lit(1)).as("ccnt"))

@@ -690,6 +690,44 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** t21 — per-document TF-IDF keyword extraction (the per-doc topical
+    * signature corpus curation tags, routes, and clusters by; t12 is
+    * the corpus-global frequency pass, this is its per-document dual).
+    * TF comes from one map-side-combined (doc, token) aggregation; DF
+    * reuses that already-distinct table (one vocabulary-keyed
+    * aggregation — never a second corpus scan of raw occurrences); the
+    * corpus doc count joins as a broadcast single row. The score is
+    * s06's rational idf, kept in PURE BIGINT arithmetic — tf *
+    * (2N − 2df + 1) * 1000 div (2df + 1) — so both engines' integers
+    * are identical (no log, no double division; bounded: tf ≤ doc
+    * tokens ~1e4, N ≤ 1e9 ⇒ product < 2^63). Top-5 per doc via a
+    * window whose partitions are per-doc DISTINCT tokens — bounded by
+    * document size at any corpus size, ties broken on the token string
+    * so rank is total. */
+  def t21TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val tf = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "),
+          w => length(w) > 0)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score_q",
+        expr("(tf * (2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_q"), col("rnk"))
+      .sortWithinPartitions(col("doc_id"), col("rnk"))
+  }
+
   /** t10/t11 oracles are generated from the SAME probe phrase / threshold
     * map the operators use, so heuristic and oracle cannot drift. */
   private def t10OracleSql: String =
@@ -1310,6 +1348,29 @@ object TextAnalysis {
         |  FROM cnt)
         |SELECT lang, token, cnt, rnk FROM rk WHERE rnk <= 20
         |ORDER BY lang, rnk""".stripMargin,
+    // t21: the identical BIGINT score arithmetic — DuckDB's // is
+    // Spark's div; list_filter mirrors the empty-token drop
+    "t21_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, token, tf, df,
+        |    (tf * (2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1)
+        |      AS score_q
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, token, tf, df, score_q,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_q DESC, token) AS rnk
+        |  FROM s)
+        |SELECT doc_id, token, tf, df, score_q, rnk FROM rk
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "t14_domain_mix" ->
       """WITH s AS (
         |  SELECT source, lang, COUNT(*) AS n_docs,
@@ -1498,6 +1559,7 @@ object TextAnalysis {
     "t17_bpe_train" -> (t17BpeTrain _),
     "t18_bpe_encode" -> (t18BpeEncode _),
     "t19_blocklist_filter" -> (t19BlocklistFilter _),
-    "t20_boilerplate_strip" -> (t20BoilerplateStrip _)
+    "t20_boilerplate_strip" -> (t20BoilerplateStrip _),
+    "t21_tfidf_keywords" -> (t21TfidfKeywords _)
   )
 }

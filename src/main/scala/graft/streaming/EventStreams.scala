@@ -1113,6 +1113,61 @@ object EventStreams {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  final case class LenDoc(doc_id: Long, cost: Long, pad_len: Long,
+    capacity: Long)
+  final case class LenAssign(doc_id: Long, pad_len: Long, n_tokens: Long,
+    batch_seq: Long, waste: Long)
+
+  /** st28 — streaming length-bucketed batching: c11's
+    * padding-minimizing fine-tuning batcher as an INCREMENTAL stream —
+    * documents keep arriving and every micro-batch EXTENDS the already-
+    * emitted batches instead of re-ranking the corpus. State per
+    * octave is ONE LONG (docs seen so far in that pad bucket):
+    * O(#octaves) ≈ 50 longs total at any corpus size, the minimal-
+    * state end of the packer ladder (st23 keeps two longs per bucket,
+    * this keeps one per octave). Cost/octave/capacity derive from the
+    * SHARED c11Input definition, arrival order is doc_id-range chunk
+    * staging with forced mtimes (st23's admission technique), and the
+    * closed-form assignment ((seen − 1) div capacity) is exactly the
+    * batch packer's — so c11's naive-window oracle verifies the stream
+    * run verbatim. */
+  def st28StreamLengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val staged = chunkedCache.computeIfAbsent(dir + "#lenb", { _ =>
+      val in = graft.operators.Corpus.c11Input(spark, dir)
+      val nChunks = math.max(2L, math.min(16L,
+        in.count() / 250000L + 1L)).toInt
+      val out = graft.Scratch.pinnedDir("stlenb_") + "/docs"
+      in.repartitionByRange(nChunks, col("doc_id")).write.parquet(out)
+      val parts = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000L * (i + 1)): Unit }
+      out
+    })
+    val schema = schemaCache.computeIfAbsent(staged,
+      p => spark.read.parquet(p).schema)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged).as[LenDoc]
+    val assigned = src.groupByKey(_.pad_len)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (pad: Long, docs: Iterator[LenDoc],
+         state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val outRows = docs.toIndexedSeq.sortBy(_.doc_id).map { d =>
+            seen += 1L
+            LenAssign(d.doc_id, pad, d.cost,
+              (seen - 1L) / d.capacity, pad - d.cost)
+          }
+          state.update(seen)
+          outRows.iterator
+      }
+    runToTable(assigned.toDF(), "append")
+      .sortWithinPartitions(col("doc_id"))
+  }
+
   /** st24 — the streaming tip-follow twin of k28's sketch rollup: a
     * per-day HLL sketch aggregation over the event stream. The state
     * per group is ONE mergeable sketch (KBs) that each micro-batch
@@ -1293,6 +1348,10 @@ object EventStreams {
     // packer lands — c02's recursive-CTE oracle verbatim
     "st23_stream_pack" ->
       graft.operators.Corpus.oracle("c02_pack_greedy"),
+    // st28: the incremental length-batcher must land exactly where the
+    // batch packer lands — c11's naive-window oracle verbatim
+    "st28_stream_length_batches" ->
+      graft.operators.Corpus.c11OracleSql,
     // st27: the incremental pairing must land exactly where the batch
     // LAG lands — q46's oracle verbatim
     "st27_stream_transitions" ->
@@ -1490,6 +1549,7 @@ object EventStreams {
     "st24_stream_sketch" -> (st24StreamSketch _),
     "st25_stream_quantile" -> (st25StreamQuantile _),
     "st26_stream_funnel" -> (st26StreamFunnel _),
-    "st27_stream_transitions" -> (st27StreamTransitions _)
+    "st27_stream_transitions" -> (st27StreamTransitions _),
+    "st28_stream_length_batches" -> (st28StreamLengthBatches _)
   )
 }

@@ -200,6 +200,30 @@ class CorpusSpec extends AnyFunSuite {
       (4L, 2L), (5L, 2L)))
   }
 
+  test("st28 streaming length-batcher: multi-batch run lands exactly " +
+    "on the batch assignments") {
+    val cols = Seq("doc_id", "pad_len", "n_tokens", "batch_seq", "waste")
+    val stream = streaming.EventStreams
+      .st28StreamLengthBatches(spark, sfDir).select(cols.map(col): _*)
+    val batch = Corpus.c11LengthBatches(spark, sfDir)
+      .select(cols.map(col): _*)
+    assert(batch.count() > 0L)
+    assert(stream.except(batch).union(batch.except(stream)).count() === 0L,
+      "incremental length batching diverged from the batch rank")
+  }
+
+  test("st28 state carries the octave fill count across micro-batches") {
+    // forty 100-cost docs → octave pad_len 128, capacity 4096/128 = 32:
+    // batch_seq must be doc_id div 32 even though the doc_id-range
+    // staging cuts ≥2 chunks — a lost per-octave count shows up as a
+    // batch_seq reset at the chunk boundary.
+    val dir = docsDir((0L to 39L).map(i => (i, words(100), "en", "a")))
+    val got = streaming.EventStreams.st28StreamLengthBatches(spark, dir)
+      .orderBy("doc_id").select("doc_id", "pad_len", "batch_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === (0L to 39L).map(i => (i, 128L, i / 32L)))
+  }
+
   test("c08 epoch shuffle: reproducible permutation, balanced shards, " +
     "keys stable under corpus growth") {
     val a = Corpus.c08EpochShuffle(spark, sfDir)

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -40,6 +40,29 @@ class LlmOpsSpec extends AnyFunSuite {
   private val baseText = vocabA.mkString(" ")                  // 30 words
   private val nearDup = (vocabA.updated(14, "CHANGED")).mkString(" ")
   private val unrelated = (1 to 30).map(i => s"w$i").mkString(" ")
+
+  test("t21 tf-idf: a planted rare token outranks the corpus-wide filler") {
+    // doc 0 carries 'zzrare' once; 'filler' floods every doc. idf makes
+    // the singleton win doc 0's rank 1 despite tf 1 vs filler's tf 5.
+    val dir = docsDir(Seq(
+      (0L, "filler filler filler filler filler zzrare"),
+      (1L, "filler filler filler filler filler aa"),
+      (2L, "filler filler filler filler filler bb"),
+      (3L, "filler filler filler filler filler cc")))
+    val out = graft.operators.TextAnalysis.t21TfidfKeywords(spark, dir)
+    val top = out.filter(col("doc_id") === 0L && col("rnk") === 1L)
+      .select("token", "tf", "df").collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("zzrare", 1L, 1L)))
+    // exactly min(5, distinct tokens) rows per doc, ranks contiguous
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("rnk").as("mx")).collect()
+    perDoc.foreach(r => assert(r.getLong(1) === r.getInt(2).toLong))
+    // score arithmetic: tf * (2N - 2df + 1) * 1000 div (2df + 1)
+    val z = out.filter(col("token") === "zzrare").select("score_q")
+      .head().getLong(0)
+    assert(z === (1L * (2 * 4 - 2 * 1 + 1) * 1000L) / (2 * 1 + 1))
+  }
 
   test("t10 contamination flags every planted doc, nothing boundary-only") {
     val out = graft.operators.TextAnalysis
