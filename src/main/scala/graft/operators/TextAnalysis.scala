@@ -707,6 +707,12 @@ object TextAnalysis {
   def t21TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
+    // tf feeds BOTH the keyword rows and the df aggregation. The two
+    // inlined explode subtrees share one canonical exchange, and AQE
+    // reuses the shuffle stage at runtime — the corpus tokenizes ONCE
+    // (asserted in ExplainAuditSpec). A localCheckpoint cut was
+    // measured SLOWER (95 s vs 79 s at sf100): materializing the
+    // billion-row (doc, token) table costs more than the reuse saves.
     val tf = docs
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "),

@@ -495,6 +495,24 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"each retrieval branch must cut via a distributed top-k heap:\n$p")
   }
 
+  test("t21 tf-idf: tokenization stays bounded at two linear passes, " +
+    "top-5 prunes below the doc window") {
+    // tf inlines into exactly its two consumers (tf rows + df counts) —
+    // two codegen'd linear explode passes, which MEASURES cheaper than
+    // deduplicating them: a localCheckpoint cut of tf was 95 s vs 79 s
+    // at sf100 (materializing the billion-row (doc, token) table costs
+    // more than the second scan), and AQE declines to stitch the two
+    // partial-agg stages. Guard the shape: never MORE than two, and
+    // the rank<=5 must push down as WindowGroupLimit so each partition
+    // ships only its top rows into the final per-doc window.
+    val p = plan(graft.operators.TextAnalysis
+      .t21TfidfKeywords(spark, sfDir))
+    assert(countOf(p, "Generate (") === 2,
+      s"explode subtree fan-out changed:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not push below the window:\n$p")
+  }
+
   test("c01 packing: ONE hash exchange (the bucket window), no join") {
     val p = plan(graft.operators.Corpus.c01PackConcat(spark, sfDir))
     assert(countOf(p, "Arguments: hashpartitioning") === 1,
