@@ -129,6 +129,46 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** m09 — video SCENE SPLIT over the stubbed decode path (the cut
+    * detection every video-training pipeline runs before clip
+    * sampling): m02's 64-byte frames each reduce to a cheap feature
+    * pair (the stub "frame histogram": space count + 'e' count — a
+    * real decoder would emit a color histogram here), a boundary fires
+    * where consecutive frames' L1 feature distance exceeds the
+    * threshold, and gaps-and-islands (cumulative boundary sum) numbers
+    * the scenes. Every window partitions by doc_id and is bounded by
+    * one document's frame count at any corpus size; output is one row
+    * per scene with its frame span — what a clip sampler consumes.
+    * All-ASCII corpus ⇒ byte features replay exactly in DuckDB. */
+  def m09SceneSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nLast = floor((length(col("text")) - 1) / 64).cast("int")
+    val frames = when(length(col("text")) > 0,
+      transform(sequence(lit(0), nLast),
+        i => substr(col("text"), i * 64 + 1, lit(64))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx"),
+        (length(col("frame")) -
+          length(expr("replace(frame, ' ', '')"))).as("f1"),
+        (length(col("frame")) -
+          length(expr("replace(frame, 'e', '')"))).as("f2"))
+      .withColumn("boundary",
+        when(lag(col("f1"), 1).over(w).isNull, lit(1))
+          .when(abs(col("f1") - lag(col("f1"), 1).over(w)) +
+            abs(col("f2") - lag(col("f2"), 1).over(w)) > 6, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("scene_id", sum(col("boundary")).over(w))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("start_idx"),
+        max(col("frame_idx")).as("end_idx"),
+        count(lit(1)).as("n_frames"))
+      .sortWithinPartitions(col("doc_id"), col("scene_id"))
+  }
+
   /** m04 — media payload dedup, the layered strategy a 100 TB blob lake
     * uses: a CHEAP content fingerprint (md5 of 192 sampled bytes —
     * head/mid/tail 64 each) buckets candidates without reading whole
@@ -584,7 +624,40 @@ object Multimodal {
         |  length(substring(text, CAST(frame_idx*64 + 1 AS INT), 64))
         |    AS n_chars_f
         |FROM idx WHERE frame_idx % 2 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // m09: the identical frame features, LAG boundary rule, and
+    // gaps-and-islands numbering
+    "m09_scene_split" ->
+      """WITH idx AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(floor((length(text)-1)/64) AS BIGINT) + 1))
+        |      AS frame_idx,
+        |    text
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(text, CAST(frame_idx*64 + 1 AS INT), 64) AS frame
+        |  FROM idx),
+        |s AS (
+        |  SELECT doc_id, frame_idx,
+        |    length(frame) - length(replace(frame, ' ', '')) AS f1,
+        |    length(frame) - length(replace(frame, 'e', '')) AS f2
+        |  FROM f),
+        |b AS (
+        |  SELECT doc_id, frame_idx,
+        |    CASE WHEN lag(f1) OVER w IS NULL THEN 1
+        |         WHEN abs(f1 - lag(f1) OVER w)
+        |            + abs(f2 - lag(f2) OVER w) > 6 THEN 1
+        |         ELSE 0 END AS boundary
+        |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |g AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(SUM(boundary) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS BIGINT) AS scene_id
+        |  FROM b)
+        |SELECT doc_id, scene_id, MIN(frame_idx) AS start_idx,
+        |  MAX(frame_idx) AS end_idx, COUNT(*) AS n_frames
+        |FROM g GROUP BY 1, 2 ORDER BY doc_id, scene_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -595,6 +668,7 @@ object Multimodal {
     "m05_contrastive_pairs" -> (m05ContrastivePairs _),
     "m06_modality_coverage" -> (m06ModalityCoverage _),
     "m07_phash_dedup" -> (m07PhashDedup _),
-    "m08_audio_energy" -> (m08AudioEnergy _)
+    "m08_audio_energy" -> (m08AudioEnergy _),
+    "m09_scene_split" -> (m09SceneSplit _)
   )
 }

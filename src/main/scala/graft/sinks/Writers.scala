@@ -724,6 +724,66 @@ object Writers {
       .orderBy(col("day"))
   }
 
+  /** The k30 Count-Min hash kernel, spelled once for the sketch build
+    * and the candidate probe (and mirrored verbatim in the oracle):
+    * row r's bucket for key u is md5Hash60("graft-cms:r:u") mod 512 —
+    * t04's engine-portable 60-bit md5 prefix, so the whole sketch is
+    * bit-identical across engines and merge orders. */
+  private def cmsBucket(r: Column, key: Column): Column =
+    graft.operators.Shingles.md5Hash60(
+      concat_ws(":", lit("graft-cms"), r, key)) % lit(512L)
+
+  /** k30 — Count-Min heavy-hitter rollup (the third mergeable sketch
+    * beside k28's HLL distincts and k29's quantile histogram — the
+    * frequency question): per-hour CMS tables of user event counts
+    * (4 rows × 512 buckets = ≤2048 (hour, r, bucket, cnt) rows per
+    * hour REGARDLESS of the hour's event count) MATERIALIZE to a
+    * parquet pre-agg; the daily rollup just SUMS bucket counts (CMS
+    * merge is count addition, associative and order-free) and reads KB
+    * of sketch rows, never the fact table. Any candidate's daily
+    * frequency then estimates as min over the 4 rows of its bucket
+    * count — here probed for the exact top-10 users per day, computed
+    * once as the audit bound (k28/k29 discipline; the top-k window
+    * prunes via WindowGroupLimit). Because the hashes are the
+    * deterministic md5 kernel, the estimate is EXACTLY reproducible in
+    * DuckDB — a full-value oracle, not a tolerance band — and the CMS
+    * one-sided guarantee (est ≥ exact, never under) is pinned as a
+    * boolean. */
+  def k30CmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+    val rows = explode(array((0 until 4).map(lit): _*)).as("r")
+    val pre = graft.Scratch.dir("k30_") + "/hourly_cms"
+    ev.select(col("hour"), col("user_id"), rows)
+      .select(col("hour"), col("r"),
+        cmsBucket(col("r"), col("user_id")).as("bucket"))
+      .groupBy(col("hour"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(pre)
+    val daily = spark.read.parquet(pre)
+      .groupBy(date_trunc("day", col("hour")).as("day"),
+        col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt")) // the merge: count addition
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+    val top = ev.groupBy(col("day"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+    top.select(col("day"), col("user_id"), col("exact_cnt"), col("rnk"),
+        rows)
+      .withColumn("bucket", cmsBucket(col("r"), col("user_id")))
+      .join(daily, Seq("day", "r", "bucket"))
+      .groupBy(col("day"), col("user_id"), col("exact_cnt"), col("rnk"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("day"), col("user_id"), col("exact_cnt"),
+        col("est_cnt"), col("rnk"),
+        (col("est_cnt") >= col("exact_cnt")).as("est_ok"))
+      .orderBy(col("day"), col("rnk"))
+  }
+
   /** k16 — footer-stats profiling as a round-trip query: lineitem is
     * rewritten as an 8-file table, then counted and min/max-bounded from
     * footers ALONE; the oracle recomputes the same numbers by scanning
@@ -1151,6 +1211,42 @@ object Writers {
     s"CASE WHEN $b <= 31 THEN $b ELSE ($b % 16 + 16) << ($b // 16 - 1) END"
 
   val oracle: Map[String, String] = Map(
+    // k30: the whole CMS replayed — hourly→daily merge is count
+    // addition, so direct daily bucketing is identical by
+    // associativity; the md5 bucket kernel is spelled verbatim
+    "k30_cms_topk" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', ts) AS day, user_id FROM events),
+        |h AS (
+        |  SELECT day, r,
+        |    CAST(('0x' || substr(md5('graft-cms:' || CAST(r AS VARCHAR)
+        |      || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 512 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS r) rr
+        |  GROUP BY 1, 2, 3),
+        |exact AS (
+        |  SELECT day, user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1, 2),
+        |top AS (
+        |  SELECT day, user_id, exact_cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY exact_cnt DESC, user_id) AS rnk
+        |  FROM exact QUALIFY rnk <= 10),
+        |cand AS (
+        |  SELECT day, user_id, exact_cnt, rnk, r,
+        |    CAST(('0x' || substr(md5('graft-cms:' || CAST(r AS VARCHAR)
+        |      || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 512 AS bucket
+        |  FROM top, (SELECT unnest([0, 1, 2, 3]) AS r) rr),
+        |est AS (
+        |  SELECT c.day, c.user_id, c.exact_cnt, c.rnk,
+        |    MIN(h.cnt) AS est_cnt
+        |  FROM cand c JOIN h ON h.day = c.day AND h.r = c.r
+        |    AND h.bucket = c.bucket
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT day, user_id, exact_cnt, est_cnt, rnk,
+        |  est_cnt >= exact_cnt AS est_ok
+        |FROM est ORDER BY day, rnk""".stripMargin,
     // k29: the full sketch replayed from the fact table — hourly→daily
     // merge is count addition, so direct daily binning is IDENTICAL by
     // associativity; quantile selection and the exact-rank audit repeat
@@ -1321,6 +1417,7 @@ object Writers {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k28_sketch_rollup" -> (k28SketchRollup _),
     "k29_quantile_rollup" -> (k29QuantileRollup _),
+    "k30_cms_topk" -> (k30CmsTopk _),
     "k15_zorder_write" -> (k15ZorderWrite _),
     "k16_footer_stats" -> (k16FooterStats _),
     "k17_vacuum" -> (k17Vacuum _),

@@ -41,6 +41,22 @@ class LlmOpsSpec extends AnyFunSuite {
   private val nearDup = (vocabA.updated(14, "CHANGED")).mkString(" ")
   private val unrelated = (1 to 30).map(i => s"w$i").mkString(" ")
 
+  test("m09 scene split: a planted feature jump cuts exactly one " +
+    "boundary; uniform docs stay one scene") {
+    // doc 0: two 128-char halves — all-'x' frames (f1=0, f2=0) then
+    // 'e '-patterned frames (f1=32, f2=32): L1 jump 64 > 6 at frame 2.
+    // doc 1: uniform → a single scene spanning every frame.
+    val dir = docsDir(Seq(
+      (0L, "x" * 128 + "e " * 64),
+      (1L, "x" * 256)))
+    val got = graft.operators.Multimodal.m09SceneSplit(spark, dir)
+      .orderBy("doc_id", "scene_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0L, 1L, 0, 1, 2L), (0L, 2L, 2, 3, 2L), (1L, 1L, 0, 3, 4L)))
+  }
+
   test("t21 tf-idf: a planted rare token outranks the corpus-wide filler") {
     // doc 0 carries 'zzrare' once; 'filler' floods every doc. idf makes
     // the singleton win doc 0's rank 1 despite tf 1 vs filler's tf 5.

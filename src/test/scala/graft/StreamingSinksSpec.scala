@@ -368,6 +368,29 @@ class StreamingSinksSpec extends AnyFunSuite {
       <= 200L, "per-hour sketch must be bounded by bin count, not events")
   }
 
+  test("k30 count-min top-k: estimate never undercounts, top-1 is the " +
+    "true daily maximum, and the sketch is domain-bounded") {
+    val out = Writers.k30CmsTopk(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        s"CMS one-sided guarantee violated: $r")
+      assert(r.getBoolean(5), s"est_ok must hold: $r")
+    }
+    // rank-1 per day must carry that day's true max exact count
+    val days = out.groupBy(_.get(0))
+    days.values.foreach { rs =>
+      val top = rs.find(_.getInt(4) == 1).get
+      assert(rs.forall(_.getLong(2) <= top.getLong(2)),
+        "rank-1 is not the day's exact maximum")
+    }
+    // with 4x512 cells and the test corpus' daily volume, collisions
+    // are sparse: most top-10 estimates should be EXACT (est == exact)
+    val exactHits = out.count(r => r.getLong(3) == r.getLong(2))
+    assert(exactHits * 2 > out.length,
+      s"only $exactHits/${out.length} estimates exact — hash kernel suspect")
+  }
+
   test("st25 streamed quantiles equal k29's batch quantiles exactly " +
     "(integer sketch is merge-order-free)") {
     val streamed = EventStreams.st25StreamQuantile(spark, sfDir)
