@@ -265,10 +265,20 @@ object EventStreams {
     // Fixed small state-partition count fits watermark-bounded state
     // (most st queries). Operators whose in-flight state is
     // corpus-proportional (st09 holds every open session of the current
-    // arrival chunk — millions at sf10) keep the BATCH shuffle sizing
-    // instead: state volume scales with data, so its partitioning must
-    // too (measured sf10: session-window exec 39→29 s at 8→32).
-    spark.conf.set(key, if (corpusScaleState) prev else streamPartitions)
+    // arrival chunk — millions at sf10) scale with the BATCH shuffle
+    // sizing instead (measured sf10: session-window exec 39→29 s at
+    // 8→32) — but CAPPED: every state store pays a commit/maintenance
+    // cost per micro-batch, so inheriting a fact-sized shuffle count
+    // multiplies pure overhead by the trigger count (measured sf100:
+    // st09 473 s at the suite's 256 partitions vs 216 s at 64; 64
+    // stores ≈ 150k events each at the 9.4M-event chunk ceiling, well
+    // inside store capacity). SPARK_GRAFT_STREAM_STATE_CAP overrides —
+    // a real cluster with RocksDB stores and 1000 executors raises it.
+    val stateCap = sys.env.get("SPARK_GRAFT_STREAM_STATE_CAP")
+      .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(64)
+    val corpusScaled =
+      math.min(prev.toIntOption.getOrElse(stateCap), stateCap).toString
+    spark.conf.set(key, if (corpusScaleState) corpusScaled else streamPartitions)
     try {
       if (mode == "append") {
         val root = graft.Scratch.dir("stout_")
