@@ -331,45 +331,55 @@ object Corpus {
   /** c09 — curriculum ordering: every document's EXACT global position
     * in the easy→hard order (score = token count ascending, doc_id
     * tiebreak) plus its 10-phase curriculum slot — without the
-    * single-partition global window that ordering naively costs.
+    * single-partition global window that ordering naively costs, and
+    * (round 11) without ANY driver-side collect: the score-prefix
+    * offsets compute DISTRIBUTED with the same two-level banding c11
+    * uses, so no corpus — however adversarial its score domain — can
+    * put more than one scalar on the driver.
     *
     * The decomposition: rank(d) = docs in strictly smaller SCORES
     * + docs in the same score but earlier CHUNKS (chunk = doc_id/1024)
-    * + the within-(score, chunk) row_number. The score histogram is
-    * VALUE-DOMAIN-bounded (one row per distinct token count — a few
-    * thousand rows for any corpus, independent of corpus size), so it
-    * collapses to a driver-side dictionary and broadcasts back — the
-    * same one-scalar-probe discipline as the dup-density gate, sized
-    * by the value domain, never the corpus. The chunk pass runs
-    * per-score windows over ~n/1024 CHUNK rows, and the row pass runs
-    * per-(score, chunk) windows over ≤1024 DOC rows: every window in
-    * the plan is partitioned and bounded. (Each level divides the
-    * window population by 1024; a third level would buy another three
-    * decades if one score ever held >10^9 docs.) */
+    * + the within-(score, chunk) row_number. The score-prefix table is
+    * VALUE-DOMAIN-bounded (one row per distinct token count), and its
+    * prefix sum itself two-levels: score bands of 1024 get band totals
+    * whose running sum is a broadcast TRIANGULAR join over the
+    * 1024×-collapsed band table (c10's tick-credit idiom — ~4k rows
+    * even at a 4M-score domain, so the |B|² nested loop is KBs; no
+    * unpartitioned window anywhere), then each band's scores offset
+    * within the band (per-band windows, ≤1024 rows). The chunk pass
+    * runs per-score windows over ~n/1024
+    * CHUNK rows, and the row pass runs per-(score, chunk) windows over
+    * ≤1024 DOC rows: every window in the plan is partitioned and
+    * bounded, or single-partition over a 1024×-collapsed population.
+    * (Each level divides its window population by 1024; a third level
+    * would buy another three decades if ever needed.) */
   def c09Curriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables(spark, dir).documents
       .select(col("doc_id"),
         tokCount(col("text")).cast("bigint").as("score"),
         expr(s"doc_id div $BucketDocs").as("chunk"))
-    // value-domain-bounded score histogram -> driver -> prefix offsets.
-    // Fail-LOUD guard first: the collect is sized by the value domain,
-    // and an adversarial corpus with near-unique scores would silently
-    // turn it into an O(n) driver collect. One scalar probe (the
-    // dup-density discipline) refuses past a few million distinct
-    // scores instead of OOMing the driver.
-    val approxScores = scored
-      .agg(approx_count_distinct(col("score")).as("nd"))
-      .first().getLong(0)
-    require(approxScores <= 4000000L,
-      s"c09: ~$approxScores distinct scores — value domain too large " +
-        "to collect; coarsen the score or add a third rank level")
+    // distributed score-prefix offsets: histogram (one row per
+    // distinct score) -> 1024-score bands -> band running sum as a
+    // broadcast triangular join over |domain|/1024 band rows ->
+    // within-band prefix (per-band windows, <=1024 rows each)
     val hist = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = hist.map(_._2).sum
-    val prefix = hist.scanLeft(0L) { case (acc, (_, c)) => acc + c }
-    val offDf = spark.createDataFrame(hist.map(_._1).zip(prefix.init).toSeq)
-      .toDF("score", "score_off")
+      .withColumn("sband", expr("score div 1024"))
+    val bandTot = hist.groupBy(col("sband"))
+      .agg(sum(col("cnt")).as("bcnt"))
+    val bandOff = bandTot
+      .join(broadcast(bandTot.select(col("sband").as("o_sband"),
+        col("bcnt").as("o_bcnt"))), col("o_sband") < col("sband"), "left")
+      .groupBy(col("sband"))
+      .agg(coalesce(sum(col("o_bcnt")), lit(0L)).as("band_off"))
+    val inBandW = Window.partitionBy(col("sband")).orderBy(col("score"))
+    val offDf = hist.join(bandOff, Seq("sband"))
+      .select(col("score"),
+        (col("band_off") + sum(col("cnt")).over(inBandW) - col("cnt"))
+          .as("score_off"))
+    // the phase denominator: ONE scalar to the driver (the dup-density
+    // probe discipline), never a histogram
+    val n = scored.count()
     val chunkW = Window.partitionBy(col("score")).orderBy(col("chunk"))
     val chunkOff = scored.groupBy(col("score"), col("chunk"))
       .agg(count(lit(1)).as("ccnt"))
@@ -510,8 +520,7 @@ object Corpus {
       .withColumn("rnk", col("chunk_off") + row_number().over(rowW))
       .select(col("doc_id"), col("pad_len"),
         col("cost").as("n_tokens"),
-        expr(s"(rnk - 1) div greatest(1, $BatchBudget div pad_len)")
-          .as("batch_seq"),
+        expr("(rnk - 1) div capacity").as("batch_seq"),
         (col("pad_len") - col("cost")).as("waste"))
       .sortWithinPartitions(col("doc_id"))
   }

@@ -18,6 +18,16 @@ import graft.sources.Tables
   * baselines the LSH variants are validated against, bounded to a key
   * subset so the quadratic stays a constant.
   */
+/** Output modes for the near-dup operators (d02/d06): [[DedupPairs]]
+  * is the AUDIT artifact — every verified near-dup pair, quadratic in
+  * dup-group size by contract; [[DedupAssignment]] is the PRODUCTION
+  * 100 TB shape — one (doc, canonical, is_dup) row per document,
+  * linear in the corpus at any dup density (d14/d15's keep-first
+  * rule). Same banding machinery underneath either way. */
+sealed trait DedupOutput
+case object DedupPairs extends DedupOutput
+case object DedupAssignment extends DedupOutput
+
 object Dedup {
 
   /** All (a, b) pairs with a < b WITHIN each equal-key group — the
@@ -87,11 +97,24 @@ object Dedup {
     * join overhead on a ~unique one; a one-aggregate probe chooses the
     * path. Outputs are bit-identical either way (DupGateSpec).
     */
-  def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
-      d02Collapsed(spark, dir)
-    else d02Direct(spark, dir)
+  def d02DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    d02DedupMinhash(spark, dir, DedupPairs)
+
+  /** Output-mode form (round-11): the SAME banding machinery behind
+    * both shapes a user needs — `DedupPairs` emits the near-dup pair
+    * audit artifact (quadratic in dup-group size BY CONTRACT),
+    * `DedupAssignment` the production 100 TB output (one
+    * doc → canonical row per document, linear at any dup density,
+    * d14's keep-first rule). DedupModeSpec pins the two modes against
+    * each other: every assignment edge is witnessed by the pair set. */
+  def d02DedupMinhash(spark: SparkSession, dir: String,
+      mode: DedupOutput): DataFrame = mode match {
+    case DedupAssignment => d14DedupAssign(spark, dir)
+    case DedupPairs =>
+      val docs = Tables(spark, dir).documents
+      if (DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)
+        d02Collapsed(spark, dir)
+      else d02Direct(spark, dir)
   }
 
   /** Shared d02/d12 signature prep: shingle strings (whole-text
@@ -405,7 +428,19 @@ object Dedup {
   /** The one collapse key for embedding payloads (d06/d09). */
   private def ehOf: Column = md5(concat_ws(",", col("embedding")).cast("binary"))
 
-  def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+  def d06DedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    d06DedupEmbeddingLsh(spark, dir, DedupPairs)
+
+  /** Output-mode form — see [[d02DedupMinhash]]: `DedupAssignment`
+    * routes the same LSH banding into d15's linear keep-first
+    * canonical assignment. */
+  def d06DedupEmbeddingLsh(spark: SparkSession, dir: String,
+      mode: DedupOutput): DataFrame = mode match {
+    case DedupAssignment => d15EmbeddingAssign(spark, dir)
+    case DedupPairs => d06Pairs(spark, dir)
+  }
+
+  private def d06Pairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
     // DUP-DENSITY GATE — see d02. Band geometry (Lsh.scaled, shared by
     // both paths) SCALES WITH THE CORPUS so per-bucket occupancy stays
@@ -1458,6 +1493,10 @@ object Dedup {
     // over the symmetric relation assigns canonicals
     "d14_dedup_assign" -> d14OracleSql,
     "d15_embedding_assign" -> d15OracleSql,
+    // d17: the assignment-mode FLAG path of d02 — same contract as
+    // d14 (the flag routes into the same machinery), independently
+    // gated so a flag-dispatch regression cannot hide
+    "d17_assign_mode" -> d14OracleSql,
     // d03: d13's simhash replay at full corpus — portable 60-bit token
     // hashes, per-bit majority, 4×15-bit pigeonhole bands, hamming ≤ 3
     "d03_dedup_simhash" ->
@@ -1743,6 +1782,8 @@ object Dedup {
     "d13_dedup_eval" -> (d13DedupEval _),
     "d14_dedup_assign" -> (d14DedupAssign _),
     "d15_embedding_assign" -> (d15EmbeddingAssign _),
-    "d16_containment" -> (d16Containment _)
+    "d16_containment" -> (d16Containment _),
+    "d17_assign_mode" ->
+      ((s: SparkSession, d: String) => d02DedupMinhash(s, d, DedupAssignment))
   )
 }

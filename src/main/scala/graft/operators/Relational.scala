@@ -882,19 +882,93 @@ object Relational {
     * the fold is the linear form); st26 carries the identical fold
     * incrementally.
     */
-  def q44Funnel(spark: SparkSession, dir: String): DataFrame = {
+  def q44Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelChain(spark, dir, Funnel.chain3)
+
+  /** q48 — K-STEP parameterized funnel (ClickHouse `windowFunnel`
+    * takes an arbitrary event list; q44's triple is its K = 3 slice):
+    * the same one-shuffle secondary-sort fold with a K-long greedy
+    * state — dominance is inductive in K (see [[Funnel]]), so the
+    * single-slot-per-level greedy stays EXACT at any chain length.
+    * Instantiated over the corpus' full 5-type event alphabet
+    * (signup → view → click → purchase → error — the last step reads
+    * as "hit an error after purchasing", the churn-risk slice); the
+    * chain itself is an argument of [[funnelChain]], not a constant.
+    * Per-task state is K longs; the oracle is the K-way EXISTS-join
+    * (quadratic-in-K per user — the fold is the linear form). */
+  def q48FunnelK(spark: SparkSession, dir: String): DataFrame =
+    funnelChain(spark, dir, chain5)
+
+  private[graft] val chain5: Seq[String] =
+    Seq("signup", "view", "click", "purchase", "error")
+
+  /** The K-level chain-frontier oracle, generated from the chain:
+    * level-j reach = some j-tuple of chain-typed events strictly
+    * increasing in (ts, event_id) with every event inside 24 h of the
+    * chain's first. Declared as level-chained CTEs — s_j holds the
+    * DISTINCT (user, first, last) frontier of chains reaching level j,
+    * each level one equi-join on user_id extending the previous —
+    * exactly q44's EXISTS-join semantics factored so the SQL engine
+    * never sees a flat K-way join (at K = 5 DuckDB's join-order pick
+    * on the flat form cross-multiplied partial chains and spilled
+    * >47 GB at sf0.01; the chained form is hash joins over
+    * frontier-sized inputs). Still chain-ENUMERATING per user (no
+    * greedy state anywhere) — the semantics the linear fold must
+    * match, not a replay of it. */
+  private[graft] def funnelOracleSql(chain: Seq[String]): String = {
+    val k = chain.length
+    val inList = chain.map(t => s"'$t'").mkString(", ")
+    val sctes = (1 to k).map { j =>
+      if (j == 1)
+        s"s1 AS (SELECT DISTINCT user_id, ts AS t1, ts AS tl,\n" +
+          s"         event_id AS il\n" +
+          s"       FROM e WHERE event_type = '${chain.head}')"
+      else
+        s"""s$j AS (
+           |  SELECT DISTINCT s.user_id, s.t1, n.ts AS tl,
+           |    n.event_id AS il
+           |  FROM s${j - 1} s JOIN e n ON n.user_id = s.user_id
+           |    AND n.event_type = '${chain(j - 1)}'
+           |    AND (s.tl, s.il) < (n.ts, n.event_id)
+           |    AND n.ts - s.t1 <= INTERVAL 24 HOUR)""".stripMargin
+    }
+    val lctes = (1 to k).map(j =>
+      s"l$j AS (SELECT DISTINCT user_id FROM s$j)")
+    val caseArms = (k to 1 by -1)
+      .map(j => s"WHEN l$j.user_id IS NOT NULL THEN $j").mkString("\n       ")
+    val leftJoins = (k to 1 by -1)
+      .map(j => s"LEFT JOIN l$j USING (user_id)").mkString("\n  ")
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type FROM events
+       |  WHERE event_type IN ($inList)),
+       |u AS (SELECT DISTINCT user_id FROM events),
+       |${sctes.mkString(",\n")},
+       |${lctes.mkString(",\n")}
+       |SELECT u.user_id,
+       |  CAST(CASE $caseArms
+       |       ELSE 0 END AS BIGINT) AS funnel_level
+       |FROM u
+       |  $leftJoins
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** The shared K-step batch funnel plan: filter to the chain's
+    * alphabet, ONE shuffle on user_id, secondary-sort, stream the
+    * partition iterator with a K-long state per user
+    * ([[Funnel.levelsByUserK]]). */
+  private[graft] def funnelChain(spark: SparkSession, dir: String,
+      chain: Seq[String]): DataFrame = {
     import spark.implicits._
     val W = 24L * 3600 * 1000000 // 24 h in micros
-    val wanted = Seq("view", "click", "purchase")
     val levels = Tables(spark, dir).events
-      .filter(col("event_type").isin(wanted: _*))
+      .filter(col("event_type").isin(chain: _*))
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type").as("y"))
       .as[Funnel.FEv]
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
-      .mapPartitions(it => Funnel.levelsByUser(W, it))
+      .mapPartitions(it => Funnel.levelsByUserK(W, chain, it))
     funnelAllUsers(spark, dir,
       levels.toDF().select(col("user_id"), col("funnel_level").as("lvl")))
   }
@@ -1066,6 +1140,10 @@ object Relational {
         |FROM u LEFT JOIN l3 USING (user_id) LEFT JOIN l2 USING (user_id)
         |       LEFT JOIN l1 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // q48's oracle is GENERATED from the same chain constant the
+    // operator folds over — chain and oracle cannot drift, and the
+    // generator is q44's hand-written EXISTS-join form at any K
+    "q48_funnel_k" -> funnelOracleSql(chain5),
     "q45_retention" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
@@ -1499,6 +1577,7 @@ object Relational {
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "q46_path_transitions" -> (q46PathTransitions _),
-    "q47_sessionize" -> (q47Sessionize _)
+    "q47_sessionize" -> (q47Sessionize _),
+    "q48_funnel_k" -> (q48FunnelK _)
   )
 }

@@ -262,48 +262,43 @@ object SvmInstr {
     * oracle recomputes everything arithmetically. */
   def p05OrcaMetadata(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val v1 = pmod(col("l_orderkey"), lit(2)) === 0
-    val tick = pmod(col("l_partkey"), lit(1000))
-    val price = floor(col("l_extendedprice") * 1000).cast("long")
-    val u128le: Column => Column = c =>
-      concat(le_from_long(c, 8), lit(Array.fill[Byte](8)(0)))
-    val data = when(v1,
-        concat(lit(anchorDiscriminator("initialize_pool")),
-          le_from_long(pmod(col("l_linenumber"), lit(256)).cast("long"), 1),
-          le_from_long(tick.cast("long"), 2), u128le(price)))
-      .otherwise(
-        concat(lit(anchorDiscriminator("initialize_pool_v2")),
-          le_from_long(tick.cast("long"), 2), u128le(price)))
-    val filler = u256_from_long(lit(0L))
-    val whirlpool = u256_from_long(col("l_orderkey") * 10 + col("l_linenumber"))
-    val instructions = t.lineitem.select(
+    // JOIN-FIRST, DECODE-ABOVE (round 11, the sf100 ENOSPC fix): both
+    // enrich joins run over the FIVE-COLUMN lineitem slice, and the
+    // payload synthesis + registry decode sit ABOVE the joins — so the
+    // wide fact (a 7×u256 accounts array + 96 B of mint/pool keys per
+    // row) exists only in the final projection and NEVER enters an
+    // exchange or an SMJ sort. The old decode-then-join plan moved the
+    // wide rows through both (shuffle + sort spill ≈ 2× the fact on
+    // scratch — >55 GB at sf100, ENOSPC on a 52 GB sandbox); this
+    // plan's whole shuffle-and-sort mass is the ~40 B/row source
+    // slice. (A narrow pre-decode sortWithinPartitions was tried
+    // first: EliminateSorts drops a non-terminal SORT BY under a join,
+    // so that propagation trick silently reverts to a wide SMJ sort —
+    // joining first makes the narrow sort STRUCTURAL, not an optimizer
+    // courtesy; ExplainAuditSpec pins it under forced SMJ.)
+    // Semantics are unchanged: synthesis+decode is a deterministic
+    // per-row projection of lineitem columns carried through the left
+    // joins, and p05's payloads always match one of the two registry
+    // variants, so decoding above the joins filters nothing the
+    // decode-below plan would have dropped.
+    val src = t.lineitem.select(
       col("l_orderkey").as("block_slot"),
       col("l_linenumber").as("transaction_index"),
-      lit(Base58.decode(WhirlpoolProgram)).as("program_id"),
-      data.as("data"),
-      array(filler, u256_from_long(col("l_partkey")),
-        u256_from_long(col("l_suppkey")), filler, whirlpool, filler,
-        whirlpool).as("accounts"))
-
-    val decoded = decodeVariants(instructions, orcaPoolInitRegistry,
-        passThrough = Seq("block_slot", "transaction_index"))
-      .withColumn("version",
-        when(col("swap_kind") === "pool_init_v1", 1L).otherwise(2L))
-      .drop("swap_kind")
+      col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
 
     // distinct: the synthetic lineitem repeats (orderkey, linenumber)
     // pairs, and a transaction twin must be unique per key or the left
-    // join fans out. Dedupe on the KEYS only (narrow shuffle), derive the
-    // signature after — hashing 2 string-casts per surviving row, not per
-    // input row.
+    // join fans out. Dedupe on the KEYS only (narrow shuffle), derive
+    // the signature after — hashing 2 string-casts per surviving row,
+    // not per input row.
     //
-    // Shuffle economy: every side is clustered on block_slot ONCE and that
-    // clustering satisfies both joins (hash(slot) co-locates (slot, idx)
-    // too — a subset partitioning satisfies the wider clustering), so the
-    // transactions join and the blocks join add zero exchanges.
-    val transactions = t.lineitem.select(
-        col("l_orderkey").as("block_slot"),
-        col("l_linenumber").as("transaction_index"))
+    // Shuffle economy: every side is clustered on block_slot ONCE and
+    // that clustering satisfies both joins AND the dedup (hash(slot)
+    // co-locates (slot, idx) — a subset partitioning satisfies the
+    // wider clustering), so the dedup aggregate and the two joins add
+    // zero exchanges beyond the three input clusterings.
+    val transactions = src.select(
+        col("block_slot"), col("transaction_index"))
       .repartition(col("block_slot"))
       .dropDuplicates("block_slot", "transaction_index")
       .withColumn("transaction_signature",
@@ -318,22 +313,52 @@ object SvmInstr {
       col("o_custkey").as("block_height"),
       col("o_orderdate").as("block_date"))
 
-    // Part-sorted output with NO explicit sort node: the first sort-merge
-    // join sorts both sides on exactly (slot, idx); the second requires
-    // only (slot), which that order satisfies, and a left-outer merge
-    // emits rows in streamed-side order — so every hash(slot) partition
-    // leaves the join physically sorted by (slot, idx) already. An
-    // explicit orderBy on top costs 2× the query (the range exchange's
-    // RangePartitioner sampling job re-executes the whole join lineage to
-    // pick bounds: joins 41 s → +orderBy 80 s at sf10), and even
-    // sortWithinPartitions re-sorts (+18 s) because the outer join only
-    // ADVERTISES ordering on the second join's keys. This is the
-    // ClickHouse MergeTree contract the reference writes into (ORDER BY
-    // sorts within parts, never globally); the gate comparator is
-    // row-order-insensitive.
-    decoded.repartition(col("block_slot"))
+    // Part-sorted output with NO sort of the wide rows: the first
+    // sort-merge join sorts both NARROW sides on exactly (slot, idx);
+    // the second requires only (slot), which that order satisfies, and
+    // a left-outer merge emits rows in streamed-side order — so every
+    // hash(slot) partition leaves the joins physically sorted by
+    // (slot, idx), and the synthesis/decode projection above preserves
+    // it. An explicit orderBy on top costs 2× the query (the range
+    // exchange's RangePartitioner sampling job re-executes the whole
+    // join lineage to pick bounds: joins 41 s → +orderBy 80 s at
+    // sf10). This is the ClickHouse MergeTree contract the reference
+    // writes into (ORDER BY sorts within parts, never globally); the
+    // gate comparator is row-order-insensitive.
+    val joined = src.repartition(col("block_slot"))
       .join(transactions, Seq("block_slot", "transaction_index"), "left")
       .join(blocks.repartition(col("block_slot")), Seq("block_slot"), "left")
+
+    // synthesis + registry decode, ABOVE the joins
+    val v1 = pmod(col("block_slot"), lit(2)) === 0
+    val tick = pmod(col("l_partkey"), lit(1000))
+    val price = floor(col("l_extendedprice") * 1000).cast("long")
+    val u128le: Column => Column = c =>
+      concat(le_from_long(c, 8), lit(Array.fill[Byte](8)(0)))
+    val data = when(v1,
+        concat(lit(anchorDiscriminator("initialize_pool")),
+          le_from_long(pmod(col("transaction_index"), lit(256)).cast("long"), 1),
+          le_from_long(tick.cast("long"), 2), u128le(price)))
+      .otherwise(
+        concat(lit(anchorDiscriminator("initialize_pool_v2")),
+          le_from_long(tick.cast("long"), 2), u128le(price)))
+    val filler = u256_from_long(lit(0L))
+    val whirlpool =
+      u256_from_long(col("block_slot") * 10 + col("transaction_index"))
+    val instructions = joined.select(
+      col("block_slot"), col("transaction_index"),
+      col("transaction_signature"), col("block_height"), col("block_date"),
+      lit(Base58.decode(WhirlpoolProgram)).as("program_id"),
+      data.as("data"),
+      array(filler, u256_from_long(col("l_partkey")),
+        u256_from_long(col("l_suppkey")), filler, whirlpool, filler,
+        whirlpool).as("accounts"))
+
+    decodeVariants(instructions, orcaPoolInitRegistry,
+        passThrough = Seq("block_slot", "transaction_index",
+          "transaction_signature", "block_height", "block_date"))
+      .withColumn("version",
+        when(col("swap_kind") === "pool_init_v1", 1L).otherwise(2L))
       .select(col("block_slot"), col("transaction_index"), col("version"),
         col("whirlpool_bump"), col("tick_spacing"),
         col("initial_sqrt_price").cast("long").as("initial_sqrt_price"),

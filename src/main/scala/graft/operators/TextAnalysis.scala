@@ -694,9 +694,14 @@ object TextAnalysis {
     * signature corpus curation tags, routes, and clusters by; t12 is
     * the corpus-global frequency pass, this is its per-document dual).
     * TF comes from one map-side-combined (doc, token) aggregation; DF
-    * reuses that already-distinct table (one vocabulary-keyed
-    * aggregation — never a second corpus scan of raw occurrences); the
-    * corpus doc count joins as a broadcast single row. The score is
+    * LOGICALLY aggregates that already-distinct (doc, token) table —
+    * while the PHYSICAL plan deliberately tokenizes the corpus twice:
+    * Catalyst inlines tf into both consumers, and the two codegen'd
+    * linear explode passes measured CHEAPER than materializing the
+    * billion-row tf table to share it (95 s vs 79 s at sf100; the
+    * shape is pinned at exactly two Generate passes in
+    * ExplainAuditSpec). The corpus doc count joins as a broadcast
+    * single row. The score is
     * s06's rational idf, kept in PURE BIGINT arithmetic — tf *
     * (2N − 2df + 1) * 1000 div (2df + 1) — so both engines' integers
     * are identical (no log, no double division; bounded: tf ≤ doc
@@ -707,12 +712,12 @@ object TextAnalysis {
   def t21TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    // tf feeds BOTH the keyword rows and the df aggregation. The two
-    // inlined explode subtrees share one canonical exchange, and AQE
-    // reuses the shuffle stage at runtime — the corpus tokenizes ONCE
-    // (asserted in ExplainAuditSpec). A localCheckpoint cut was
-    // measured SLOWER (95 s vs 79 s at sf100): materializing the
-    // billion-row (doc, token) table costs more than the reuse saves.
+    // tf feeds BOTH the keyword rows and the df aggregation. Catalyst
+    // inlines tf into each consumer — TWO codegen'd linear tokenize
+    // passes (the shape ExplainAuditSpec pins). A localCheckpoint cut
+    // that would tokenize once was measured SLOWER (95 s vs 79 s at
+    // sf100): materializing the billion-row (doc, token) table costs
+    // more than the second linear scan.
     val tf = docs
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), " "),

@@ -728,10 +728,15 @@ object Writers {
     * and the candidate probe (and mirrored verbatim in the oracle):
     * row r's bucket for key u is md5Hash60("graft-cms:r:u") mod 512 —
     * t04's engine-portable 60-bit md5 prefix, so the whole sketch is
-    * bit-identical across engines and merge orders. */
+    * bit-identical across engines and merge orders. `concat` (not
+    * concat_ws) so a NULL key null-propagates to a NULL bucket exactly
+    * like the oracle's `||` chain — concat_ws would silently SKIP the
+    * null and hash "graft-cms:r" into a real bucket, diverging on a
+    * null-bearing corpus (events.user_id is declared nullable). */
   private def cmsBucket(r: Column, key: Column): Column =
     graft.operators.Shingles.md5Hash60(
-      concat_ws(":", lit("graft-cms"), r, key)) % lit(512L)
+      concat(lit("graft-cms:"), r.cast("string"), lit(":"),
+        key.cast("string"))) % lit(512L)
 
   /** k30 — Count-Min heavy-hitter rollup (the third mergeable sketch
     * beside k28's HLL distincts and k29's quantile histogram — the

@@ -24,6 +24,17 @@ class ExplainAuditSpec extends AnyFunSuite {
   private def countOf(s: String, needle: String): Int =
     s.sliding(needle.length).count(_ == needle)
 
+  /** The `Input [n]: [...]` detail line of every numbered Sort node in
+    * a formatted explain — what each sort actually moves. */
+  private def sortInputLines(p: String): Seq[String] = {
+    val lines = p.linesIterator.toSeq
+    val heads = "^\\(\\d+\\) Sort".r
+    lines.zipWithIndex.collect {
+      case (l, i) if heads.findFirstIn(l).isDefined =>
+        lines.drop(i + 1).find(_.startsWith("Input"))
+    }.flatten
+  }
+
   test("q01: filter + projection push into the parquet scan") {
     val p = plan(Relational.q01AggFilter(spark, sfDir))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
@@ -183,7 +194,8 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected exactly one hash exchange (the user_id window):\n$p")
   }
 
-  test("p05: one clustering reused by both joins — 3 hash exchanges, no sort node") {
+  test("p05 join-first: one clustering per input side, and — under " +
+    "forced SMJ — every sort input is the narrow pre-decode slice") {
     val p = plan(graft.operators.SvmInstr.p05OrcaMetadata(spark, sfDir))
     // each input side is hashed on block_slot exactly once; the
     // transactions dedupe and BOTH enrich joins reuse that clustering
@@ -194,6 +206,24 @@ class ExplainAuditSpec extends AnyFunSuite {
     // themselves leave partitions physically sorted by (slot, idx)
     assert(countOf(p, "Arguments: rangepartitioning") === 0,
       s"expected no range exchange (part-sorted by the merge joins):\n$p")
+    // the sf100 ENOSPC fix's contract: force the joins to sort-merge
+    // (what sf100 actually plans) and assert every Sort's input is a
+    // narrow column slice — the synthesized payload, accounts array
+    // and decoded mints/whirlpool live ONLY above the joins, so no
+    // sort (and no exchange) ever spills the wide rows
+    val forced = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try plan(graft.operators.SvmInstr.p05OrcaMetadata(spark, sfDir))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        10485760L)
+    }
+    assert(forced.contains("SortMergeJoin"), forced)
+    val sortInputs = sortInputLines(forced)
+    assert(sortInputs.nonEmpty, s"expected SMJ sorts:\n$forced")
+    assert(!sortInputs.exists(l =>
+      l.contains("whirlpool") || l.contains("accounts") ||
+        l.contains("token_mint") || l.contains("data")),
+      s"a sort's input carries wide synthesized columns:\n$sortInputs")
   }
 
   test("d06 LSH dedup: candidate generation is an equi-join, no cross join") {

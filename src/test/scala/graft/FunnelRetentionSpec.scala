@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Relational
+import graft.operators.{Funnel, Relational}
 
 /** Behavior specs for the event-analytics operators q44 (windowed
   * funnel) and q45 (retention cohorts) — hand-computed chains on a
@@ -61,6 +61,41 @@ class FunnelRetentionSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
       5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 0L))
+  }
+
+  test("q48 K=5 funnel levels on hand-computed chains, incl. restart " +
+    "dominance at depth 3") {
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    val dir = eventsDir(Seq(
+      // u1: clean 5-chain inside the window
+      e(1, 0, "signup"), e(1, 1, "view"), e(1, 2, "click"),
+      e(1, 3, "purchase"), e(1, 4, "error"),
+      // u2: the 5th step lands outside the 24 h window -> 4
+      e(2, 0, "signup"), e(2, 1, "view"), e(2, 2, "click"),
+      e(2, 3, "purchase"), e(2, 25, "error"),
+      // u3: signup only -> 1
+      e(3, 0, "signup"),
+      // u4: starts mid-chain (no signup) -> 0
+      e(4, 0, "view"), e(4, 1, "click"), e(4, 2, "purchase"),
+      // u5: K-deep dominance — only the chain RESTARTING at the
+      // second signup reaches purchase+error inside 24 h -> 5
+      e(5, 0, "signup"), e(5, 1, "view"), e(5, 2, "click"),
+      e(5, 10, "signup"), e(5, 11, "view"), e(5, 12, "click"),
+      e(5, 26, "purchase"), e(5, 27, "error"),
+      // u6: exact reverse order -> only the trailing signup counts
+      e(6, 0, "error"), e(6, 1, "purchase"), e(6, 2, "click"),
+      e(6, 3, "view"), e(6, 4, "signup")))
+    val got = Relational.q48FunnelK(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 5L, 2L -> 4L, 3L -> 1L, 4L -> 0L,
+      5L -> 5L, 6L -> 1L))
+  }
+
+  test("q44 is exactly funnelChain at K=3: the parameterized fold " +
+    "reproduces the hand-written triple on the sf table") {
+    val a = Relational.q44Funnel(spark, sfDir)
+    val b = Relational.funnelChain(spark, sfDir, Funnel.chain3)
+    assert(a.collect().toSeq === b.collect().toSeq)
   }
 
   test("q44 on the sf table: levels monotone-populated and in range") {

@@ -384,11 +384,28 @@ class StreamingSinksSpec extends AnyFunSuite {
       assert(rs.forall(_.getLong(2) <= top.getLong(2)),
         "rank-1 is not the day's exact maximum")
     }
-    // with 4x512 cells and the test corpus' daily volume, collisions
-    // are sparse: most top-10 estimates should be EXACT (est == exact)
+    // Exactness is a STATISTICAL property of the 4x512 sketch vs the
+    // corpus' daily user cardinality, not a contract — so derive the
+    // expected collision rate FROM the corpus instead of hard-coding a
+    // majority that would fail spuriously if the shared test corpus
+    // grows. A candidate's estimate is inexact only when all 4 rows
+    // collide: p_row = 1-(1-1/512)^(U-1) with U = the worst day's
+    // distinct users, P(inexact) = p_row^4 under row independence.
+    // Allow the binomial mean + 3 sigma + 3 (small-N slack); the hard
+    // one-sided est >= exact contract above is corpus-independent.
+    val maxDailyUsers = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("u"))
+      .agg(max("u")).head.getLong(0)
+    val pRow = 1.0 - math.pow(1.0 - 1.0 / 512.0, (maxDailyUsers - 1).toDouble)
+    val expInexact = out.length * math.pow(pRow, 4)
+    val allowed = expInexact + 3 * math.sqrt(expInexact) + 3
     val exactHits = out.count(r => r.getLong(3) == r.getLong(2))
-    assert(exactHits * 2 > out.length,
-      s"only $exactHits/${out.length} estimates exact — hash kernel suspect")
+    assert(out.length - exactHits <= allowed,
+      s"only $exactHits/${out.length} estimates exact against an expected " +
+        s"~${out.length - expInexact.toInt} (U=$maxDailyUsers) — hash " +
+        "kernel suspect")
   }
 
   test("st25 streamed quantiles equal k29's batch quantiles exactly " +
