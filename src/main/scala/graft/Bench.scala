@@ -42,6 +42,23 @@ object Bench {
       // files, so file-level parallelism grows with SF and this knob
       // only sub-splits within parts.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // staged (localCheckpoint) fact slices — the d-family
+      // pre-collapse — overflow memory onto disk as RDD blocks, which
+      // Spark leaves UNCOMPRESSED by default; at the sf100 rehearsal
+      // that raw spill costs more scratch than the work it saves
+      .config("spark.rdd.compress", "true")
+      // one clustering, many key-sets: hash(slot) co-locates (slot, idx)
+      // too, but the conservative default REFUSES subset co-partitioning
+      // for joins (a skew guard) and re-shuffles + re-sorts both sides on
+      // the full key set — at sf100 that silently moved p05's whole fact
+      // a second time. The rehearsal keys are uniform; let a staged
+      // single-key clustering serve every join whose keys extend it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // ...and let a staged bucket table's per-bucket sortBy feed the
+      // merge joins: off by default since 3.0 (multi-file buckets would
+      // need a merge-sort) but Spark still guards on one-file-per-bucket,
+      // which the stageBucketed writer guarantees by construction
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,19 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // one clustering, many key-sets: hash(slot) co-locates (slot, idx)
+      // too, but the conservative default REFUSES subset co-partitioning
+      // for joins (a skew guard) and re-shuffles + re-sorts both sides on
+      // the full key set — at sf100 that silently moved p05's whole fact
+      // a second time. The rehearsal keys are uniform; let a staged
+      // single-key clustering serve every join whose keys extend it.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // ...and let a staged bucket table's per-bucket sortBy feed the
+      // merge joins: off by default since 3.0 (multi-file buckets would
+      // need a merge-sort) but Spark still guards on one-file-per-bucket,
+      // which the stageBucketed writer guarantees by construction
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .config("spark.rdd.compress", "true") // see Bench — staged slices
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

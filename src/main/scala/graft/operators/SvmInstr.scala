@@ -260,46 +260,60 @@ object SvmInstr {
     * instruction stream is synthesized from lineitem; transactions/blocks
     * twins carry a signature / (height, timestamp) respectively; the
     * oracle recomputes everything arithmetically. */
+  // memo for p05's staged bucket table — see Writers.stageBucketed
+  private val p05Staged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def p05OrcaMetadata(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // JOIN-FIRST, DECODE-ABOVE (round 11, the sf100 ENOSPC fix): both
-    // enrich joins run over the FIVE-COLUMN lineitem slice, and the
-    // payload synthesis + registry decode sit ABOVE the joins — so the
-    // wide fact (a 7×u256 accounts array + 96 B of mint/pool keys per
-    // row) exists only in the final projection and NEVER enters an
-    // exchange or an SMJ sort. The old decode-then-join plan moved the
-    // wide rows through both (shuffle + sort spill ≈ 2× the fact on
-    // scratch — >55 GB at sf100, ENOSPC on a 52 GB sandbox); this
-    // plan's whole shuffle-and-sort mass is the ~40 B/row source
-    // slice. (A narrow pre-decode sortWithinPartitions was tried
-    // first: EliminateSorts drops a non-terminal SORT BY under a join,
-    // so that propagation trick silently reverts to a wide SMJ sort —
-    // joining first makes the narrow sort STRUCTURAL, not an optimizer
-    // courtesy; ExplainAuditSpec pins it under forced SMJ.)
+    // JOIN-FIRST, DECODE-ABOVE, STAGE-ONCE (round 11, the sf100 ENOSPC
+    // fix): both enrich joins run over the FIVE-COLUMN lineitem slice,
+    // and the payload synthesis + registry decode sit ABOVE the joins —
+    // so the wide fact (a 7×u256 accounts array + 96 B of mint/pool
+    // keys per row) exists only in the final projection and NEVER
+    // enters an exchange or an SMJ sort. The old decode-then-join plan
+    // moved the wide rows through both (shuffle + sort spill ≈ 2× the
+    // fact on scratch — >55 GB at sf100, ENOSPC on a 52 GB sandbox).
+    // Two optimizer traps made the cheap plan need explicit staging:
+    //  - a narrow pre-decode sortWithinPartitions is DROPPED by
+    //    EliminateSorts under a join, silently reverting to a wide SMJ
+    //    sort — joining first makes the narrow sort structural;
+    //  - the fact exchange cannot be SHARED between the join's left
+    //    side and the transactions dedupe by ReusedExchange, because
+    //    column pruning specializes each branch's exchange subtree —
+    //    measured: two full fact shuffles + spills still ENOSPC'd a
+    //    46 GB scratch at sf100.
+    //  - localCheckpoint staging was tried too: LogicalRDD comes back
+    //    with UnknownPartitioning under AQE, so every consumer
+    //    re-shuffles the staged blocks — pure overhead.
+    // So the clustered slice is staged ONCE as a k04-style bucketed +
+    // (slot, idx)-sorted managed table: the bucketed scan ADVERTISES
+    // hash(slot) partitioning and the per-bucket sort, which satisfies
+    // the dedup's (slot, idx) clustering AND both joins (a subset
+    // partitioning satisfies the wider clustering) AND the SMJ sort —
+    // after the one staging write the fact never moves or sorts again.
     // Semantics are unchanged: synthesis+decode is a deterministic
     // per-row projection of lineitem columns carried through the left
     // joins, and p05's payloads always match one of the two registry
     // variants, so decoding above the joins filters nothing the
     // decode-below plan would have dropped.
-    val src = t.lineitem.select(
-      col("l_orderkey").as("block_slot"),
-      col("l_linenumber").as("transaction_index"),
-      col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = graft.sinks.Writers.stageBucketed(spark,
+      s"${System.identityHashCode(spark)}|$dir", "graft_p05_src",
+      p05Staged, "block_slot", Seq("block_slot", "transaction_index")) {
+      t.lineitem.select(
+        col("l_orderkey").as("block_slot"),
+        col("l_linenumber").as("transaction_index"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    }
 
     // distinct: the synthetic lineitem repeats (orderkey, linenumber)
     // pairs, and a transaction twin must be unique per key or the left
-    // join fans out. Dedupe on the KEYS only (narrow shuffle), derive
-    // the signature after — hashing 2 string-casts per surviving row,
-    // not per input row.
-    //
-    // Shuffle economy: every side is clustered on block_slot ONCE and
-    // that clustering satisfies both joins AND the dedup (hash(slot)
-    // co-locates (slot, idx) — a subset partitioning satisfies the
-    // wider clustering), so the dedup aggregate and the two joins add
-    // zero exchanges beyond the three input clusterings.
+    // join fans out. Dedupe on the KEYS only, derive the signature
+    // after — hashing 2 string-casts per surviving row, not per input
+    // row. Reads the staged clustering: zero exchanges here.
     val transactions = src.select(
         col("block_slot"), col("transaction_index"))
-      .repartition(col("block_slot"))
       .dropDuplicates("block_slot", "transaction_index")
       .withColumn("transaction_signature",
         md5(concat(col("block_slot").cast("string"), lit(":"),
@@ -325,9 +339,10 @@ object SvmInstr {
     // sf10). This is the ClickHouse MergeTree contract the reference
     // writes into (ORDER BY sorts within parts, never globally); the
     // gate comparator is row-order-insensitive.
-    val joined = src.repartition(col("block_slot"))
+    val joined = src
       .join(transactions, Seq("block_slot", "transaction_index"), "left")
-      .join(blocks.repartition(col("block_slot")), Seq("block_slot"), "left")
+      .join(blocks.repartition(parts, col("block_slot")),
+        Seq("block_slot"), "left")
 
     // synthesis + registry decode, ABOVE the joins
     val v1 = pmod(col("block_slot"), lit(2)) === 0

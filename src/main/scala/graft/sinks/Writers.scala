@@ -933,6 +933,38 @@ object Writers {
     bucketedJoinPlan(spark)
   }
 
+  /** Stage a fact slice as a bucketed + per-bucket-sorted managed table
+    * and return it — k04's write-once-shuffle idiom as a reusable
+    * helper (pay ONE clustering at write time; every later join /
+    * aggregate on the bucket key reads it back with zero exchange, and
+    * the per-bucket sort feeds SMJ with zero sort). Each side is
+    * repartitioned on the key first (repartition and bucketBy share
+    * Murmur3 pmod hashing) so every task owns exactly one bucket — one
+    * file per bucket, which is what lets the scan ADVERTISE the sort.
+    * Memoized per (session, key) through the caller-owned `memo` (same
+    * contract as k04's: set only after the write succeeds; the whole
+    * check-and-rebuild is one critical section). */
+  private[graft] def stageBucketed(spark: SparkSession, key: String,
+      table: String,
+      memo: java.util.concurrent.atomic.AtomicReference[String],
+      bucketCol: String, sortCols: Seq[String])(
+      build: => DataFrame): DataFrame = {
+    memo.synchronized {
+      if (memo.get() != key) {
+        val buckets = math.max(8,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        memo.set(null)
+        dropManaged(spark, table)
+        build.repartition(buckets, col(bucketCol))
+          .write.bucketBy(buckets, bucketCol)
+          .sortBy(sortCols.head, sortCols.tail: _*)
+          .mode("overwrite").saveAsTable(table)
+        memo.set(key)
+      }
+    }
+    spark.table(table)
+  }
+
   /** Drop a managed table AND its warehouse location — a fresh session's
     * in-memory catalog doesn't know about directories a previous JVM left
     * behind, and saveAsTable refuses to reuse them. */

@@ -194,13 +194,17 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"expected exactly one hash exchange (the user_id window):\n$p")
   }
 
-  test("p05 join-first: one clustering per input side, and — under " +
+  test("p05 join-first: the staged fact never re-shuffles, and — under " +
     "forced SMJ — every sort input is the narrow pre-decode slice") {
     val p = plan(graft.operators.SvmInstr.p05OrcaMetadata(spark, sfDir))
-    // each input side is hashed on block_slot exactly once; the
-    // transactions dedupe and BOTH enrich joins reuse that clustering
-    assert(countOf(p, "Arguments: hashpartitioning") === 3,
-      s"expected exactly three hash exchanges (one per input side):\n$p")
+    // the fact's ONE clustering happens inside the bucketed staging
+    // write; the final plan reads the bucketed table (partitioning +
+    // per-bucket sort advertised) and the dedupe + BOTH joins add no
+    // fact exchange — the only hash exchange left is the blocks side
+    assert(p.contains("Bucketed: true"),
+      s"expected the staged bucketed fact scan:\n$p")
+    assert(countOf(p, "Arguments: hashpartitioning") === 1,
+      s"expected exactly one hash exchange (blocks only):\n$p")
     // no range exchange: a global orderBy's sampling job re-executes the
     // whole join lineage (measured 2× the query at sf10); the merge joins
     // themselves leave partitions physically sorted by (slot, idx)
