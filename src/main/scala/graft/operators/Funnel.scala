@@ -89,6 +89,17 @@ object Funnel {
   def funnelLevel(st: FunnelState): Long =
     levelK(Array(st.g1, st.g2, st.g3))
 
+  /** K-generic micro-batch fold (st29's transition): sort ONE batch's
+    * per-user slice and advance the carried K-long state in place —
+    * the [[foldFunnel]] contract at arbitrary chain depth. Returns the
+    * same array for re-storage as stream state. */
+  def foldFunnelK(wUs: Long, levelOf: Map[String, Int], st: Array[Long],
+      evs: Iterator[FEv]): Array[Long] = {
+    evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      .foreach(e => stepK(wUs, levelOf, st, e))
+    st
+  }
+
   /** The batch funnel kernel, K-generic: one pass over a partition
     * iterator that is clustered by user_id and secondary-sorted by
     * (ts_us, event_id) within each user. Emits one (user, level) row

@@ -459,7 +459,74 @@ object Multimodal {
       .filter(col("n_windows") > 0)
       .orderBy(col("doc_id"))
 
+  /** m10 — interleaved multimodal sequence assembly: the VLM training
+    * shape, where each sample is an ordered stream of text segments and
+    * image slots ([img] t t [img] t t …) with modality-aware token
+    * costs. Per document: text splits into fixed 128-char chunks (the
+    * c03 substring machinery, stride = width), one image slot precedes
+    * every pair of chunks, and each element becomes one output row
+    * (doc_id, seq_pos, kind, cost, content_key) — text cost ≈ chars/4
+    * rounded up, image cost the fixed 576-token vision-patch
+    * convention, content_key the md5 the packer/dedup layers join on.
+    * All pure Column arithmetic on one documents scan: the sequence
+    * explode fans out map-side (no shuffle anywhere — .explain shows a
+    * single scan→project→generate chain), output is
+    * partition-sorted, and downstream c02-style packing consumes the
+    * (cost, content_key) rows as-is. At 100 TB this is the assembly
+    * step between curation and the trainer's sampler; the stub is only
+    * the content_key standing in for a real media reference, exactly
+    * like m01's payload contract.
+    */
+  def m10Interleave(spark: SparkSession, dir: String): DataFrame = {
+    val c = 128 // chunk width in chars
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) > 0)
+      .withColumn("n_chunks",
+        expr(s"cast((length(text) + ${c - 1}) div $c as int)"))
+    val text = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"),
+        expr("cast(3 * (chunk_idx div 2) + chunk_idx % 2 + 1 as bigint)")
+          .as("seq_pos"),
+        lit("text").as("kind"),
+        expr(s"cast((length(substring(text, chunk_idx * $c + 1, $c)) + 3)" +
+          " div 4 as bigint)").as("cost"),
+        md5(expr(s"substring(text, chunk_idx * $c + 1, $c)"))
+          .as("content_key"))
+    val imgs = base
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), expr("(n_chunks + 1) div 2 - 1")))
+          .as("j"))
+      .select(col("doc_id"),
+        expr("cast(3 * j as bigint)").as("seq_pos"),
+        lit("image").as("kind"), lit(576L).as("cost"),
+        concat(md5(col("text")), lit("#"), col("j")).as("content_key"))
+    text.unionByName(imgs)
+      .sortWithinPartitions(col("doc_id"), col("seq_pos"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "m10_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, (length(text) + 127) // 128 AS n_chunks
+        |  FROM documents WHERE length(text) > 0),
+        |txt AS (
+        |  SELECT doc_id,
+        |    CAST(3 * (i // 2) + i % 2 + 1 AS BIGINT) AS seq_pos,
+        |    'text' AS kind,
+        |    CAST((length(substr(text, CAST(i * 128 + 1 AS INT), 128)) + 3)
+        |      // 4 AS BIGINT) AS cost,
+        |    md5(substr(text, CAST(i * 128 + 1 AS INT), 128)) AS content_key
+        |  FROM d, unnest(range(0, n_chunks)) AS t(i)),
+        |img AS (
+        |  SELECT doc_id, CAST(3 * j AS BIGINT) AS seq_pos,
+        |    'image' AS kind, CAST(576 AS BIGINT) AS cost,
+        |    md5(text) || '#' || j AS content_key
+        |  FROM d, unnest(range(0, (n_chunks + 1) // 2)) AS t(j))
+        |SELECT * FROM txt UNION ALL SELECT * FROM img
+        |ORDER BY doc_id, seq_pos""".stripMargin,
     "m08_audio_energy" ->
       """WITH w AS (
         |  SELECT doc_id, i AS widx,
@@ -669,6 +736,7 @@ object Multimodal {
     "m06_modality_coverage" -> (m06ModalityCoverage _),
     "m07_phash_dedup" -> (m07PhashDedup _),
     "m08_audio_energy" -> (m08AudioEnergy _),
-    "m09_scene_split" -> (m09SceneSplit _)
+    "m09_scene_split" -> (m09SceneSplit _),
+    "m10_interleave" -> (m10Interleave _)
   )
 }

@@ -406,6 +406,39 @@ object Writers {
     readCurrent(spark, root).orderBy(col("event_id"))
   }
 
+  /** k31 — pinned time travel across a DELETE-rewrite: v1 publishes a
+    * third of the events, v2 APPENDS another third (k14's append path),
+    * then v3 SUPERSEDES the table with a full rewrite that drops every
+    * 7th user's rows (the GDPR-erasure shape — a rewrite, not an
+    * append, so v3 shares no manifest lineage with v2). The query reads
+    * **v2 pinned** — AFTER CURRENT has moved to v3 — and its oracle is
+    * the exact v1+v2 row set INCLUDING the users v3 erased: it matches
+    * only if old manifests are immutable under later rewrites
+    * (Iceberg/Delta `VERSION AS OF` semantics). k13 proves
+    * CURRENT-resolution atomicity; this entry proves the other half of
+    * the snapshot contract — a reader pinned to a version is unaffected
+    * by anything published after it. At 100 TB pinned reads are what
+    * make reproducible training runs possible: the corpus a job read is
+    * the corpus its manifest names, whatever compaction/erasure ran
+    * since (physical file REMOVAL is k17 vacuum's separately-gated
+    * step, which refuses versions still inside the retention window).
+    */
+  def k31TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Scratch.dir("k31_")
+    val ev = graft.sources.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    publishVersion(spark, root, 1,
+      ev.filter(pmod(col("event_id"), lit(3)) === 0))
+    publishAppend(spark, root, 2,
+      ev.filter(pmod(col("event_id"), lit(3)) === 1))
+    // the erasure rewrite: full table minus every 7th user, fresh files
+    stageVersion(spark, root, 3,
+      ev.filter(pmod(col("user_id"), lit(7)) =!= 0))
+    publishPointer(spark, root, 3)
+    readVersion(spark, root, 2).orderBy(col("event_id"))
+  }
+
   /** k12 — dynamic partition overwrite: a correction batch rewrites ONLY
     * the partitions it carries rows for (here the 'click' slice of an
     * event_type-partitioned table), leaving every other partition's files
@@ -1448,7 +1481,13 @@ object Writers {
         |FROM events ORDER BY event_id""".stripMargin,
     "k14_manifest_delta" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events WHERE event_id % 2 = 1 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id % 2 = 1 ORDER BY event_id""".stripMargin,
+    // k31's oracle is v2's exact content — notably INCLUDING the
+    // user_id % 7 = 0 rows the v3 rewrite erased after v2 was pinned
+    "k31_time_travel" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 3 IN (0, 1)
+        |ORDER BY event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1470,6 +1509,7 @@ object Writers {
     "k12_partition_overwrite" -> (k12PartitionOverwrite _),
     "k13_manifest_publish" -> (k13ManifestPublish _),
     "k14_manifest_delta" -> (k14ManifestDelta _),
+    "k31_time_travel" -> (k31TimeTravel _),
     "k18_merge_on_read" -> (k18MergeOnRead _),
     "k19_stats_skipping" -> (k19StatsSkipping _),
     "k20_wap" -> (k20Wap _),

@@ -1242,6 +1242,47 @@ object EventStreams {
     graft.operators.Relational.funnelAllUsers(spark, dir, levels)
   }
 
+  /** st29 — streaming twin of q48's K-STEP funnel: st26's incremental
+    * fold at arbitrary chain depth. State per user is K LONGS (the
+    * K-generic greedy max-first times, stored as a Seq[Long] so one
+    * state encoding serves every K), advanced per micro-batch by the
+    * same [[graft.operators.Funnel.stepK]] kernel the batch q48 fold
+    * runs — chain, kernel and output contract are all shared with the
+    * batch operator, so q48's generated K-way EXISTS oracle verifies
+    * the stream run verbatim. Completes the stateful-twin ladder's
+    * depth axis: st27 one string, st26 three longs, st29 K longs — the
+    * state stays O(K) per user however hot the user, which is the
+    * whole point of the greedy dominance argument at 100 TB. */
+  def st29StreamFunnelK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val chain = graft.operators.Relational.chain5
+    val levelOf = chain.zipWithIndex.toMap
+    val wUs = 24L * 3600 * 1000000
+    val evs = eventsStreamChunked(spark, dir, triggerCap = 8)
+      .filter(col("event_type").isin(chain: _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("y"))
+      .as[FEv]
+    val updated = evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FEv],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          val st = graft.operators.Funnel.foldFunnelK(wUs, levelOf,
+            state.getOption.map(_.toArray)
+              .getOrElse(graft.operators.Funnel.unreachedK(chain.length)),
+            it)
+          state.update(st.toSeq)
+          graft.operators.Funnel.UserFunnel(uid,
+            graft.operators.Funnel.levelK(st))
+      }
+    val levels = runToTable(updated.toDF(), "update")
+      .groupBy(col("user_id")).agg(max(col("funnel_level")).as("lvl"))
+    graft.operators.Relational.funnelAllUsers(spark, dir, levels)
+  }
+
   final case class TransDelta(user_id: Long, from_type: String,
     to_type: String, n: Long)
 
@@ -1362,6 +1403,10 @@ object EventStreams {
     // batch packer lands — c11's naive-window oracle verbatim
     "st28_stream_length_batches" ->
       graft.operators.Corpus.c11OracleSql,
+    // st29: the incremental K-step funnel must land exactly where the
+    // batch K-fold lands — q48's GENERATED K-way EXISTS oracle verbatim
+    "st29_stream_funnel_k" ->
+      graft.operators.Relational.oracle("q48_funnel_k"),
     // st27: the incremental pairing must land exactly where the batch
     // LAG lands — q46's oracle verbatim
     "st27_stream_transitions" ->
@@ -1560,6 +1605,7 @@ object EventStreams {
     "st25_stream_quantile" -> (st25StreamQuantile _),
     "st26_stream_funnel" -> (st26StreamFunnel _),
     "st27_stream_transitions" -> (st27StreamTransitions _),
-    "st28_stream_length_batches" -> (st28StreamLengthBatches _)
+    "st28_stream_length_batches" -> (st28StreamLengthBatches _),
+    "st29_stream_funnel_k" -> (st29StreamFunnelK _)
   )
 }

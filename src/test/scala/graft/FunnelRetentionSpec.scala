@@ -128,6 +128,31 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got.filterNot(_._1 == 1L).values.forall(_ == 0L))
   }
 
+  test("st29 streaming K-funnel equals batch q48 on the sf table") {
+    val stream = streaming.EventStreams.st29StreamFunnelK(spark, sfDir)
+    val batch = Relational.q48FunnelK(spark, sfDir)
+    assert(batch.count() > 0)
+    assert(stream.except(batch).union(batch.except(stream)).count() === 0L,
+      "incremental K-funnel diverged from the batch K-fold")
+  }
+
+  test("st29 carries the K-long state across micro-batch boundaries") {
+    // user 1's 5-chain spans the full ts range, so the ts-range
+    // chunking necessarily splits it across triggers: the signup lands
+    // in an earlier trigger than the error — lost deep-state would cap
+    // the level below 5
+    def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
+    val filler = (10L to 29L).map(u => e(u, (u - 10L).toDouble, "error"))
+    val dir = eventsDir(Seq(
+      e(1, 0, "signup"), e(1, 4, "view"), e(1, 9, "click"),
+      e(1, 14, "purchase"), e(1, 19, "error")) ++ filler)
+    val got = streaming.EventStreams.st29StreamFunnelK(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 5L, s"K-state lost across a chunk boundary: $got")
+    // a lone error (level-5 type) with no prior chain stays at 0
+    assert(got.filterNot(_._1 == 1L).values.forall(_ == 0L))
+  }
+
   test("q46 transitions: hand-computed counts, rows are a distribution") {
     def e(u: Long, h: Double, t: String) = (u, 0L, h, t)
     // u1: view->click->view->purchase; u2: view->click

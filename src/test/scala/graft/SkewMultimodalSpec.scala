@@ -112,6 +112,39 @@ class SkewMultimodalSpec extends AnyFunSuite {
       "documents.text must be non-empty ASCII for m07's byte-level oracle")
   }
 
+  test("m10 interleave: image slot before every chunk pair, costs and " +
+      "positions line up") {
+    import org.apache.spark.sql.functions.{length, md5, substring}
+    val sfDir = SparkSessionFixture.sfDir
+    val rows = Multimodal.m10Interleave(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // position algebra: seq_pos % 3 == 0 ⇔ image; image cost fixed at
+    // the 576-patch convention; text cost = ceil(chars/4) ∈ [1, 32]
+    rows.foreach { r =>
+      val (pos, kind, cost) = (r.getLong(1), r.getString(2), r.getLong(3))
+      if (pos % 3 == 0) assert(kind == "image" && cost == 576L)
+      else assert(kind == "text" && cost >= 1L && cost <= 32L)
+    }
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val nTxt = rs.count(_.getString(2) == "text")
+      val nImg = rs.count(_.getString(2) == "image")
+      assert(nImg === (nTxt + 1) / 2,
+        s"doc $doc: one image per chunk pair, got $nImg for $nTxt chunks")
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length,
+        s"doc $doc: duplicate seq positions")
+    }
+    // content keys are the c03-style substring md5s — pin one doc
+    val doc0 = byDoc.keys.min
+    val firstKey = byDoc(doc0).filter(r => r.getLong(1) == 1L)
+      .map(_.getString(4)).head
+    val expect = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === doc0)
+      .select(md5(substring(col("text"), 1, 128))).collect().head.getString(0)
+    assert(firstKey === expect, "first text chunk key must be md5(first 128 chars)")
+  }
+
   test("m03 resize stub: ceil stride spans the payload, dims scale") {
     val r = Multimodal.MediaRow(0L, Array.tabulate[Byte](127)(_.toByte),
       width = 320, height = 240, format = "png")

@@ -250,6 +250,25 @@ class StreamingSinksSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("k31 pinned time travel survives a later delete-rewrite") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("k31_spec_").toString
+    Writers.publishVersion(spark, root, 1, Seq((1L, "u1"), (2L, "u2"))
+      .toDF("id", "s"))
+    Writers.publishAppend(spark, root, 2, Seq((3L, "u3")).toDF("id", "s"))
+    // erasure rewrite: v3 drops id=2 entirely (fresh files, no lineage
+    // with v2's manifest) and CURRENT moves to it
+    Writers.stageVersion(spark, root, 3, Seq((1L, "u1"), (3L, "u3"))
+      .toDF("id", "s"))
+    Writers.publishPointer(spark, root, 3)
+    assert(Writers.readCurrent(spark, root)
+      .filter($"id" === 2L).count() === 0, "v3 must not contain the erased row")
+    // the pinned v2 reader still sees the erased row: old manifests are
+    // immutable under later rewrites
+    assert(Writers.readVersion(spark, root, 2)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("k02 live JDBC round trip (embedded Derby) is lossless") {
     val out = Writers.k02JdbcSink(spark, sfDir).collect()
     assert(out.length === 25)
