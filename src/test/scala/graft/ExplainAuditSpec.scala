@@ -482,6 +482,16 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id)"), p)
   }
 
+  test("m10: interleave is map-side only — two generates, zero exchanges") {
+    val p = plan(graft.operators.Multimodal.m10Interleave(spark, sfDir))
+    assert(!p.contains("Arguments: hashpartitioning") &&
+      !p.contains("Arguments: rangepartitioning"),
+      s"interleave assembly must not shuffle:\n$p")
+    assert(countOf(p, ") Generate") === 2,
+      s"expected exactly the text + image sequence explodes:\n$p")
+    assert(p.contains("Union"), s"modality branches must union:\n$p")
+  }
+
   test("q43: multi-distinct plans as one scan + Expand, not N scans") {
     val p = plan(Relational.q43MultiCountDistinct(spark, sfDir))
     assert(p.contains("Expand"), s"multi-distinct lost the Expand plan:\n$p")
