@@ -263,6 +263,16 @@ object ArrowHttp {
   def st22StreamHttpIngest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val stub = ArrowHttpStub.start(spark, dir)
+    // Stateful stream sizing, same discipline as EventStreams.runToTable:
+    // the complete-mode aggregate keeps ONE state store per shuffle
+    // partition per micro-batch, so inheriting the batch-side shuffle
+    // count (sized for data-proportional exchanges) multiplies pure
+    // commit overhead by the trigger count — measured at sf0.1: addBatch
+    // ~650-1000 ms/batch at the session's 32 partitions vs ~250-330 ms
+    // at the stream sizing, for a 2-group aggregate state.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, graft.streaming.EventStreams.streamPartitions)
     try {
       val agg = spark.readStream.format("arrow-http")
         .option("url", stub.url)
@@ -280,7 +290,10 @@ object ArrowHttp {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       spark.table(name).orderBy(col("event_type")).localCheckpoint(true)
-    } finally stub.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      stub.stop()
+    }
   }
 
   private val streamId = new java.util.concurrent.atomic.AtomicInteger(0)

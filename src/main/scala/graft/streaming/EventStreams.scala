@@ -127,6 +127,13 @@ object EventStreams {
   private val chunkedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
+  /** Rows per staged chunk, recorded at staging time — the state-volume
+    * bound a chunked stateful query's batches actually see (state never
+    * exceeds one arrival chunk between watermark advances). Drives the
+    * data-derived state-store sizing in [[runToTable]]. */
+  private val chunkRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   /** The PRODUCTION arrival shape for stream-stream joins: events staged
     * as ts-range chunk files and streamed one file per trigger, so the
     * watermark advances BETWEEN micro-batches and evicts join state. A
@@ -150,7 +157,9 @@ object EventStreams {
       // reads, state commit) against in-batch state growth; with the
       // bucketed equi-key the probe cost is bucket-local, so chunks are
       // sized for state MEMORY (~2M rows/side), not probe fan-out
-      val n = math.max(2L, math.min(64L, ev.count() / 2000000L + 1L)).toInt
+      val rows = ev.count()
+      val n = math.max(2L, math.min(64L, rows / 2000000L + 1L)).toInt
+      chunkRowsCache.put(d, rows / n): Unit
       val out = graft.Scratch.pinnedDir("stchunks_") + "/events"
       ev.repartitionByRange(n, col("ts")).write.parquet(out)
       val parts = new java.io.File(out).listFiles()
@@ -230,7 +239,7 @@ object EventStreams {
     * partitions). Spark pins a streaming query's state partitioning at
     * first start, so at 100 TB this is a per-pipeline capacity choice,
     * exactly like the reference sizing its provider buffers. */
-  private def streamPartitions: String = {
+  private[graft] def streamPartitions: String = {
     val raw = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")
     val parsed = raw.flatMap(_.trim.toIntOption).filter(_ > 0)
     if (raw.isDefined && parsed.isEmpty)
@@ -258,27 +267,33 @@ object EventStreams {
     * their retractions anyway.
     */
   private def runToTable(df: DataFrame, mode: String,
-      corpusScaleState: Boolean = false): DataFrame = {
+      stateRows: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     // Fixed small state-partition count fits watermark-bounded state
     // (most st queries). Operators whose in-flight state is
     // corpus-proportional (st09 holds every open session of the current
-    // arrival chunk — millions at sf10) scale with the BATCH shuffle
-    // sizing instead (measured sf10: session-window exec 39→29 s at
-    // 8→32) — but CAPPED: every state store pays a commit/maintenance
-    // cost per micro-batch, so inheriting a fact-sized shuffle count
-    // multiplies pure overhead by the trigger count (measured sf100:
-    // st09 473 s at the suite's 256 partitions vs 216 s at 64; 64
-    // stores ≈ 150k events each at the 9.4M-event chunk ceiling, well
-    // inside store capacity). SPARK_GRAFT_STREAM_STATE_CAP overrides —
-    // a real cluster with RocksDB stores and 1000 executors raises it.
+    // arrival chunk — millions at sf10) size their store count FROM THE
+    // DATA instead (stateRows = the caller's per-batch state bound, the
+    // staged chunk row count): one store per ~50k state rows, floored at
+    // the fixed stream sizing and CAPPED — every state store pays a
+    // commit/maintenance cost per micro-batch, so a count not backed by
+    // data volume multiplies pure overhead by the trigger count
+    // (measured sf100: st09 473 s at the suite's 256 partitions vs
+    // 216 s at 64; measured sf0.1: 32 inherited stores cost ~0.5 s of
+    // commit overhead per batch on 50k-row chunks where 8 suffice;
+    // measured sf10: 39 s at 8 stores → 29 s at 32 — both directions
+    // lose, so the count must scale with state volume, not with either
+    // the core count or the batch shuffle sizing).
+    // SPARK_GRAFT_STREAM_STATE_CAP overrides the cap — a real cluster
+    // with RocksDB stores and 1000 executors raises it.
     val stateCap = sys.env.get("SPARK_GRAFT_STREAM_STATE_CAP")
       .flatMap(_.trim.toIntOption).filter(_ > 0).getOrElse(64)
-    val corpusScaled =
-      math.min(prev.toIntOption.getOrElse(stateCap), stateCap).toString
-    spark.conf.set(key, if (corpusScaleState) corpusScaled else streamPartitions)
+    val floor = streamPartitions.toInt
+    val dataScaled = math.min(stateCap.toLong,
+      math.max(floor.toLong, stateRows / 50000L)).toString
+    spark.conf.set(key, if (stateRows > 0L) dataScaled else streamPartitions)
     try {
       if (mode == "append") {
         val root = graft.Scratch.dir("stout_")
@@ -685,7 +700,8 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    runToTable(sessions, "append", corpusScaleState = true)
+    runToTable(sessions, "append",
+      stateRows = chunkRowsCache.getOrDefault(dir, 0L))
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
