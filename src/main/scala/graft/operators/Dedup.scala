@@ -343,7 +343,13 @@ object Dedup {
     // whose task count is leftPartitions x rightPartitions (measured
     // 117k tasks / 342 s at the 1000x corpus for a 200-doc bound; 2.7 s
     // broadcast). The bound (<200 docs) makes the broadcast O(1).
-    docs.as("a").join(broadcast(docs.as("b")),
+    // SPREAD the stream side across the cluster first: the <200-doc
+    // filter funnels the scan into one partition, so without this the
+    // entire 19,900-pair intersect/union loop runs as ONE task while
+    // every other core idles (guide §2.6 stragglers; measured 3.3 s →
+    // 1.0 s at sf0.1). A 200-row round-robin shuffle is O(1) at any SF.
+    docs.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(docs.as("b")),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
@@ -372,7 +378,9 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(Shingles.strings(col("ws"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-    docs.as("a").join(broadcast(docs.as("b")),
+    // one-task pair loop otherwise — see d04's repartition note
+    docs.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(docs.as("b")),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
         size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
@@ -399,8 +407,11 @@ object Dedup {
       .filter(col("vec_id") < 2000)
       .select(col("vec_id"), col("embedding"))
     // broadcast the bounded side — same CartesianProduct trap as d04:
-    // a theta join over a many-file scan estimate goes n^2 in PARTITIONS
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+    // a theta join over a many-file scan estimate goes n^2 in PARTITIONS.
+    // Repartition the stream side too (d04's one-task pair-loop fix):
+    // 2M cosine kernels otherwise serialize behind a single scan task.
+    e.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
         graft.functions.cosine_similarity(col("a.embedding"), col("b.embedding"))
           .as("cos"))
