@@ -125,7 +125,10 @@ object Dedup {
     * as a column so the digest runs once per shingle, not once per
     * family member. */
   private[graft] def portableSig(docs: DataFrame, idCol: Column): DataFrame =
-    docs
+    // one md5 per shingle = the d-family's per-row hot kernel; spread an
+    // under-partitioned scan first (single-row-group gate files yield
+    // ONE scan task — Tables.spreadNarrow, a no-op on sharded corpora)
+    Tables.spreadNarrow(docs)
       .select(idCol.as("_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("_id"),
         Shingles.stringsWithFallback(col("ws"), col("text"), 3).as("shs"))
@@ -264,7 +267,7 @@ object Dedup {
   /** Direct per-doc path — no collapse machinery when the corpus is
     * ~unique. */
   private[graft] def d03Direct(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    val docs = Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(col("doc_id"), d03Sig.as("sig"))
     val bands = docs.select(col("doc_id"), col("sig"),
       posexplode(simhashBands.bucketArray(col("sig")))
@@ -291,7 +294,7 @@ object Dedup {
     * OUTPUT (which is inherently pair-quadratic in dup multiplicity —
     * d08 is the cluster-output form when pairs are not required). */
   private[graft] def d03Collapsed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    val docs = Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(col("doc_id"), d03Sig.as("sig"))
       .localCheckpoint(true) // read twice below (band join + expansion)
     val sigs = docs.select(col("sig")).distinct()
@@ -840,7 +843,7 @@ object Dedup {
   private[graft] def d10Direct(spark: SparkSession, dir: String): DataFrame = {
     val W = d10W
     val ws = filter(split(col("text"), " "), w => length(w) > 0)
-    val docs = Tables(spark, dir).documents
+    val docs = Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_words"))
       .filter(col("n_words") >= W)
@@ -887,7 +890,7 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("th"))
       .localCheckpoint(true)
     val groupSize = members.groupBy(col("th")).agg(count(lit(1)).as("nm"))
-    val texts = Tables(spark, dir).documents
+    val texts = Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(md5(col("text")).as("th"), col("text"))
       .dropDuplicates("th")
       .select(col("th"), ws.as("ws"))
@@ -1039,7 +1042,13 @@ object Dedup {
     // one-time index build (amortized across every future batch)
     bandRows(hist).write.mode("overwrite").parquet(s"$root/index")
     val index = spark.read.parquet(s"$root/index")
-    val batchBands = bandRows(batch)
+    // materialize once: the batch banding feeds BOTH pair paths, and each
+    // path is executed three more times below (exceptAll in both
+    // directions + the returned frame) — without a checkpoint the batch
+    // re-minhashes 4x and history re-minhashes 3x (measured 3.9 s at
+    // sf0.1, ~1.6 s checkpointed). Batch bands are batch-shaped (the
+    // whole point of the index), so the checkpoint is bounded.
+    val batchBands = bandRows(batch).localCheckpoint(true)
     def pairsOf(histBands: DataFrame, bb: DataFrame): DataFrame =
       histBands.as("h")
         .join(broadcast(bb.as("n")),
@@ -1054,10 +1063,13 @@ object Dedup {
         .groupBy(col("hist_id"), col("new_id"))
         .agg(max(col("ej")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
-    val viaIndex = pairsOf(index, batchBands)
+    // pair sets are candidate-scale (tiny vs the banding work that
+    // produces them): checkpoint both so the two exceptAll probes and
+    // the returned frame reuse blocks instead of re-running the pipelines
+    val viaIndex = pairsOf(index, batchBands).localCheckpoint(true)
     // self-oracle: the from-scratch path (re-minhash history, no index)
     // must produce the identical pair set
-    val scratch = pairsOf(bandRows(hist), batchBands)
+    val scratch = pairsOf(bandRows(hist), batchBands).localCheckpoint(true)
     require(viaIndex.exceptAll(scratch).isEmpty &&
       scratch.exceptAll(viaIndex).isEmpty,
       "index path diverged from the from-scratch path")

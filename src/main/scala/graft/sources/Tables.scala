@@ -32,6 +32,26 @@ object Tables {
                 // preserves the wall-clock value the oracle sees
         df.withColumn("ts", expr("cast(ts as timestamp)"))
     }
+
+  /** Spread a NARROW scan before a per-row-expensive kernel (signature
+    * hashing, per-shingle digests, distance kernels). Parquet scan
+    * parallelism is bounded by row groups: a table written as one row
+    * group yields ONE scan task no matter the split size, serializing
+    * the whole kernel pass behind a single core — the guide's
+    * "unsplittable input" skew case (§2.5: repartition immediately after
+    * the read). Scale-adaptive by construction: it only fires when the
+    * scan offers fewer partitions than the cluster has slots, so a
+    * sharded 100 TB corpus (thousands of scan partitions) passes through
+    * untouched and pays NO extra exchange — the shuffle only ever moves
+    * an input small enough to have arrived under-partitioned. */
+  def spreadNarrow(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    // static file-count probe — never executes the plan (df.rdd would
+    // materialize AQE shuffle stages just to ask); one row-group gate
+    // files ⇒ one file ⇒ one scan task, which is the case this fixes
+    val files = df.inputFiles.length
+    if (files > 0 && files < slots) df.repartition(slots) else df
+  }
 }
 
 final case class Tables(spark: SparkSession, dir: String) {
