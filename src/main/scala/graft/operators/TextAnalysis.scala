@@ -54,9 +54,17 @@ object TextAnalysis {
     * equality per op).
     */
   private[graft] def perTextPath(spark: SparkSession, dir: String,
-      collapsed: Boolean, flags: Seq[(String, Column)] = Nil)(
+      collapsed: Boolean, flags: Seq[(String, Column)] = Nil,
+      spreadKernel: Boolean = false)(
       body: DataFrame => DataFrame): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    // spreadKernel: a single-row-group gate file scans as ONE task, so a
+    // body with a genuinely heavy per-row kernel (t08's regex battery,
+    // t13's classifier features) asks for a pre-spread
+    // (Tables.spreadNarrow — a no-op on sharded corpora). Measured and
+    // NOT defaulted: for light bodies (t01/t02/t19) and explode→groupBy
+    // shapes (t06) the extra exchange costs more than it parallelizes.
+    val docs0 = Tables(spark, dir).documents
+    val docs = if (spreadKernel) Tables.spreadNarrow(docs0) else docs0
     val withFlags = docs.select(
       (col("doc_id") +: col("text") +:
         flags.map { case (n, c) => c.as(n) }): _*)
@@ -185,7 +193,7 @@ object TextAnalysis {
   }
 
   private[graft] def t04Direct(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         Shingles.hashes(col("ws"), col("text"), 4, Shingles.md5Hash60)
@@ -197,7 +205,7 @@ object TextAnalysis {
   private[graft] def t04Collapsed(spark: SparkSession, dir: String): DataFrame = {
     val members = Tables(spark, dir).documents
       .select(col("doc_id"), md5(col("text")).as("th"))
-    Tables(spark, dir).documents
+    Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(md5(col("text")).as("th"), col("text"))
       .dropDuplicates("th")
       .select(col("th"), col("text"), split(col("text"), " ").as("ws"))
@@ -356,7 +364,8 @@ object TextAnalysis {
     // passing it proves the decomposition exact.
     val docs = Tables(spark, dir).documents
     perTextPath(spark, dir,
-      collapsed = DupDensity.probe(docs, md5(col("text"))).collapseWorthIt)(
+      collapsed = DupDensity.probe(docs, md5(col("text"))).collapseWorthIt,
+      spreadKernel = true)( // three regex counts + three rewrites per row
       t08Body)
   }
 
@@ -441,7 +450,7 @@ object TextAnalysis {
   /** Direct per-doc path — right on ~unique corpora: no payload dedup,
     * every doc grams itself. */
   private[graft] def t10Direct(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir).documents
+    val base = Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(col("doc_id"), split(augmentedText, " ").as("ws"))
     val grams = grams13(col("ws"))
     val evalGrams = base.filter(pmod(col("doc_id"), lit(50)) === 0)
@@ -468,7 +477,7 @@ object TextAnalysis {
     val mem = Tables(spark, dir).documents
       .select(col("doc_id"), md5(col("text")).as("th"),
         (pmod(col("doc_id"), lit(37)) === 0).as("pl"))
-    val rep = Tables(spark, dir).documents
+    val rep = Tables.spreadNarrow(Tables(spark, dir).documents)
       .select(md5(col("text")).as("th"),
         (pmod(col("doc_id"), lit(37)) === 0).as("pl"), col("text"))
       .dropDuplicates("th", "pl")
@@ -553,7 +562,8 @@ object TextAnalysis {
     * costs one corpus pass regardless of scale.
     */
   def t13QualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    perTextPath(spark, dir, textDupGate(spark, dir))(t13Body)
+    perTextPath(spark, dir, textDupGate(spark, dir),
+      spreadKernel = true)(t13Body) // full feature battery per row
 
   private[graft] def t13Body(df: DataFrame): DataFrame = {
     // ws materialized as a real column BEFORE the lambda: an expression
