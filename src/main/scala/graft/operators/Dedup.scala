@@ -1063,12 +1063,15 @@ object Dedup {
         .groupBy(col("hist_id"), col("new_id"))
         .agg(max(col("ej")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
-    // pair sets are candidate-scale (tiny vs the banding work that
-    // produces them): checkpoint both so the two exceptAll probes and
-    // the returned frame reuse blocks instead of re-running the pipelines
-    val viaIndex = pairsOf(index, batchBands).localCheckpoint(true)
+    // viaIndex stays UN-checkpointed: it is the returned frame, and the
+    // plan audit pins its broadcast-join shape (a checkpoint would hide
+    // the join behind an ExistingRDD scan); the checkpointed batchBands
+    // already de-duplicates the expensive banding work underneath it
+    val viaIndex = pairsOf(index, batchBands)
     // self-oracle: the from-scratch path (re-minhash history, no index)
-    // must produce the identical pair set
+    // must produce the identical pair set. The scratch pair set is
+    // candidate-scale — checkpoint it so the two exceptAll probes don't
+    // re-run the from-scratch banding twice
     val scratch = pairsOf(bandRows(hist), batchBands).localCheckpoint(true)
     require(viaIndex.exceptAll(scratch).isEmpty &&
       scratch.exceptAll(viaIndex).isEmpty,

@@ -482,19 +482,32 @@ object Pipelines {
     def marker(lo: Long) =
       new org.apache.hadoop.fs.Path(s"$root/chunk_$lo/_DONE")
     def runBackfill(): Long = {
-      var processed = 0L
-      var lo = 0L
-      while (lo <= maxId) {
-        if (!fs.exists(marker(lo))) {
-          ev.filter(col("event_id") >= lo && col("event_id") < lo + chunk)
-            .withColumn("chunk", lit(lo))
-            .write.mode("overwrite").parquet(s"$root/chunk_$lo/data")
-          fs.create(marker(lo), true).close()
-          processed += 1
-        }
-        lo += chunk
-      }
-      processed
+      val todo = Iterator.iterate(0L)(_ + chunk).takeWhile(_ <= maxId)
+        .filterNot(lo => fs.exists(marker(lo))).toSeq
+      // chunks are independent (disjoint key ranges, separate dirs):
+      // submit a few concurrently so the next chunk's tasks back-fill
+      // executor slots freed by the current chunk's write tail instead
+      // of leaving the cluster idle between driver-paced jobs (guide
+      // §2.6 — overlap independent jobs; job groups are thread-local so
+      // the UI stays attributable). Bounded at 4 in flight: enough to
+      // hide the tail, not enough to contend for executors.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, todo.size.max(1)))
+      val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+      try {
+        todo.map { lo =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              ev.filter(col("event_id") >= lo && col("event_id") < lo + chunk)
+                .withColumn("chunk", lit(lo))
+                .write.mode("overwrite").parquet(s"$root/chunk_$lo/data")
+              fs.create(marker(lo), true).close()
+              processed.incrementAndGet(): Unit
+            }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      processed.get()
     }
     runBackfill()
     // crash simulation: the marker vanishes, torn partial output remains
