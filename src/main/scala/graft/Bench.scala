@@ -148,6 +148,15 @@ object Bench {
       // a query's cached tables must not ride into the next query's
       // measurement (or occupy storage memory for the rest of the suite)
       spark.catalog.clearCache()
+      // memory-sink temp views (runToTable's complete/update outputs)
+      // hold their full result rows on the DRIVER via the registered
+      // MemorySink — 28 streaming queries × reps of them otherwise ride
+      // to JVM exit and squeeze the late-suite heap. The output has been
+      // consumed by the noop write above; drop the view to free the sink.
+      spark.catalog.listTables().collect()
+        .filter(t => t.name.startsWith("graft_stream_") ||
+          t.name.startsWith("graft_http_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name): Unit)
       // localCheckpoint blocks (the d-family loops, pre-collapse stages)
       // are NOT cleared by clearCache() — they sit in the unified memory
       // region until the weak-ref cleaner happens to reap them, squeezing
