@@ -48,9 +48,14 @@ object Tables {
     val slots = df.sparkSession.sparkContext.defaultParallelism
     // static file-count probe — never executes the plan (df.rdd would
     // materialize AQE shuffle stages just to ask); one row-group gate
-    // files ⇒ one file ⇒ one scan task, which is the case this fixes
+    // files ⇒ one file ⇒ one scan task, which is the case this fixes.
+    // Fire only on SEVERE under-partitioning (< a quarter of the slots):
+    // measured at sf1, a 10-file scan on 32 cores loses more to the
+    // full-payload round-robin exchange than the extra 3× parallelism
+    // returns (d02 2.46→3.21 s when spread), while the 1-file gate scans
+    // win 2–4×. files*4 ≤ slots keeps both regimes on their better plan.
     val files = df.inputFiles.length
-    if (files > 0 && files < slots) df.repartition(slots) else df
+    if (files > 0 && files * 4 <= slots) df.repartition(slots) else df
   }
 }
 
